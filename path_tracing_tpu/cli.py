@@ -1,0 +1,143 @@
+"""Headless CLI — the equivalent of the reference's ``pt_cli``
+(``src/main_cli.cpp:42-257``) with the same flags plus determinism/parity
+extras.
+
+    python -m path_tracing_tpu.cli --input scene.txt --mode pt --spp 8 \
+        --output out.png
+
+Flags mirror main_cli.cpp:54-73: ``--spp --spl --mode(pt|bdpt|ppm) \
+--device(tpu|cpu|oracle) --output --input``; additions: ``--seed``,
+``--iters`` (progressive passes), ``--checkpoint`` (save/resume accumulation
+state), ``--eye-depth --light-depth``, ``--force-fov``.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="path_tracing_tpu",
+                                 description=__doc__)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--spl", type=int, default=8)
+    ap.add_argument("--mode", choices=["pt", "bdpt", "ppm"], default="pt")
+    ap.add_argument("--device", choices=["tpu", "gpu", "cpu", "oracle"],
+                    default="tpu",
+                    help="'oracle' runs the deterministic CPU-semantics BDPT "
+                         "ground truth (cpu_bdpt.cpp equivalent)")
+    ap.add_argument("--output", default="output.png")
+    ap.add_argument("--input", default="input.txt")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--iters", type=int, default=1,
+                    help="progressive accumulation passes")
+    ap.add_argument("--checkpoint", default=None,
+                    help="npz path; resumed if it exists, saved after render")
+    ap.add_argument("--eye-depth", type=int, default=4)
+    ap.add_argument("--light-depth", type=int, default=4)
+    ap.add_argument("--force-fov", type=float, default=None,
+                    help="override scene fov (the reference front-ends "
+                         "hard-code 50; default honors the file)")
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--fix-pt-mis", action="store_true",
+                    help="enable the full MIS light-hit term the reference "
+                         "stubbed out (quirk 2)")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.device in ("cpu", "oracle"):
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+    import numpy as np
+
+    from .config import RenderConfig, oracle_config
+    from .film import (AccumState, load_checkpoint, save_checkpoint,
+                       save_image)
+    from .scene.camera import make_camera
+    from .scene.parser import load_scene
+
+    if not os.path.exists(args.input):
+        print(f"[Error] Cannot open input file: {args.input}", file=sys.stderr)
+        return 1
+    parsed = load_scene(args.input)
+    W = args.width or parsed.width
+    H = args.height or parsed.height
+    scene = parsed.to_device()
+    cam = make_camera(parsed.eye, parsed.look_at, parsed.view_up, parsed.fov,
+                      W, H, force_fov=args.force_fov)
+
+    cfg = RenderConfig(width=W, height=H, spp=args.spp, spl=args.spl,
+                       eye_depth=args.eye_depth, light_depth=args.light_depth,
+                       seed=args.seed,
+                       pt_stub_mis_strategy_a=not args.fix_pt_mis)
+    mode = args.mode
+    if args.device == "oracle":
+        cfg = oracle_config(cfg)
+        mode = "bdpt"
+
+    print("====================================")
+    print(f" Device : {args.device} ({jax.devices()[0].platform})")
+    print(f" Mode   : {mode}")
+    print(f" SPP    : {args.spp}")
+    print(f" SPL    : {args.spl} (used in BDPT/PPM)")
+    print(f" Input  : {args.input}")
+    print(f" Output : {args.output}")
+    print(f" Res    : {W}x{H}  seed={args.seed}  iters={args.iters}")
+    print("====================================")
+    print(f"Ball: {scene.num_spheres}  Triangle: {scene.num_triangles}  "
+          f"Light: {scene.num_lights}")
+
+    state = AccumState.zeros(W, H)
+    start_iter = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        state, meta = load_checkpoint(args.checkpoint)
+        start_iter = int(state.n_iters)
+        print(f"[Resume] {args.checkpoint}: {start_iter} iters accumulated")
+
+    key = jax.random.PRNGKey(args.seed)
+
+    def frame(i):
+        k = jax.random.fold_in(key, i)
+        if mode == "pt":
+            from .integrators.pt import render_pt
+            return render_pt(scene, cam, W, H, args.spp, cfg, k)
+        elif mode == "bdpt":
+            from .integrators.bdpt import render_bdpt
+            return render_bdpt(scene, cam, W, H, args.spp, args.spl, cfg, k)
+        else:
+            from .integrators.ppm import render_ppm
+            return render_ppm(scene, cam, W, H, args.spl, cfg, k)
+
+    print("[Render] Starting Render...")
+    t0 = time.perf_counter()
+    for i in range(start_iter, start_iter + args.iters):
+        f = frame(i)
+        f.block_until_ready()
+        state = state.add(f)
+        dt = time.perf_counter() - t0
+        print(f"[Render] iter {i + 1}: {dt * 1000:.1f} ms cumulative")
+    total = time.perf_counter() - t0
+    paths = W * H * args.spp * args.iters
+    print(f"[Render] Finished in {total * 1000:.1f} ms "
+          f"({paths / max(total, 1e-9) / 1e6:.2f} Mpaths/s)")
+
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, state,
+                        {"mode": mode, "width": W, "height": H})
+        print(f"[Checkpoint] saved {args.checkpoint}")
+
+    print(f"[Save] Writing to {args.output}...")
+    save_image(args.output, np.asarray(state.mean()), W, H)
+    print("[Success] Image saved!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,43 @@
+"""Counter-based RNG streams (Threefry via jax.random).
+
+Replaces the reference's per-thread curand state arrays seeded from
+``time(NULL)`` (pt_cu.cu:10-15,282; bdpt_cu.cu:6-11,597,634;
+ppm_cu.cu:10-15,358), which made every render irreproducible
+(SURVEY.md quirk 15).  Here every random number is a pure function of
+``(seed, stream, iteration, lane)`` so renders are bit-reproducible and
+shards can draw independent, overlap-free streams without any state.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Stream ids keep the integrators' draws decorrelated.
+STREAM_PT = 1
+STREAM_BDPT_LIGHT = 2
+STREAM_BDPT_EYE = 3
+STREAM_PPM_EYE = 4
+STREAM_PPM_PHOTON = 5
+STREAM_ORACLE_LIGHT = 6
+STREAM_ORACLE_EYE = 7
+
+
+def make_key(seed: int, stream: int) -> jax.Array:
+    return jax.random.fold_in(jax.random.PRNGKey(seed), stream)
+
+
+def iter_key(key: jax.Array, iteration) -> jax.Array:
+    """Per-scan-iteration subkey (safe inside lax.scan: fold_in is traceable)."""
+    return jax.random.fold_in(key, iteration)
+
+
+def uniforms(key: jax.Array, shape, n: int):
+    """Draw ``n`` independent uniform arrays of ``shape`` on (0, 1].
+
+    curand_uniform's support is (0, 1] (zero excluded); jax.random.uniform's
+    is [0, 1).  The reference's math divides by and takes acos of these draws
+    assuming 0 never occurs, so we map ``u -> 1 - u`` for parity.
+    """
+    u = jax.random.uniform(key, shape=(n,) + tuple(shape), dtype=jnp.float32)
+    u = 1.0 - u
+    return tuple(u[i] for i in range(n))

@@ -1,0 +1,155 @@
+"""Text scene-format parser (the ``E/V/F/R/M/S/T/G/L`` grammar).
+
+Replaces the two duplicated inline parse loops of the reference
+(``src/main.cpp:106-188`` and ``src/main_cli.cpp:84-141``) with one module.
+The grammar (SURVEY.md appendix):
+
+    E  x y z                                   camera eye
+    V  lx ly lz  ux uy uz                      look_at + view_up
+    F  fov_deg                                 field of view
+    R  W H                                     resolution
+    M  r g b  roughness metallic eta           current material (PBR)
+    S  cx cy cz  radius                        sphere
+    T  x0 y0 z0  x1 y1 z1  x2 y2 z2            triangle
+    G  id                                      current group id
+    L  px py pz  dx dy dz  ir ig ib  cutoff_deg  is_parallel  ball_r
+    // ...                                     comment to end of line
+
+Tolerance parity: the reference's ``while(input >> t)`` loop swallows stray
+tokens one character at a time (SURVEY.md quirk 9 — ``mis_test.txt`` ``M``
+lines carry 9 numbers and the extra 3 are silently eaten).  We reproduce
+that by skipping any token that is not a recognized single-letter record
+tag.  ``cutoff`` is converted to radians at parse time (main.cpp:182).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+import numpy as np
+
+from .types import Material, Scene, scene_from_numpy
+
+_TAGS = set("EVFRMSTGL")
+
+
+@dataclass
+class ParsedScene:
+    """Host-side parse result (numpy); `.to_device()` builds the JAX Scene."""
+
+    eye: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    look_at: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    view_up: np.ndarray = field(default_factory=lambda: np.array([0, 1, 0], np.float32))
+    fov: float = 50.0
+    width: int = 0
+    height: int = 0
+    sph_center: List = field(default_factory=list)
+    sph_radius: List = field(default_factory=list)
+    sph_mtl: List = field(default_factory=list)       # rows [r,g,b,rough,metal,eta]
+    sph_group: List = field(default_factory=list)
+    tri_verts: List = field(default_factory=list)     # rows of 3 vertices
+    tri_mtl: List = field(default_factory=list)
+    tri_group: List = field(default_factory=list)
+    lights: List = field(default_factory=list)        # rows [pos3,dir3,illum3,cutoff,is_par,ball_r]
+
+    def to_device(self) -> Scene:
+        import jax.numpy as jnp
+
+        def mtl_of(rows):
+            a = np.asarray(rows, np.float32).reshape(-1, 6)
+            return Material(
+                base_color=jnp.asarray(a[:, 0:3]),
+                roughness=jnp.asarray(a[:, 3]),
+                metallic=jnp.asarray(a[:, 4]),
+                eta=jnp.asarray(a[:, 5]),
+            )
+
+        lights = np.asarray(self.lights, np.float32).reshape(-1, 12)
+        return scene_from_numpy(
+            sph_center=np.asarray(self.sph_center, np.float32).reshape(-1, 3),
+            sph_radius=np.asarray(self.sph_radius, np.float32),
+            sph_mtl=mtl_of(self.sph_mtl),
+            tri_v0=np.asarray([v[0] for v in self.tri_verts], np.float32).reshape(-1, 3),
+            tri_v1=np.asarray([v[1] for v in self.tri_verts], np.float32).reshape(-1, 3),
+            tri_v2=np.asarray([v[2] for v in self.tri_verts], np.float32).reshape(-1, 3),
+            tri_mtl=mtl_of(self.tri_mtl),
+            light_pos=lights[:, 0:3],
+            light_dir=lights[:, 3:6],
+            light_illum=lights[:, 6:9],
+            light_cutoff=lights[:, 9],
+            light_is_parallel=lights[:, 10].astype(np.int32),
+            light_ball_r=lights[:, 11],
+        )
+
+
+def _tokenize(text: str) -> List[str]:
+    tokens: List[str] = []
+    for line in text.splitlines():
+        cut = line.find("//")
+        if cut >= 0:
+            line = line[:cut]
+        tokens.extend(line.split())
+    return tokens
+
+
+def parse_scene_text(text: str) -> ParsedScene:
+    out = ParsedScene()
+    toks = _tokenize(text)
+    i = 0
+    n = len(toks)
+    mtl = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    group_id = 0
+
+    def take(k: int) -> List[float]:
+        nonlocal i
+        vals = [float(toks[i + j]) for j in range(k)]
+        i += k
+        return vals
+
+    while i < n:
+        t = toks[i]
+        i += 1
+        if t not in _TAGS:
+            continue  # stray token tolerance (quirk 9)
+        try:
+            if t == "E":
+                out.eye = np.array(take(3), np.float32)
+            elif t == "V":
+                v = take(6)
+                out.look_at = np.array(v[0:3], np.float32)
+                out.view_up = np.array(v[3:6], np.float32)
+            elif t == "F":
+                out.fov = take(1)[0]
+            elif t == "R":
+                v = take(2)
+                out.width, out.height = int(v[0]), int(v[1])
+            elif t == "M":
+                mtl = take(6)
+            elif t == "S":
+                v = take(4)
+                out.sph_center.append(v[0:3])
+                out.sph_radius.append(v[3])
+                out.sph_mtl.append(list(mtl))
+                out.sph_group.append(group_id)
+            elif t == "T":
+                v = take(9)
+                out.tri_verts.append([v[0:3], v[3:6], v[6:9]])
+                out.tri_mtl.append(list(mtl))
+                out.tri_group.append(group_id)
+            elif t == "G":
+                group_id = int(float(toks[i])); i += 1
+            elif t == "L":
+                v = take(12)
+                v[9] = math.radians(v[9])  # cutoff deg -> rad (main.cpp:182)
+                out.lights.append(v)
+        except (ValueError, IndexError):
+            # A tag followed by non-numeric garbage: the reference's stream
+            # parse would fail-and-stall; we skip the tag and resync.
+            continue
+    return out
+
+
+def load_scene(path: str) -> ParsedScene:
+    with open(path, "r") as f:
+        return parse_scene_text(f.read())

@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding paths are testable without hardware via XLA's host
+platform device count (SURVEY.md §4); this must be set before JAX
+initializes, hence at conftest import time.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
