@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.device in ("cpu", "oracle"):
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"  # axon plugin ignores JAX_PLATFORMS
 
     import jax
     import numpy as np

@@ -1,0 +1,116 @@
+"""Multi-chip sharding via ``shard_map`` over a device mesh.
+
+The reference is single-GPU, single-process (SURVEY.md §2.2); this module is
+the scaling design it lacks:
+
+- **PT**: pixels are data-parallel — shard the flat lane axis over the mesh;
+  no collectives (each shard owns its pixels' accumulation).
+- **BDPT**: light subpaths shard over the mesh; the (small) light-vertex
+  tensor is ``all_gather``-ed over ICI so every shard connects its pixels
+  against ALL light vertices — the only cross-chip traffic the algorithm
+  needs.
+- **PPM** (see integrators/ppm.py): photons shard; per-shard flux scatters
+  merge with ``psum``.
+
+Everything compiles and runs on a virtual CPU mesh
+(``--xla_force_host_platform_device_count=N``) for hardware-free CI.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import RenderConfig
+from ..scene.types import Camera, Scene
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devs), (axis,))
+
+
+def render_pt_sharded(scene: Scene, cam: Camera, width: int, height: int,
+                      spp: int, cfg: RenderConfig, key, mesh: Mesh) -> jnp.ndarray:
+    """Pixel-sharded PT: each device traces ``W*H/n`` lanes; zero collectives."""
+    from ..integrators.pt import trace_paths
+
+    n = mesh.devices.size
+    B = width * height
+    assert B % n == 0, f"pixels ({B}) must divide the mesh ({n})"
+    idx = jnp.arange(B, dtype=jnp.int32)
+    px = idx % width
+    py = idx // width
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp"), P()),
+             out_specs=P("dp"), check_rep=False)
+    def shard_fn(scene, cam, px_l, py_l, key):
+        me = jax.lax.axis_index("dp")
+        k = jax.random.fold_in(key, me)
+
+        def body(acc, s):
+            c = trace_paths(scene, cam, cfg, px_l, py_l,
+                            jax.random.fold_in(k, s))
+            return acc + c, None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((px_l.shape[0], 3)),
+                              jnp.arange(spp))
+        return acc / spp
+
+    return shard_fn(scene, cam, px, py, key)
+
+
+def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
+                        spp: int, spl: int, cfg: RenderConfig, key,
+                        mesh: Mesh, light_sample: int = 0,
+                        chunk: int = 32) -> jnp.ndarray:
+    """BDPT over the mesh: light paths sharded + all_gather of the vertex
+    tensor over ICI; eye pixels sharded."""
+    from ..integrators.bdpt import eye_trace_and_connect, trace_light_paths
+
+    n = mesh.devices.size
+    B = width * height
+    assert B % n == 0
+    ls = light_sample or spl
+    num_paths = scene.num_lights * ls * spl
+    num_paths = ((num_paths + n - 1) // n) * n  # pad to the mesh
+    scene_used = scene.with_illum_scaled(1.0 / ls)
+
+    idx = jnp.arange(B, dtype=jnp.int32)
+    px = idx % width
+    py = idx // width
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp"), P()),
+             out_specs=P("dp"), check_rep=False)
+    def shard_fn(scene_s, cam_s, px_l, py_l, key):
+        me = jax.lax.axis_index("dp")
+        # each shard traces its slice of the light paths with a decorrelated
+        # key, then the vertex tensor is gathered over ICI (it is small:
+        # paths*light_depth vertices)
+        lv_local = trace_light_paths(
+            scene_s, cfg, num_paths // n, spl,
+            jax.random.fold_in(jax.random.fold_in(key, 0x0101), me))
+        lv = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "dp", axis=0, tiled=True),
+            lv_local)
+
+        def body(acc, s):
+            c = eye_trace_and_connect(
+                scene_s, cam_s, cfg, lv, px_l, py_l,
+                jax.random.fold_in(
+                    jax.random.fold_in(jax.random.fold_in(key, 0x0202), s), me),
+                float(ls), chunk)
+            return acc + c, None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((px_l.shape[0], 3)),
+                              jnp.arange(spp))
+        return acc / spp
+
+    return shard_fn(scene_used, cam, px, py, key)

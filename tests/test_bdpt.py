@@ -1,0 +1,98 @@
+"""BDPT integrator tests (tiny configs — CPU compile of the full scan chain
+is expensive on this box, so shapes are minimal)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from path_tracing_tpu.config import RenderConfig
+from path_tracing_tpu.integrators.bdpt import (render_bdpt, render_oracle,
+                                               trace_light_paths)
+from path_tracing_tpu.scene.camera import make_camera
+from path_tracing_tpu.scene.parser import load_scene
+
+INPUT_TXT = "/root/reference/input.txt"
+W = H = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p = load_scene(INPUT_TXT)
+    scene = p.to_device()
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=3, light_depth=3,
+                       delta_budget=3)
+    return scene, cam, cfg
+
+
+def test_light_vertex_tensor_invariants(setup):
+    scene, cam, cfg = setup
+    f = jax.jit(trace_light_paths,
+                static_argnames=("cfg", "num_paths", "spl"))
+    lv = f(scene, cfg=cfg, num_paths=8, spl=2, key=jax.random.PRNGKey(0))
+    # vertex 0: the emitter, always valid
+    assert bool(jnp.all(lv.valid[:, 0]))
+    assert bool(jnp.all(lv.is_light_source[:, 0]))
+    # spot emitters start on the ball surface (input.txt has no parallel
+    # lights): |origin - light_pos| == ball_r
+    li = np.arange(8) % scene.num_lights
+    d = np.asarray(lv.pos[:, 0]) - np.asarray(scene.light_pos)[li]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1),
+                               np.asarray(scene.light_ball_r)[li], rtol=1e-4)
+    # emission directions are unit and inside each light's cone
+    n0 = np.asarray(lv.normal[:, 0])
+    np.testing.assert_allclose(np.linalg.norm(n0, axis=-1), 1.0, atol=1e-5)
+    cos_cut = np.cos(np.asarray(scene.light_cutoff)[li])
+    cos_emit = np.sum(n0 * np.asarray(lv.emit_dir[:, 0]), axis=-1)
+    assert np.all(cos_emit >= cos_cut - 1e-4)
+    # the MIS suffix factor is 0 at t=0 (the walk never visits the emitter)
+    np.testing.assert_allclose(np.asarray(lv.mis_a[:, 0]), 0.0)
+    # vertex-0 throughput = illum / spl
+    np.testing.assert_allclose(
+        np.asarray(lv.throughput[:, 0]),
+        np.asarray(scene.light_illum)[li] / 2.0, rtol=1e-5)
+
+
+def test_bdpt_renders_finite_nonzero(setup):
+    scene, cam, cfg = setup
+    img = np.asarray(render_bdpt(scene, cam, W, H, 1, 2, cfg,
+                                 jax.random.PRNGKey(0), chunk=32))
+    assert img.shape == (W * H, 3)
+    assert np.all(np.isfinite(img)) and np.all(img >= 0)
+    assert float(np.mean(img.sum(-1) > 1e-4)) > 0.9  # connections light all
+    # absolute brightness in the golden image's band (linear mean ~0.1-0.2)
+    assert 0.02 < float(img.mean()) < 0.6
+
+
+def test_bdpt_deterministic(setup):
+    scene, cam, cfg = setup
+    a = np.asarray(render_bdpt(scene, cam, W, H, 1, 2, cfg,
+                               jax.random.PRNGKey(5), chunk=32))
+    b = np.asarray(render_bdpt(scene, cam, W, H, 1, 2, cfg,
+                               jax.random.PRNGKey(5), chunk=32))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_oracle_matches_gpu_parity_statistically(setup):
+    """The oracle differs only in normalization/visibility conventions that
+    cancel on this scene's direct paths; the two estimators must agree in
+    expectation.  Compare coarse (4x4-block) means at low sample counts."""
+    scene, cam, cfg = setup
+    g = np.asarray(render_bdpt(scene, cam, W, H, 2, 4, cfg,
+                               jax.random.PRNGKey(1), chunk=32))
+    o = np.asarray(render_oracle(scene, cam, W, H, 2, 16, cfg, seed=2,
+                                 chunk=32))
+    gb = g.reshape(4, 4, 4, 4, 3).mean((1, 3))
+    ob = o.reshape(4, 4, 4, 4, 3).mean((1, 3))
+    gb, ob = np.clip(gb, 0, 1), np.clip(ob, 0, 1)
+    rel = np.abs(gb - ob).mean() / max(ob.mean(), 1e-6)
+    assert rel < 0.6, rel  # loose: both are noisy at these sample counts
+
+
+def test_oracle_bit_reproducible(setup):
+    scene, cam, cfg = setup
+    a = np.asarray(render_oracle(scene, cam, W, H, 1, 4, cfg, seed=7, chunk=32))
+    b = np.asarray(render_oracle(scene, cam, W, H, 1, 4, cfg, seed=7, chunk=32))
+    c = np.asarray(render_oracle(scene, cam, W, H, 1, 4, cfg, seed=8, chunk=32))
+    np.testing.assert_array_equal(a, b)
+    assert np.any(a != c)
