@@ -16,6 +16,9 @@ import time
 def main() -> int:
     import jax
 
+    from path_tracing_tpu.runtime import setup_jax_cache
+    setup_jax_cache()
+
     from path_tracing_tpu.config import RenderConfig
     from path_tracing_tpu.integrators.pt import render_pt
     from path_tracing_tpu.scene.camera import make_camera

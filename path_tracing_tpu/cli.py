@@ -56,6 +56,8 @@ def main(argv=None) -> int:
 
     import jax
     import numpy as np
+    from .runtime import setup_jax_cache
+    setup_jax_cache()
 
     from .config import RenderConfig, oracle_config
     from .film import (AccumState, load_checkpoint, save_checkpoint,
@@ -98,6 +100,12 @@ def main(argv=None) -> int:
     start_iter = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         state, meta = load_checkpoint(args.checkpoint)
+        ck_mode = str(meta.get("mode", mode))
+        if state.radiance_sum.shape[0] != W * H or ck_mode != mode:
+            print(f"[Error] checkpoint {args.checkpoint} is for "
+                  f"{meta.get('width')}x{meta.get('height')} mode={ck_mode}, "
+                  f"not {W}x{H} mode={mode}", file=sys.stderr)
+            return 1
         start_iter = int(state.n_iters)
         print(f"[Resume] {args.checkpoint}: {start_iter} iters accumulated")
 
