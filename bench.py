@@ -33,9 +33,11 @@ def main() -> int:
     cfg = RenderConfig(width=W, height=H, eye_depth=4, delta_budget=4)
     key = jax.random.PRNGKey(0)
 
-    # compile + warm up
+    # compile + warm up.  NOTE: block_until_ready does not actually block
+    # through this environment's tunneled TPU; a scalar host read is the
+    # only honest sync, so every timed frame ends with float(img.sum()).
     img = render_pt(scene, cam, W, H, spp, cfg, key)
-    img.block_until_ready()
+    float(img.sum())
 
     # timed runs
     iters = 3
@@ -43,7 +45,7 @@ def main() -> int:
     for i in range(iters):
         img = render_pt(scene, cam, W, H, spp, cfg,
                         jax.random.fold_in(key, i + 1))
-    img.block_until_ready()
+        float(img.sum())
     dt = (time.perf_counter() - t0) / iters
 
     paths = W * H * spp

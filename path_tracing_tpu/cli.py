@@ -63,7 +63,7 @@ def main(argv=None) -> int:
     from .film import (AccumState, load_checkpoint, save_checkpoint,
                        save_image)
     from .scene.camera import make_camera
-    from .scene.parser import load_scene
+    from .scene.obj_loader import load_any_scene as load_scene
 
     if not os.path.exists(args.input):
         print(f"[Error] Cannot open input file: {args.input}", file=sys.stderr)

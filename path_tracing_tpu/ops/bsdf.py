@@ -49,18 +49,10 @@ def _half_vector(wo: jnp.ndarray, wi: jnp.ndarray):
     return wh, valid
 
 
-def bsdf_evaluate(mtl: Material, wo_w: jnp.ndarray, wi_w: jnp.ndarray,
-                  n: jnp.ndarray) -> jnp.ndarray:
-    """f(wo, wi): diffuse*(1-metallic)/pi + GGX specular. geometric.cuh:419-456."""
-    t, b = build_local_frame(n)
-    wo = world_to_local(wo_w, t, b, n)
-    wi = world_to_local(wi_w, t, b, n)
-
+def _eval_local(mtl: Material, wo, wi, alpha, wh, wh_valid) -> jnp.ndarray:
+    """bsdf_evaluate's local-space core (geometric.cuh:419-456)."""
     zero_cos = (cos_theta(wo) == 0.0) | (cos_theta(wi) == 0.0)
     smooth_dielectric = (mtl.eta > 0.0) & (mtl.roughness < 0.001)
-
-    alpha = roughness_to_alpha(mtl.roughness)
-    wh, wh_valid = _half_vector(wo, wi)
 
     same_side = wo[..., 2] * wi[..., 2] > 0.0
     diffuse = mtl.base_color / PI * (1.0 - mtl.metallic)[..., None]
@@ -81,18 +73,10 @@ def bsdf_evaluate(mtl: Material, wo_w: jnp.ndarray, wi_w: jnp.ndarray,
     return jnp.where(kill[..., None], 0.0, out)
 
 
-def bsdf_pdf(mtl: Material, wo_w: jnp.ndarray, wi_w: jnp.ndarray,
-             n: jnp.ndarray) -> jnp.ndarray:
-    """Solid-angle pdf of `bsdf_sample`'s rough branch. geometric.cuh:458-484."""
-    t, b = build_local_frame(n)
-    wo = world_to_local(wo_w, t, b, n)
-    wi = world_to_local(wi_w, t, b, n)
-
+def _pdf_local(mtl: Material, wo, wi, alpha, wh, wh_valid) -> jnp.ndarray:
+    """bsdf_pdf's local-space core (geometric.cuh:458-484)."""
     opposite = cos_theta(wo) * cos_theta(wi) <= 0.0
     smooth_dielectric = (mtl.eta > 0.0) & (mtl.roughness < 0.001)
-
-    alpha = roughness_to_alpha(mtl.roughness)
-    wh, wh_valid = _half_vector(wo, wi)
 
     pdf_diffuse = abs_cos_theta(wi) / PI
     g1 = tr_g1(wo, alpha)
@@ -104,6 +88,41 @@ def bsdf_pdf(mtl: Material, wo_w: jnp.ndarray, wi_w: jnp.ndarray,
     pdf = (1.0 - spec_weight) * pdf_diffuse + spec_weight * pdf_specular
     kill = opposite | smooth_dielectric | ~wh_valid
     return jnp.where(kill, 0.0, pdf)
+
+
+def _to_local(mtl, wo_w, wi_w, n):
+    t, b = build_local_frame(n)
+    wo = world_to_local(wo_w, t, b, n)
+    wi = world_to_local(wi_w, t, b, n)
+    alpha = roughness_to_alpha(mtl.roughness)
+    wh, wh_valid = _half_vector(wo, wi)
+    return wo, wi, alpha, wh, wh_valid
+
+
+def bsdf_evaluate(mtl: Material, wo_w: jnp.ndarray, wi_w: jnp.ndarray,
+                  n: jnp.ndarray) -> jnp.ndarray:
+    """f(wo, wi): diffuse*(1-metallic)/pi + GGX specular. geometric.cuh:419-456."""
+    wo, wi, alpha, wh, wh_valid = _to_local(mtl, wo_w, wi_w, n)
+    return _eval_local(mtl, wo, wi, alpha, wh, wh_valid)
+
+
+def bsdf_pdf(mtl: Material, wo_w: jnp.ndarray, wi_w: jnp.ndarray,
+             n: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of `bsdf_sample`'s rough branch. geometric.cuh:458-484."""
+    wo, wi, alpha, wh, wh_valid = _to_local(mtl, wo_w, wi_w, n)
+    return _pdf_local(mtl, wo, wi, alpha, wh, wh_valid)
+
+
+def bsdf_eval_pdf(mtl: Material, wo_w: jnp.ndarray, wi_w: jnp.ndarray,
+                  n: jnp.ndarray):
+    """Fused evaluate + pdf sharing one local-frame/half-vector build.
+
+    The hot loops (NEE, BDPT connections) need both; building the frame and
+    wh twice costs as much as the whole microfacet math.
+    """
+    wo, wi, alpha, wh, wh_valid = _to_local(mtl, wo_w, wi_w, n)
+    return (_eval_local(mtl, wo, wi, alpha, wh, wh_valid),
+            _pdf_local(mtl, wo, wi, alpha, wh, wh_valid))
 
 
 def bsdf_sample(mtl: Material, wo_w: jnp.ndarray, n: jnp.ndarray,
@@ -182,9 +201,14 @@ def bsdf_sample(mtl: Material, wo_w: jnp.ndarray, n: jnp.ndarray,
     rough_wi_l = jnp.where(take_spec[..., None], spec_wi, diff_wi)
     rough_dead = take_spec & spec_bad
     rough_wi_w = local_to_world(rough_wi_l, t, b, n)
-    rough_pdf = jnp.where(rough_dead, 0.0, bsdf_pdf(mtl, wo_w, rough_wi_w, n))
-    rough_val = jnp.where(rough_dead[..., None], 0.0,
-                          bsdf_evaluate(mtl, wo_w, rough_wi_w, n))
+    # evaluate + pdf directly in the already-built local frame
+    wh_r, wh_r_valid = _half_vector(wo, rough_wi_l)
+    rough_pdf = jnp.where(
+        rough_dead, 0.0,
+        _pdf_local(mtl, wo, rough_wi_l, alpha, wh_r, wh_r_valid))
+    rough_val = jnp.where(
+        rough_dead[..., None], 0.0,
+        _eval_local(mtl, wo, rough_wi_l, alpha, wh_r, wh_r_valid))
 
     # ---- select ----------------------------------------------------------
     wi_l = jnp.where(m_dielectric[..., None], diel_wi,

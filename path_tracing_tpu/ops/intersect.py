@@ -90,28 +90,60 @@ def triangle_ts(ro, rd, v0, v1, v2, max_dist) -> jnp.ndarray:
     return jnp.where(ok, t, INF)
 
 
+def use_pallas() -> bool:
+    """Pallas kernels carry the hot path on TPU; pure XLA elsewhere.
+
+    Trace-time decision (backend is static per process).  Override with
+    PT_TPU_NO_PALLAS=1 to force the XLA path on TPU (A/B testing).
+    """
+    import os
+
+    if os.environ.get("PT_TPU_NO_PALLAS"):
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
     """Nearest hit over spheres, light balls and triangles. geometric.cuh:327-388."""
     B = ro.shape[0]
     ns, nl, nt = scene.num_spheres, scene.num_lights, scene.num_triangles
 
-    ts = []
-    if ns:
-        ts.append(sphere_ts(ro, rd, scene.sph_center, scene.sph_radius, INF))
-    if nl:
-        ts.append(sphere_ts(ro, rd, scene.light_pos, scene.light_ball_r, INF))
-    if nt:
-        ts.append(triangle_ts(ro, rd, scene.tri_v0, scene.tri_v1, scene.tri_v2, INF))
-    if not ts:
+    if not (ns or nl or nt):
         zeros3 = jnp.zeros((B, 3))
         return Hit(hit=jnp.zeros(B, bool), t=jnp.full(B, INF), pos=zeros3,
                    normal=zeros3, mtl=Material.light_ball(zeros3),
                    is_light=jnp.zeros(B, bool))
 
-    all_t = jnp.concatenate(ts, axis=1)                 # (B, Ns+Nl+Nt)
-    idx = jnp.argmin(all_t, axis=1)
-    best_t = jnp.take_along_axis(all_t, idx[:, None], axis=1)[:, 0]
-    hit = best_t < INF
+    if use_pallas():
+        from .pallas_intersect import nearest_hit_pallas
+
+        h = nearest_hit_pallas(scene, ro, rd)
+        hit = h["flag"] > 0
+        pos = ro + rd * h["t"][:, None]
+        normal = jnp.stack([h["nx"], h["ny"], h["nz"]], axis=-1)
+        mtl = Material(
+            base_color=jnp.stack([h["bcr"], h["bcg"], h["bcb"]], axis=-1),
+            roughness=h["rough"], metallic=h["metal"], eta=h["eta"])
+        return Hit(hit=hit, t=h["t"], pos=pos, normal=normal, mtl=mtl,
+                   is_light=h["flag"] == 2)
+
+    if True:
+        ts = []
+        if ns:
+            ts.append(sphere_ts(ro, rd, scene.sph_center, scene.sph_radius,
+                                INF))
+        if nl:
+            ts.append(sphere_ts(ro, rd, scene.light_pos, scene.light_ball_r,
+                                INF))
+        if nt:
+            ts.append(triangle_ts(ro, rd, scene.tri_v0, scene.tri_v1,
+                                  scene.tri_v2, INF))
+        all_t = jnp.concatenate(ts, axis=1)             # (B, Ns+Nl+Nt)
+        idx = jnp.argmin(all_t, axis=1)
+        best_t = jnp.take_along_axis(all_t, idx[:, None], axis=1)[:, 0]
+        hit = best_t < INF
 
     # combined per-primitive tables (built once per traced program; static)
     centers = jnp.concatenate(
@@ -156,6 +188,14 @@ def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
     diff = p2 - p1
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
     rd = diff / jnp.maximum(dist, 1e-20)[:, None]
+
+    if use_pallas():
+        from .pallas_intersect import any_blocker_pallas
+
+        blocked = any_blocker_pallas(scene, p1, rd, dist - 1e-3,
+                                     dielectrics_block)
+        return jnp.where(blocked, 0.0, 1.0)
+
     max_d = (dist - 1e-3)[:, None]
     min_d = 1e-3
 

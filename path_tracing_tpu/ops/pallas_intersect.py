@@ -1,0 +1,437 @@
+"""Pallas TPU kernels for the intersection hot path.
+
+The pure-XLA brute force in ops/intersect.py materializes ``(B, N, 3)``
+intermediates in HBM (cross products, edge vectors, ...) — at 1080p that is
+gigabytes of traffic per bounce and the renderer becomes bandwidth-bound.
+These kernels invert the loop structure: rays stream through VMEM in tiles
+ONCE, and the primitive loop runs per-tile over a small scene table held in
+VMEM, keeping every intermediate in registers.  Traffic per nearest-hit
+drops from ~2 KB/ray to ~40 B/ray.
+
+Two kernels:
+- ``nearest_hit``: per-ray closest (t, global primitive index) over
+  spheres + light balls + triangles, with the reference's category
+  tie-breaking (spheres, then light balls, then triangles; strictly-closer
+  wins — geometric.cuh:327-388).  Hit attribute/material gathers stay in
+  cheap (B,) XLA ops outside the kernel.
+- ``any_blocker``: shadow-ray test with per-ray max distance and a
+  per-primitive "can block" mask (encodes the GPU/CPU dielectric rules of
+  ``check_visibility`` / ``cpu_check_visibility``).
+
+Scene tables are packed as two f32 matrices (see ``pack_scene``):
+  spheres+balls: rows [cx, cy, cz, r, blocks_gpu, blocks_cpu, pad, pad]
+  triangles:     rows [v0 v1 v2 (9), blocks_gpu, blocks_cpu, pad]
+padded to multiples of 8 rows for clean VMEM tiling.
+
+Rays are passed SoA as six (B,) component arrays reshaped to (B/128, 128)
+tiles (TPU lane layout).  B is padded to a multiple of the tile size by the
+wrapper; padded lanes get degenerate rays and their results are discarded.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import Scene
+from .math3 import EPSILON
+
+INF = 1e20
+LANE = 128
+SUB = 8          # f32 sublane
+TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
+
+
+# ---------------------------------------------------------------------------
+# scene packing
+# ---------------------------------------------------------------------------
+
+def pack_scene(scene: Scene):
+    """Traceable packing of the primitive tables (runs under jit; XLA hoists
+    it out of scan bodies as loop-invariant).  Returns (sph_tab (Ms,8),
+    tri_tab (Mt,16), ns, nl, nt); sphere rows are [spheres..., light balls...].
+    """
+    ns, nl, nt = scene.num_spheres, scene.num_lights, scene.num_triangles
+    s_rows = ns + nl
+    ms = max(SUB, ((s_rows + SUB - 1) // SUB) * SUB)
+    mt = max(SUB, ((nt + SUB - 1) // SUB) * SUB)
+
+    def rowpad(x, rows):
+        return jnp.concatenate(
+            [x, jnp.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)], 0)
+
+    ones_s = jnp.ones((ns, 1))
+
+    def mtl_cols(m, n, is_light):
+        # [bc r g b, roughness, metallic, eta, is_light]
+        if is_light:
+            # CPU-oracle light-ball material (cpu_bdpt.cpp:69-72)
+            return jnp.concatenate([
+                scene.light_illum, jnp.ones((n, 1)), jnp.zeros((n, 2)),
+                jnp.ones((n, 1))], axis=1)
+        return jnp.concatenate([
+            m.base_color, m.roughness[:, None], m.metallic[:, None],
+            m.eta[:, None], jnp.zeros((n, 1))], axis=1)
+
+    # columns 0-7: geometry+flags, 8-14: material, 15: is_light
+    sph_rows = jnp.concatenate([
+        jnp.concatenate([
+            scene.sph_center, scene.sph_radius[:, None], ones_s,
+            (scene.sph_mtl.eta <= 0.0).astype(jnp.float32)[:, None],
+            jnp.zeros((ns, 2)), mtl_cols(scene.sph_mtl, ns, False),
+            jnp.zeros((ns, 1))], axis=1),
+        # light balls: valid nearest-hit targets, never block shadow rays
+        jnp.concatenate([
+            scene.light_pos, scene.light_ball_r[:, None],
+            jnp.zeros((nl, 4)), mtl_cols(None, nl, True),
+            jnp.zeros((nl, 1))], axis=1),
+    ], axis=0)
+    sph = rowpad(sph_rows, ms)  # padded rows keep r=0 -> never hit
+
+    # columns 0-8: vertices, 9-10: block flags, 11: pad, then
+    # 12-14: geometric normal (precomputed), 16-22: material
+    tn = scene.tri_v1 - scene.tri_v0
+    tn = jnp.cross(tn, scene.tri_v2 - scene.tri_v0)
+    tn = tn / jnp.maximum(
+        jnp.sqrt(jnp.sum(tn * tn, axis=-1, keepdims=True)), 1e-20)
+    tri_rows = jnp.concatenate([
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        jnp.ones((nt, 1)),
+        (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None],
+        jnp.zeros((nt, 1)), tn, jnp.zeros((nt, 1)),
+        mtl_cols(scene.tri_mtl, nt, False), jnp.zeros((nt, 1))], axis=1)
+    tri = rowpad(tri_rows, mt)
+
+    # cluster table rows: [min3, max3, start, count] (start/count as f32;
+    # exact below 2^24).  Single all-covering cluster when unset.
+    cl = jnp.concatenate([
+        scene.tri_cluster_aabb,
+        scene.tri_cluster_range.astype(jnp.float32)], axis=1)
+    mc = max(SUB, ((cl.shape[0] + SUB - 1) // SUB) * SUB)
+    cl = rowpad(cl, mc)  # padded rows have count=0 -> skipped
+    return sph, tri, cl, ns, nl, nt
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
+                    t_out, nx_out, ny_out, nz_out,
+                    bcr_out, bcg_out, bcb_out, rough_out, metal_out, eta_out,
+                    flags_out, *, ns, nl, nt):
+    """Nearest hit + in-kernel attribute resolution.
+
+    Carrying the winning primitive's normal/material through the loop
+    avoids (B,) HBM gathers afterwards (they cost more than the whole
+    intersection sweep).  flags_out: 0 = miss, 1 = surface, 2 = light ball.
+    """
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+
+    f0 = jnp.zeros(rox.shape, jnp.float32)
+    best = dict(t=jnp.full(rox.shape, INF, jnp.float32),
+                nx=f0, ny=f0, nz=f0, bcr=f0, bcg=f0, bcb=f0,
+                rough=f0, metal=f0, eta=f0, flag=jnp.zeros(rox.shape,
+                                                           jnp.int32))
+
+    def keep(best, closer, t, nx, ny, nz, row_mtl, flag):
+        sel = lambda a, b: jnp.where(closer, a, b)
+        return dict(
+            t=sel(t, best["t"]),
+            nx=sel(nx, best["nx"]), ny=sel(ny, best["ny"]),
+            nz=sel(nz, best["nz"]),
+            bcr=sel(row_mtl[0], best["bcr"]), bcg=sel(row_mtl[1],
+                                                      best["bcg"]),
+            bcb=sel(row_mtl[2], best["bcb"]),
+            rough=sel(row_mtl[3], best["rough"]),
+            metal=sel(row_mtl[4], best["metal"]),
+            eta=sel(row_mtl[5], best["eta"]),
+            flag=jnp.where(closer, flag, best["flag"]),
+        )
+
+    # spheres then light balls (geometric.cuh:240-259, order = tie-break)
+    def sph_body(i, best):
+        cx = sph_ref[i, 0]; cy = sph_ref[i, 1]; cz = sph_ref[i, 2]
+        r = sph_ref[i, 3]
+        ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        h = b * b - c
+        sh = jnp.sqrt(jnp.maximum(h, 0.0))
+        t1 = -b - sh
+        t2 = -b + sh
+        ok = (h >= 0.0) & (r > 0.0)
+        v1 = ok & (t1 > EPSILON)
+        v2 = ok & (t2 > EPSILON)
+        t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
+        closer = t < best["t"]
+        inv_r = 1.0 / jnp.maximum(r, 1e-20)
+        nx = (ocx + rdx * t) * inv_r
+        ny = (ocy + rdy * t) * inv_r
+        nz = (ocz + rdz * t) * inv_r
+        row = [sph_ref[i, 8 + j] for j in range(6)]
+        flag = jnp.where(sph_ref[i, 14] > 0.0, 2, 1)
+        return keep(best, closer, t, nx, ny, nz, row, flag)
+
+    best = jax.lax.fori_loop(0, ns + nl, sph_body, best)
+
+    # safe reciprocal direction for the cluster slab tests
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d >= 0.0, 1e-12, -1e-12), d)
+    invx, invy, invz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+
+    def tri_body(i, best):
+        v0x = tri_ref[i, 0]; v0y = tri_ref[i, 1]; v0z = tri_ref[i, 2]
+        e1x = tri_ref[i, 3] - v0x; e1y = tri_ref[i, 4] - v0y
+        e1z = tri_ref[i, 5] - v0z
+        e2x = tri_ref[i, 6] - v0x; e2y = tri_ref[i, 7] - v0y
+        e2z = tri_ref[i, 8] - v0z
+        hx = rdy * e2z - rdz * e2y
+        hy = rdz * e2x - rdx * e2z
+        hz = rdx * e2y - rdy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        parallel = (a > -1e-6) & (a < 1e-6)
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (rdx * qx + rdy * qy + rdz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > EPSILON))
+        t = jnp.where(ok, t, INF)
+        closer = t < best["t"]
+        nx = jnp.broadcast_to(tri_ref[i, 12], rox.shape)
+        ny = jnp.broadcast_to(tri_ref[i, 13], rox.shape)
+        nz = jnp.broadcast_to(tri_ref[i, 14], rox.shape)
+        row = [tri_ref[i, 16 + j] for j in range(6)]
+        return keep(best, closer, t, nx, ny, nz, row,
+                    jnp.ones((), jnp.int32))
+
+    n_clusters = cl_ref.shape[0]
+
+    def cluster_body(c, best):
+        t0x = (cl_ref[c, 0] - rox) * invx
+        t1x = (cl_ref[c, 3] - rox) * invx
+        t0y = (cl_ref[c, 1] - roy) * invy
+        t1y = (cl_ref[c, 4] - roy) * invy
+        t0z = (cl_ref[c, 2] - roz) * invz
+        t1z = (cl_ref[c, 5] - roz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        could_hit = (tn <= tf) & (tn < best["t"])
+        start = cl_ref[c, 6].astype(jnp.int32)
+        count = cl_ref[c, 7].astype(jnp.int32)
+
+        def run(best):
+            return jax.lax.fori_loop(start, start + count, tri_body, best)
+
+        return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
+                            lambda b: b, best)
+
+    best = jax.lax.fori_loop(0, n_clusters, cluster_body, best)
+
+    # flip the normal toward the ray (geometric.cuh:350,365,383)
+    ndotd = best["nx"] * rdx + best["ny"] * rdy + best["nz"] * rdz
+    sgn = jnp.where(ndotd > 0.0, -1.0, 1.0)
+
+    t_out[...] = best["t"]
+    nx_out[...] = best["nx"] * sgn
+    ny_out[...] = best["ny"] * sgn
+    nz_out[...] = best["nz"] * sgn
+    bcr_out[...] = best["bcr"]
+    bcg_out[...] = best["bcg"]
+    bcb_out[...] = best["bcb"]
+    rough_out[...] = best["rough"]
+    metal_out[...] = best["metal"]
+    eta_out[...] = best["eta"]
+    flags_out[...] = best["flag"] * (best["t"] < INF).astype(jnp.int32)
+
+
+def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
+                    blocked_out, *, ns, nl, nt, blocks_col):
+    """any-hit in (1e-3, maxd) honoring the per-prim blocks flag.
+
+    Light balls are excluded by their blocks flag being 0."""
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    md = maxd[...]
+    MIN_D = 1e-3
+
+    # NB: carry int32, not bool — Mosaic miscompiles i1 vector loop carries
+    blocked = jnp.zeros(rox.shape, jnp.int32)
+
+    def sph_body(i, blocked):
+        cx = sph_ref[i, 0]; cy = sph_ref[i, 1]; cz = sph_ref[i, 2]
+        r = sph_ref[i, 3]
+        can_block = sph_ref[i, blocks_col]
+        ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        h = b * b - c
+        sh = jnp.sqrt(jnp.maximum(h, 0.0))
+        t1 = -b - sh
+        t2 = -b + sh
+        ok = (h >= 0.0) & (r > 0.0) & (can_block > 0.0)
+        v1 = ok & (t1 > EPSILON) & (t1 < md)
+        v2 = ok & (t2 > EPSILON) & (t2 < md)
+        t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
+        return blocked | ((t < INF) & (t > MIN_D)).astype(jnp.int32)
+
+    blocked = jax.lax.fori_loop(0, ns + nl, sph_body, blocked)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d >= 0.0, 1e-12, -1e-12), d)
+    invx, invy, invz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+
+    def tri_body(i, blocked):
+        v0x = tri_ref[i, 0]; v0y = tri_ref[i, 1]; v0z = tri_ref[i, 2]
+        e1x = tri_ref[i, 3] - v0x; e1y = tri_ref[i, 4] - v0y
+        e1z = tri_ref[i, 5] - v0z
+        e2x = tri_ref[i, 6] - v0x; e2y = tri_ref[i, 7] - v0y
+        e2z = tri_ref[i, 8] - v0z
+        can_block = tri_ref[i, blocks_col + 5]  # tri flags live at cols 9/10
+        hx = rdy * e2z - rdz * e2y
+        hy = rdz * e2x - rdx * e2z
+        hz = rdx * e2y - rdy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        parallel = (a > -1e-6) & (a < 1e-6)
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (rdx * qx + rdy * qy + rdz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > EPSILON) & (t < md)
+              & (can_block > 0.0))
+        return blocked | (ok & (t > MIN_D)).astype(jnp.int32)
+
+    def cluster_body(c, blocked):
+        t0x = (cl_ref[c, 0] - rox) * invx
+        t1x = (cl_ref[c, 3] - rox) * invx
+        t0y = (cl_ref[c, 1] - roy) * invy
+        t1y = (cl_ref[c, 4] - roy) * invy
+        t0z = (cl_ref[c, 2] - roz) * invz
+        t1z = (cl_ref[c, 5] - roz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        could_hit = (tn <= tf) & (tn < md) & (blocked == 0)
+        start = cl_ref[c, 6].astype(jnp.int32)
+        count = cl_ref[c, 7].astype(jnp.int32)
+
+        def run(blocked):
+            return jax.lax.fori_loop(start, start + count, tri_body, blocked)
+
+        return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
+                            lambda b: b, blocked)
+
+    blocked = jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, blocked)
+    blocked_out[...] = blocked
+
+
+# ---------------------------------------------------------------------------
+# wrappers
+# ---------------------------------------------------------------------------
+
+def _tile(x, rows):
+    """(B,) -> padded (rows_total, 128)."""
+    b = x.shape[0]
+    per = rows * LANE
+    pad = (-b) % per
+    x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
+    return x.reshape(-1, LANE), pad
+
+
+def _ray_specs(n):
+    return [pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray):
+    """Returns a dict of per-ray hit attributes (all (B,)):
+    t, normal xyz (flipped toward the ray), material fields, and flag
+    (0 miss / 1 surface / 2 light ball)."""
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    B = ro.shape[0]
+    comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
+    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    rows_total = tiled[0].shape[0]
+    grid = rows_total // TILE_ROWS
+
+    kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt)
+    shapes = [jnp.float32] * 10 + [jnp.int32]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *_ray_specs(6),
+        ],
+        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in shapes],
+        out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
+                   for dt in shapes],
+    )(sph_tab, tri_tab, cl_tab, *tiled)
+    names = ["t", "nx", "ny", "nz", "bcr", "bcg", "bcb", "rough", "metal",
+             "eta", "flag"]
+    return {n: o.reshape(-1)[:B] for n, o in zip(names, outs)}
+
+
+def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
+                       max_d: jnp.ndarray, dielectrics_block: bool):
+    """Returns blocked (B,) bool for shadow rays p1 + t*rd, t in (1e-3, max_d)."""
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    B = p1.shape[0]
+    comps = [p1[:, 0], p1[:, 1], p1[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+             max_d]
+    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    rows_total = tiled[0].shape[0]
+    grid = rows_total // TILE_ROWS
+
+    kernel = functools.partial(
+        _blocker_kernel, ns=ns, nl=nl, nt=nt,
+        blocks_col=4 if dielectrics_block else 5)
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *_ray_specs(7),
+        ],
+        out_specs=pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
+    )(sph_tab, tri_tab, cl_tab, *tiled)
+    return blocked.reshape(-1)[:B] != 0

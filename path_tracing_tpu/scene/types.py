@@ -114,6 +114,11 @@ class Scene:
     light_ball_r: jnp.ndarray
     scene_min: jnp.ndarray
     scene_max: jnp.ndarray
+    # triangle clusters (flattened median-split BVH, ops/bvh.py): triangles
+    # are stored cluster-contiguous; the Pallas kernels cull whole clusters
+    # per ray tile.  aabb rows are [min3, max3]; ranges are [start, count].
+    tri_cluster_aabb: jnp.ndarray   # (M, 6)
+    tri_cluster_range: jnp.ndarray  # (M, 2) int32
 
     @property
     def num_spheres(self) -> int:
@@ -151,17 +156,39 @@ class Camera:
 def scene_from_numpy(
     sph_center, sph_radius, sph_mtl, tri_v0, tri_v1, tri_v2, tri_mtl,
     light_pos, light_dir, light_illum, light_cutoff, light_is_parallel,
-    light_ball_r,
+    light_ball_r, cluster_leaf_size: int = 64,
 ) -> Scene:
     """Build a device Scene from host numpy arrays, computing the scene AABB
     the way the marshalling helpers do (bdpt_cu_helper.cpp:29-53): union of
-    sphere bounds and triangle vertices (light balls excluded)."""
+    sphere bounds and triangle vertices (light balls excluded).
+
+    Triangles are reordered into spatial clusters (ops/bvh.py) so the TPU
+    intersection kernels can cull whole clusters per ray tile; tie-breaking
+    between exactly coincident triangles may differ from file order."""
     f32 = np.float32
     sph_center = np.asarray(sph_center, f32).reshape(-1, 3)
     sph_radius = np.asarray(sph_radius, f32).reshape(-1)
     tri_v0 = np.asarray(tri_v0, f32).reshape(-1, 3)
     tri_v1 = np.asarray(tri_v1, f32).reshape(-1, 3)
     tri_v2 = np.asarray(tri_v2, f32).reshape(-1, 3)
+
+    # cluster + reorder triangles (single whole-scene cluster for tiny sets)
+    nt_total = tri_v0.shape[0]
+    if nt_total > cluster_leaf_size:
+        from ..ops.bvh import build_clusters
+
+        tris9 = np.concatenate([tri_v0, tri_v1, tri_v2], axis=1)
+        order, cl_aabb, cl_range = build_clusters(tris9, cluster_leaf_size)
+        tri_v0, tri_v1, tri_v2 = tri_v0[order], tri_v1[order], tri_v2[order]
+        tri_mtl = tri_mtl.gather(jnp.asarray(order))
+    else:
+        if nt_total:
+            verts_all = np.concatenate([tri_v0, tri_v1, tri_v2], axis=0)
+            cl_aabb = np.concatenate(
+                [verts_all.min(axis=0), verts_all.max(axis=0)])[None, :]
+        else:
+            cl_aabb = np.array([[1e9, 1e9, 1e9, -1e9, -1e9, -1e9]], f32)
+        cl_range = np.array([[0, nt_total]], np.int32)
 
     mins, maxs = [], []
     if sph_center.shape[0]:
@@ -195,4 +222,7 @@ def scene_from_numpy(
         light_ball_r=jnp.asarray(np.asarray(light_ball_r, f32).reshape(-1)),
         scene_min=jnp.asarray(scene_min),
         scene_max=jnp.asarray(scene_max),
+        tri_cluster_aabb=jnp.asarray(np.asarray(cl_aabb, f32).reshape(-1, 6)),
+        tri_cluster_range=jnp.asarray(
+            np.asarray(cl_range, np.int32).reshape(-1, 2)),
     )

@@ -8,8 +8,11 @@ hence at conftest import time.
 """
 import os
 
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-os.environ["JAX_PLATFORMS"] = "cpu"
+# PT_TPU_TESTS_ON_TPU=1 runs the suite against the real chip (used for the
+# pallas-equivalence and golden-parity tests, which skip on CPU)
+if not os.environ.get("PT_TPU_TESTS_ON_TPU"):
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,80 @@
+"""Pallas-vs-XLA equivalence tests (run on TPU only; CI forces CPU where the
+Pallas path is inert).  On TPU: PT_TPU_GOLDEN=1 python -m pytest tests/test_pallas.py
+with JAX_PLATFORM_NAME unset."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pallas kernels only run on TPU; CI uses the CPU backend")
+
+
+def _setup():
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.scene.parser import load_scene
+
+    p = load_scene("/root/reference/input.txt")
+    scene = p.to_device()
+    k = jax.random.PRNGKey(0)
+    B = 8192
+    ro = jax.random.uniform(k, (B, 3), minval=-0.45, maxval=0.45)
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (B, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    return scene, ro, rd
+
+
+def test_nearest_hit_equivalence():
+    from path_tracing_tpu.ops import intersect as I
+
+    scene, ro, rd = _setup()
+    os.environ["PT_TPU_NO_PALLAS"] = "1"
+    h1 = jax.tree.map(np.asarray, jax.jit(I.find_closest_hit)(scene, ro, rd))
+    del os.environ["PT_TPU_NO_PALLAS"]
+    h2 = jax.tree.map(np.asarray, jax.jit(I.find_closest_hit)(scene, ro, rd))
+
+    same_t = np.isclose(h1.t, h2.t, rtol=1e-5, atol=1e-6) | \
+        ((h1.t >= 1e19) & (h2.t >= 1e19))
+    assert same_t.mean() > 0.9995
+    assert (h1.hit == h2.hit).all()
+    assert (h1.is_light == h2.is_light).all()
+    m = h2.hit & same_t
+    assert np.isclose(h1.normal, h2.normal, atol=1e-4)[m].mean() > 0.999
+    assert np.isclose(h1.mtl.base_color, h2.mtl.base_color, atol=1e-6)[m].all()
+    assert np.isclose(h1.mtl.eta, h2.mtl.eta)[m].all()
+
+
+def test_transmittance_equivalence_and_dielectric_rules():
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.ops import intersect as I
+
+    scene, ro, rd = _setup()
+    p2 = ro + rd * 2.0
+    tr = {}
+    for pallas in (False, True):
+        if not pallas:
+            os.environ["PT_TPU_NO_PALLAS"] = "1"
+        else:
+            os.environ.pop("PT_TPU_NO_PALLAS", None)
+        for rule in (True, False):
+            tr[(pallas, rule)] = np.asarray(jax.jit(
+                I.transmittance, static_argnames="dielectrics_block")(
+                    scene, ro, p2, dielectrics_block=rule))
+    assert (tr[(True, True)] == tr[(False, True)]).all()
+    assert (tr[(True, False)] == tr[(False, False)]).all()
+
+    # a segment crossing only the glass sphere discriminates the rules
+    p1 = jnp.tile(jnp.array([[0.2, -0.3, 0.0]]), (256, 1))
+    p2 = jnp.tile(jnp.array([[0.2, 0.3, 0.0]]), (256, 1))
+    blocked = float(jax.jit(I.transmittance,
+                            static_argnames="dielectrics_block")(
+        scene, p1, p2, dielectrics_block=True)[0])
+    passes = float(jax.jit(I.transmittance,
+                           static_argnames="dielectrics_block")(
+        scene, p1, p2, dielectrics_block=False)[0])
+    assert blocked == 0.0 and passes == 1.0
