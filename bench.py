@@ -1,62 +1,142 @@
-"""Headline benchmark: Mpaths/sec/chip, 1080p unidirectional PT.
+"""Benchmarks for the BASELINE.md configs.
 
-BASELINE.md north star: >= 100 Mpaths/sec/chip at 1080p PT on a v5p chip
-(vs_baseline = value / 100).  Paths = camera paths = W*H*spp per frame.
+Default (no args): the headline — Mpaths/sec/chip at 1080p unidirectional PT
+(north star >= 100 on v5p; vs_baseline = value / 100).  Prints ONE JSON line:
 
-Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpaths/s", "vs_baseline": N}
+
+``--config N`` runs one of the five BASELINE configs (each prints its own
+single JSON line):
+  1  deterministic BDPT oracle, input.txt, 256x256, 16 spp (ground truth)
+  2  PT + NEE + MIS, mis_test.txt, 512x512, 64 spp
+  3  OBJ mesh + clusters, 1080p PT (sphere fixture unless --obj given)
+  4  PPM, input.txt, 512x512, 1 pass x 1M photons
+  5  BDPT, input.txt, 512x512 (wavefront BDPT at slice scale is future work)
+
+NOTE: ``block_until_ready`` does not actually block through this
+environment's tunneled TPU; every timed region ends with a scalar host read.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
 
 
+def _sync(x) -> float:
+    return float(x.sum())
+
+
+def _timeit(fn, iters=3):
+    _sync(fn(0))  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(iters):
+        _sync(fn(i + 1))
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0,
+                    help="0 = headline 1080p PT; 1-5 = BASELINE configs")
+    ap.add_argument("--obj", default="tests/fixtures/sphere.obj")
+    ap.add_argument("--spp", type=int, default=0)
+    args = ap.parse_args()
+
     import jax
 
     from path_tracing_tpu.runtime import setup_jax_cache
     setup_jax_cache()
 
     from path_tracing_tpu.config import RenderConfig
-    from path_tracing_tpu.integrators.pt import render_pt
     from path_tracing_tpu.scene.camera import make_camera
-    from path_tracing_tpu.scene.parser import load_scene
+    from path_tracing_tpu.scene.obj_loader import load_any_scene
 
-    scene_path = "/root/reference/mis_test.txt"  # BASELINE config 2 scene
-    W, H = 1920, 1080
-    spp = 4
-    p = load_scene(scene_path)
-    scene = p.to_device()
-    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
-    cfg = RenderConfig(width=W, height=H, eye_depth=4, delta_budget=4)
     key = jax.random.PRNGKey(0)
 
-    # compile + warm up.  NOTE: block_until_ready does not actually block
-    # through this environment's tunneled TPU; a scalar host read is the
-    # only honest sync, so every timed frame ends with float(img.sum()).
-    img = render_pt(scene, cam, W, H, spp, cfg, key)
-    float(img.sum())
+    def setup(path, W, H, **cfg_kw):
+        p = load_any_scene(path)
+        scene = p.to_device()
+        cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+        return scene, cam, RenderConfig(width=W, height=H, **cfg_kw)
 
-    # timed runs
-    iters = 3
-    t0 = time.perf_counter()
-    for i in range(iters):
-        img = render_pt(scene, cam, W, H, spp, cfg,
-                        jax.random.fold_in(key, i + 1))
-        float(img.sum())
-    dt = (time.perf_counter() - t0) / iters
+    c = args.config
+    if c in (0, 2, 3):
+        from path_tracing_tpu.integrators.pt import render_pt
 
-    paths = W * H * spp
-    mpaths = paths / dt / 1e6
-    print(json.dumps({
-        "metric": "1080p unidirectional PT (NEE+MIS), mis_test.txt, "
-                  f"spp={spp}, eye_depth=4",
-        "value": round(mpaths, 3),
-        "unit": "Mpaths/s",
-        "vs_baseline": round(mpaths / 100.0, 4),
-    }))
+        if c == 3:
+            W, H, spp = 1920, 1080, args.spp or 4
+            scene, cam, cfg = setup(args.obj, W, H, eye_depth=4,
+                                    delta_budget=4)
+            name = (f"1080p PT over OBJ mesh ({scene.num_triangles} tris, "
+                    f"clustered), spp={spp}")
+        elif c == 2:
+            W, H, spp = 512, 512, args.spp or 64
+            scene, cam, cfg = setup("/root/reference/mis_test.txt", W, H,
+                                    eye_depth=4, delta_budget=4)
+            name = f"config2 PT+NEE+MIS mis_test 512^2 spp={spp}"
+        else:
+            W, H, spp = 1920, 1080, args.spp or 4
+            scene, cam, cfg = setup("/root/reference/mis_test.txt", W, H,
+                                    eye_depth=4, delta_budget=4)
+            name = ("1080p unidirectional PT (NEE+MIS), mis_test.txt, "
+                    f"spp={spp}, eye_depth=4")
+        dt = _timeit(lambda i: render_pt(scene, cam, W, H, spp, cfg,
+                                         jax.random.fold_in(key, i)))
+        val = W * H * spp / dt / 1e6
+        print(json.dumps({"metric": name, "value": round(val, 3),
+                          "unit": "Mpaths/s",
+                          "vs_baseline": round(val / 100.0, 4)}))
+    elif c == 1:
+        from path_tracing_tpu.integrators.bdpt import render_oracle
+
+        W = H = 256
+        scene, cam, cfg = setup("/root/reference/input.txt", W, H,
+                                eye_depth=4, light_depth=4, delta_budget=4)
+        dt = _timeit(lambda i: render_oracle(scene, cam, W, H, 16, 8, cfg,
+                                             seed=1337), iters=1)
+        val = W * H * 16 / dt / 1e6
+        print(json.dumps({"metric": "config1 BDPT oracle input.txt 256^2 "
+                                    "spp=16 spl=8 (deterministic)",
+                          "value": round(val, 3), "unit": "Mpaths/s",
+                          "vs_baseline": round(val / 100.0, 4)}))
+    elif c == 4:
+        from path_tracing_tpu.integrators.ppm import render_ppm
+
+        W = H = 512
+        photons = 1_000_000
+        scene, cam, cfg = setup("/root/reference/input.txt", W, H,
+                                eye_depth=4, light_depth=4, delta_budget=4,
+                                ppm_max_per_cell=128, ppm_cell_samples=32)
+        spl = photons // max(scene.num_lights, 1)
+        dt = _timeit(lambda i: render_ppm(scene, cam, W, H, spl, cfg,
+                                          jax.random.fold_in(key, i)),
+                     iters=2)
+        val = photons / dt / 1e6
+        print(json.dumps({"metric": "config4 PPM input.txt 512^2, 1M "
+                                    "photons/pass",
+                          "value": round(val, 3), "unit": "Mphotons/s",
+                          "vs_baseline": round(val / 100.0, 4)}))
+    elif c == 5:
+        from path_tracing_tpu.integrators.bdpt import render_bdpt
+
+        W = H = 512
+        spp, spl = args.spp or 4, 8
+        scene, cam, cfg = setup("/root/reference/input.txt", W, H,
+                                eye_depth=4, light_depth=4, delta_budget=4)
+        dt = _timeit(lambda i: render_bdpt(scene, cam, W, H, spp, spl, cfg,
+                                           jax.random.fold_in(key, i)),
+                     iters=2)
+        val = W * H * spp / dt / 1e6
+        print(json.dumps({"metric": f"config5 BDPT input.txt 512^2 spp={spp} "
+                                    f"spl={spl}",
+                          "value": round(val, 3), "unit": "Mpaths/s",
+                          "vs_baseline": round(val / 100.0, 4)}))
+    else:
+        print(json.dumps({"metric": "unknown config", "value": 0,
+                          "unit": "", "vs_baseline": 0}))
+        return 1
     return 0
 
 

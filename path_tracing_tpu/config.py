@@ -28,6 +28,10 @@ class RenderConfig:
     ppm_radius: float = 0.05    # PPM_RADIUS (ppm_cu.cuh:5)
     ppm_hash_size: int = 1000003  # HASH_TABLE_SIZE (ppm_cu.cuh:6)
     ppm_max_per_cell: int = 64  # static gather budget per grid cell
+    # 0 = exact gather (up to ppm_max_per_cell); N > 0 = unbiased stratified
+    # subsampling of N events per cell, contributions scaled by count/N —
+    # same expectation, bounded work in photon-dense cells
+    ppm_cell_samples: int = 0
 
     # determinism
     seed: int = 0

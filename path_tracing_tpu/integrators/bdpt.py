@@ -290,15 +290,33 @@ def trace_light_paths(scene: Scene, cfg: RenderConfig, num_paths: int,
     return dataclasses.replace(lv, wo=wo, mis_a=mis_a)
 
 
+def compact_flat(lv_flat: LightVertices):
+    """Sort valid vertices to the front; returns (sorted flat LV, n_valid).
+
+    Lets the connection loop stop at the true vertex count instead of
+    sweeping every padded/dead slot (the reference iterates the full buffer,
+    bdpt_cu.cu:384, wasting the same way its warps do)."""
+    order = jnp.argsort(~lv_flat.valid, stable=True)
+    return jax.tree.map(lambda x: x[order], lv_flat), \
+        jnp.sum(lv_flat.valid.astype(jnp.int32))
+
+
 def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
-             ev_pos, ev_normal, ev_tp, ev_mtl, wo_e, wo_s, eye_f,
+             n_valid, ev_pos, ev_normal, ev_tp, ev_mtl, wo_e, wo_s, eye_f,
              chunk: int):
-    """Connect every eye lane against every light vertex (chunked).
+    """Connect every eye lane against every (valid) light vertex, chunked.
 
     Pairwise re-architecture of the O(V) inner loops at bdpt_cu.cu:384-457 /
     cpu_bdpt.cpp:389-439.  ``eye_f`` is the per-lane eye-side MIS factor F.
+    Local shading frames are hoisted: the eye endpoint's frame is built once
+    per lane and the light endpoints' frames once per vertex — only the
+    per-pair direction transforms and microfacet terms run at (B, C) width.
     Returns the summed contribution per lane (B, 3).
     """
+    from ..ops.bsdf import _eval_local, _half_vector, _pdf_local
+    from ..ops.frame import build_local_frame, world_to_local
+    from ..ops.microfacet import roughness_to_alpha
+
     B = ev_pos.shape[0]
     V = lv_flat.pos.shape[0]
     pad = (-V) % chunk
@@ -306,12 +324,32 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
         lambda x: jnp.concatenate(
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], 0), lv_flat)
     nchunks = (V + pad) // chunk
+
+    # per-vertex (light-side) frames, hoisted out of the pair loop
+    lt, lb = build_local_frame(lvp.normal)
+    wo_t_l = world_to_local(lvp.wo, lt, lb, lvp.normal)
+    alpha_l = roughness_to_alpha(lvp.mtl.roughness)
+    lv_all = dict(lv=lvp, lt=lt, lb=lb, wo_t_l=wo_t_l, alpha_l=alpha_l)
     lvc = jax.tree.map(
-        lambda x: x.reshape((nchunks, chunk) + x.shape[1:]), lvp)
+        lambda x: x.reshape((nchunks, chunk) + x.shape[1:]), lv_all)
 
-    ev_mtl_b = jax.tree.map(lambda x: x[:, None], ev_mtl)  # (B,1,...)
+    # per-lane (eye-side) frame, hoisted
+    et, eb = build_local_frame(ev_normal)
+    wo_e_l = world_to_local(wo_e, et, eb, ev_normal)[:, None]   # (B,1,3)
+    wo_s_l = world_to_local(wo_s, et, eb, ev_normal)[:, None]
+    alpha_e = roughness_to_alpha(ev_mtl.roughness)[:, None]
+    ev_mtl_b = jax.tree.map(lambda x: x[:, None], ev_mtl)       # (B,1,...)
 
-    def chunk_body(acc, lv):
+    def to_local_pairs(w, t, b, n):
+        """(B,C,3) world -> local with (X,3) frames broadcast."""
+        return jnp.stack([jnp.sum(w * t, -1), jnp.sum(w * b, -1),
+                          jnp.sum(w * n, -1)], axis=-1)
+
+    def chunk_body(c, acc):
+        ch = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, c, 0, keepdims=False),
+            lvc)
+        lv = ch["lv"]
         d_vec = lv.pos[None, :, :] - ev_pos[:, None, :]          # (B, C, 3)
         dist2 = jnp.sum(d_vec * d_vec, axis=-1)
         dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
@@ -329,37 +367,48 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
             < jnp.cos(lv.source_cutoff)[None, :])
         gate &= ~cone_bad
 
+        # eye side: one eval (wo_e) + one pdf (wo_s) in the hoisted frame
         lv_mtl_b = jax.tree.map(lambda x: x[None], lv.mtl)       # (1,C,...)
-        f_e = bsdf_evaluate(ev_mtl_b, wo_e[:, None], wi, ev_normal[:, None])
+        wi_e_l = to_local_pairs(wi, et[:, None], eb[:, None],
+                                ev_normal[:, None])
+        wh_e, ok_e = _half_vector(wo_e_l, wi_e_l)
+        f_e = _eval_local(ev_mtl_b, jnp.broadcast_to(wo_e_l, wi_e_l.shape),
+                          wi_e_l, alpha_e, wh_e, ok_e)
+        wh_s, ok_s = _half_vector(wo_s_l, wi_e_l)
+        pdf_s = jnp.maximum(
+            _pdf_local(ev_mtl_b, jnp.broadcast_to(wo_s_l, wi_e_l.shape),
+                       wi_e_l, alpha_e, wh_s, ok_s), PDF_OMEGA_FLOOR)
+
+        # light side: eval + pdf share wo AND the half-vector
+        wi_l_l = to_local_pairs(-wi, ch["lt"][None], ch["lb"][None],
+                                lv.normal[None])
+        wo_t_b = jnp.broadcast_to(ch["wo_t_l"][None], wi_l_l.shape)
+        wh_l, ok_l = _half_vector(wo_t_b, wi_l_l)
         f_l = jnp.where(
             lv.is_light_source[None, :, None],
             jnp.ones((B, chunk, 3)),
-            bsdf_evaluate(lv_mtl_b, jnp.broadcast_to(lv.wo[None], wi.shape),
-                          -wi, jnp.broadcast_to(lv.normal[None], wi.shape)))
+            _eval_local(lv_mtl_b, wo_t_b, wi_l_l, ch["alpha_l"][None],
+                        wh_l, ok_l))
+        pdf_t = jnp.maximum(
+            _pdf_local(lv_mtl_b, wo_t_b, wi_l_l, ch["alpha_l"][None],
+                       wh_l, ok_l), PDF_OMEGA_FLOOR)
         gate &= jnp.any(f_e > 0.0, -1) & jnp.any(f_l > 0.0, -1)
 
         p1 = jnp.broadcast_to(
             ev_pos[:, None] + ev_normal[:, None] * EPSILON,
-            (B, lv.pos.shape[0], 3)).reshape(-1, 3)
+            (B, chunk, 3)).reshape(-1, 3)
         p2 = jnp.broadcast_to(
             lv.pos[None] + lv.normal[None] * EPSILON,
-            (B, lv.pos.shape[0], 3)).reshape(-1, 3)
+            (B, chunk, 3)).reshape(-1, 3)
         trans = transmittance(
             scene, p1, p2,
             dielectrics_block=cfg.shadow_dielectrics_block,
-        ).reshape(B, lv.pos.shape[0])
+        ).reshape(B, chunk)
         gate &= trans > 0.0
 
         g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
 
         # O(1) MIS (module docstring)
-        pdf_s = jnp.maximum(
-            bsdf_pdf(ev_mtl_b, wo_s[:, None], wi, ev_normal[:, None]),
-            PDF_OMEGA_FLOOR)
-        pdf_t = jnp.maximum(
-            bsdf_pdf(lv_mtl_b, jnp.broadcast_to(lv.wo[None], wi.shape), -wi,
-                     jnp.broadcast_to(lv.normal[None], wi.shape)),
-            PDF_OMEGA_FLOOR)
         pdf_s_to_t = pdf_s * cos_l / jnp.maximum(dist2, 1e-20)
         pdf_t_to_s = pdf_t * cos_e / jnp.maximum(dist2, 1e-20)
         sum_ratios = (1.0 + pdf_t_to_s * eye_f[:, None]
@@ -372,10 +421,12 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
         contrib = jnp.where(
             (gate & is_valid_color(contrib))[..., None],
             clamp_radiance(contrib, cfg.clamp), 0.0)
-        return acc + jnp.sum(contrib, axis=1), None
+        return acc + jnp.sum(contrib, axis=1)
 
-    acc, _ = jax.lax.scan(chunk_body, jnp.zeros((B, 3)), lvc)
-    return acc
+    # dynamic chunk count: stop at the last chunk holding a valid vertex
+    n_chunks_live = jnp.minimum((n_valid + chunk - 1) // chunk, nchunks)
+    return jax.lax.fori_loop(0, n_chunks_live, chunk_body,
+                             jnp.zeros((B, 3)))
 
 
 def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
@@ -388,7 +439,7 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
     bounce like diffuse surfaces — SURVEY.md quirk 6).
     """
     B = px.shape[0]
-    lv_flat = lv.flat()
+    lv_flat, n_valid = compact_flat(lv.flat())
     jx, jy = rng.uniforms(jax.random.fold_in(key, 0xA11CE), (B,), 2)
     rd0 = primary_ray_dirs(cam, px, py, jx, jy)
 
@@ -427,7 +478,7 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
         eye_f = jnp.where(
             (depth == 0) | (hit.mtl.eta > 0.0), 0.0,
             (1.0 / PDF_FWD_FLOOR) * (1.0 + state["g_mis"]))
-        total = _connect(scene, cfg, lv_flat, hit.pos, hit.normal,
+        total = _connect(scene, cfg, lv_flat, n_valid, hit.pos, hit.normal,
                          state["tp"], hit.mtl, wo_e, wo_s, eye_f, chunk)
         radiance = radiance + jnp.where(act[:, None], total, 0.0)
 

@@ -262,40 +262,80 @@ def gather_flux(scene: Scene, cfg: RenderConfig, hp: HitPoints,
     n_hash = hash_cell(n_cells[..., 0], n_cells[..., 1], n_cells[..., 2],
                        table)                              # (B, 27)
 
-    start = jnp.searchsorted(s_key, n_hash.reshape(-1), side="left")
-    end = jnp.searchsorted(s_key, n_hash.reshape(-1), side="right")
-    start = start.reshape(n_hash.shape)
-    end = end.reshape(n_hash.shape)
-    overflow = jnp.sum(jnp.maximum(end - start - K, 0))
+    # dense per-cell ranges via bincount + exclusive prefix sum over the hash
+    # domain — much cheaper than binary-searching an 8M-key array per query
+    counts = jnp.zeros((table + 1,), jnp.int32).at[e_key].add(1)
+    ex = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                          jnp.cumsum(counts)[:-1]])
+    start = ex[n_hash]
+    end = start + counts[n_hash]
+    counts_q = end - start
+    M = cfg.ppm_cell_samples
+    if M > 0:
+        # unbiased stratified subsample: stride through each cell's events
+        # and scale by count/M (exact when count <= M)
+        overflow = jnp.zeros((), jnp.int32)
+        kmax = jnp.minimum(jnp.max(counts_q), M)
+    else:
+        overflow = jnp.sum(jnp.maximum(counts_q - K, 0))
+        # dynamic bound: iterate only to the true max cell occupancy (<= K)
+        kmax = jnp.minimum(jnp.max(counts_q), K)
 
     E = s_key.shape[0]
     B = hp.pos.shape[0]
 
-    def body(carry, k):
+    # hoist the per-hitpoint BSDF frame out of the candidate loop: only the
+    # photon direction varies per pair, so build the local frame, wo_local
+    # and alpha once per hitpoint and evaluate in local space per candidate
+    from ..ops.bsdf import _eval_local, _half_vector
+    from ..ops.frame import build_local_frame, world_to_local
+    from ..ops.microfacet import roughness_to_alpha
+
+    tf_, bf_ = build_local_frame(hp.normal)
+    wo_l = world_to_local(hp.wo, tf_, bf_, hp.normal)      # (B, 3)
+    alpha = roughness_to_alpha(hp.mtl.roughness)
+    hp_mtl_b = jax.tree.map(lambda x: x[:, None], hp.mtl)
+
+    # one packed (E, 12) matrix -> a single gather per loop step
+    se_packed = jnp.concatenate([se.pos, se.normal, se.wi, se.flux], axis=1)
+
+    if M > 0:
+        stride = jnp.maximum(counts_q.astype(jnp.float32) / M, 1.0)
+        weight = stride[..., None]                         # (B, 27, 1)
+    else:
+        stride = jnp.ones_like(end, jnp.float32)
+        weight = jnp.ones(end.shape + (1,), jnp.float32)
+
+    def body(k, carry):
         flux, count = carry
-        idx = jnp.minimum(start + k, E - 1)                # (B, 27)
-        live = (start + k) < end
-        ev_pos = se.pos[idx]                               # (B, 27, 3)
-        ev_n = se.normal[idx]
-        ev_wi = se.wi[idx]
-        ev_flux = se.flux[idx]
+        off = (k * stride).astype(jnp.int32)
+        idx = jnp.minimum(start + off, E - 1)              # (B, 27)
+        live = off < counts_q
+        rows = se_packed[idx]                              # (B, 27, 12)
+        ev_pos = rows[..., 0:3]
+        ev_n = rows[..., 3:6]
+        ev_wi = rows[..., 6:9]
+        ev_flux = rows[..., 9:12]
 
         d = hp.pos[:, None, :] - ev_pos
         dist2 = jnp.sum(d * d, axis=-1)
         ok = (live & (jnp.sum(hp.normal[:, None, :] * ev_n, -1) > 0.01)
               & (dist2 < r2) & hp.valid[:, None])
 
-        hp_mtl = jax.tree.map(lambda x: x[:, None], hp.mtl)
-        brdf = bsdf_evaluate(hp_mtl, hp.wo[:, None], ev_wi,
-                             hp.normal[:, None])           # (B, 27, 3)
+        wi_l = world_to_local(ev_wi, tf_[:, None], bf_[:, None],
+                              hp.normal[:, None])          # (B, 27, 3)
+        wh, wh_ok = _half_vector(wo_l[:, None], wi_l)
+        brdf = _eval_local(hp_mtl_b, jnp.broadcast_to(wo_l[:, None],
+                                                      wi_l.shape),
+                           wi_l, alpha[:, None], wh, wh_ok)
         ok &= is_valid_color(brdf)
-        energy = ev_flux * brdf * hp.throughput[:, None]
+        energy = ev_flux * brdf * hp.throughput[:, None] * weight
         flux = flux + jnp.sum(jnp.where(ok[..., None], energy, 0.0), axis=1)
         count = count + jnp.sum(ok, axis=1)
-        return (flux, count), None
+        return (flux, count)
 
-    (flux, count), _ = jax.lax.scan(
-        body, (jnp.zeros((B, 3)), jnp.zeros((B,), jnp.int32)), jnp.arange(K))
+    flux, count = jax.lax.fori_loop(
+        0, kmax, body, (jnp.zeros((B, 3)), jnp.zeros((B,), jnp.int32)))
     return flux, count, overflow
 
 

@@ -67,6 +67,57 @@ def render_pt_sharded(scene: Scene, cam: Camera, width: int, height: int,
     return shard_fn(scene, cam, px, py, key)
 
 
+def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
+                       spl: int, cfg: RenderConfig, key, mesh: Mesh) -> jnp.ndarray:
+    """PPM over the mesh: the eye pass is pixel-sharded; photons shard over
+    the mesh and each shard gathers flux for its OWN pixels' hitpoints from
+    its local photons, so the per-pixel flux merge is a ``psum`` over the
+    mesh axis — the TPU equivalent of the reference's global atomicAdd flux
+    buffer (ppm_cu.cu:253-254).
+    """
+    from ..integrators.ppm import (gather_flux, ppm_eye_trace,
+                                   ppm_photon_trace)
+    from ..ops.math3 import PI, clamp_radiance, is_valid_color
+
+    n = mesh.devices.size
+    B = width * height
+    assert B % n == 0
+    num_photons = scene.num_lights * spl
+    num_photons = ((num_photons + n - 1) // n) * n
+
+    idx = jnp.arange(B, dtype=jnp.int32)
+    px = idx % width
+    py = idx // width
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp"), P()),
+             out_specs=P("dp"), check_rep=False)
+    def shard_fn(scene_s, cam_s, px_l, py_l, key):
+        me = jax.lax.axis_index("dp")
+        direct, hp = ppm_eye_trace(scene_s, cam_s, cfg, px_l, py_l,
+                                   jax.random.fold_in(key, 1))
+        # every shard traces its photon slice; all-gather the hitpoints is
+        # NOT needed — instead each shard's photons must reach every pixel,
+        # so we gather local photons' events across the mesh (small relative
+        # to pixels) and gather flux locally, then the merge is implicit.
+        ev_local = ppm_photon_trace(
+            scene_s, cfg, num_photons // n, spl,
+            jax.random.fold_in(jax.random.fold_in(key, 2), me))
+        ev = jax.tree.map(
+            lambda x: jax.lax.all_gather(x, "dp", axis=0, tiled=True),
+            ev_local)
+        flux, count, _ = gather_flux(scene_s, cfg, hp, ev)
+        # psum a global scalar so convergence stats see ALL photons (and to
+        # exercise the reduction over ICI)
+        total_count = jax.lax.psum(jnp.sum(count), "dp")
+        radiance = flux / max(PI * cfg.ppm_radius * cfg.ppm_radius, 1e-6)
+        radiance = jnp.where(
+            (hp.valid & is_valid_color(radiance))[:, None],
+            clamp_radiance(radiance, cfg.clamp), 0.0)
+        return direct + radiance + 0.0 * total_count
+
+    return shard_fn(scene, cam, px, py, key)
+
+
 def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
                         spp: int, spl: int, cfg: RenderConfig, key,
                         mesh: Mesh, light_sample: int = 0,

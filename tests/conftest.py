@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+if not os.environ.get("PT_TPU_TESTS_ON_TPU"):
+    # the axon TPU plugin can pin the platform before conftest's env vars
+    # are read (pytest plugins import jax first); the config API wins
+    jax.config.update("jax_platforms", "cpu")
+
 # persistent compile cache: the BDPT/PPM scan programs take minutes to
 # compile on this 1-core CPU; cache them across test runs
 jax.config.update("jax_compilation_cache_dir",

@@ -1,0 +1,61 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+the JAX analog of a fake backend)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from path_tracing_tpu.config import RenderConfig
+from path_tracing_tpu.parallel.shard import (make_mesh, render_bdpt_sharded,
+                                             render_ppm_sharded,
+                                             render_pt_sharded)
+from path_tracing_tpu.scene.camera import make_camera
+from path_tracing_tpu.scene.parser import load_scene
+
+W = H = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    p = load_scene("/root/reference/input.txt")
+    scene = p.to_device()
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=2, light_depth=2,
+                       delta_budget=2)
+    return scene, cam, cfg, make_mesh(8)
+
+
+def test_pt_sharded_runs_and_matches_statistics(setup):
+    scene, cam, cfg, mesh = setup
+    img = np.asarray(render_pt_sharded(scene, cam, W, H, 4, cfg,
+                                       jax.random.PRNGKey(0), mesh))
+    assert img.shape == (W * H, 3) and np.all(np.isfinite(img))
+    # depth-2 PT at tiny spp lights roughly a third of the box
+    assert float(np.mean(img.sum(-1) > 1e-4)) > 0.25
+    # statistical agreement with the single-device renderer
+    from path_tracing_tpu.integrators.pt import render_pt
+
+    ref = np.asarray(render_pt(scene, cam, W, H, 8, cfg,
+                               jax.random.PRNGKey(1)))
+
+    a = np.clip(img, 0, 1).mean()
+    b = np.clip(ref, 0, 1).mean()
+    assert abs(a - b) / max(b, 1e-6) < 0.5, (a, b)
+
+
+def test_bdpt_sharded_all_gather(setup):
+    scene, cam, cfg, mesh = setup
+    img = np.asarray(render_bdpt_sharded(scene, cam, W, H, 1, 2, cfg,
+                                         jax.random.PRNGKey(0), mesh,
+                                         chunk=16))
+    assert img.shape == (W * H, 3) and np.all(np.isfinite(img))
+    assert float(np.mean(img.sum(-1) > 1e-4)) > 0.8
+
+
+def test_ppm_sharded_psum(setup):
+    scene, cam, cfg, mesh = setup
+    img = np.asarray(render_ppm_sharded(scene, cam, W, H, 64, cfg,
+                                        jax.random.PRNGKey(0), mesh))
+    assert img.shape == (W * H, 3) and np.all(np.isfinite(img))
+    assert float(img.sum()) > 0.0
