@@ -1,0 +1,114 @@
+"""Film (tonemap/PNG/checkpoint), CLI and comparator smoke tests."""
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from path_tracing_tpu.film import (AccumState, load_checkpoint, read_png,
+                                   save_checkpoint, tonemap_u8, write_png)
+
+INPUT_TXT = "/root/reference/input.txt"
+
+
+def test_png_roundtrip(tmp_path):
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 256, (33, 47, 3), np.uint8)
+    p = str(tmp_path / "x.png")
+    write_png(p, img)
+    back = read_png(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_read_reference_golden_png():
+    g = read_png("/root/reference/output.png")
+    assert g.shape == (200, 200, 3)
+    assert 60 < g.mean() < 130  # sanity: a real image, not garbage
+
+
+def test_tonemap_matches_reference_pipeline():
+    """avg -> clamp[0,1] -> gamma 1/2.2 -> u8 (main_cli.cpp:225-244)."""
+    lin = np.array([[0.0, 0.5, 2.0]], np.float32)
+    u8 = tonemap_u8(np.tile(lin, (4, 1)), 1, 4)
+    expect = (np.clip(lin, 0, 1) ** (1 / 2.2) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(u8[0, 0], expect[0])
+
+
+def test_accum_state_and_checkpoint(tmp_path):
+    st = AccumState.zeros(4, 4)
+    st = st.add(jnp.ones((16, 3)) * 2.0)
+    st = st.add(jnp.ones((16, 3)) * 4.0)
+    np.testing.assert_allclose(np.asarray(st.mean()), 3.0)
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, st, {"mode": "pt", "width": 4, "height": 4})
+    st2, meta = load_checkpoint(p)
+    assert int(st2.n_iters) == 2
+    np.testing.assert_allclose(np.asarray(st2.radiance_sum),
+                               np.asarray(st.radiance_sum))
+    assert str(meta["mode"]) == "pt"
+
+
+@pytest.mark.parametrize("mode", ["pt"])
+def test_cli_smoke(tmp_path, mode):
+    """End-to-end CLI subprocess on the CPU backend."""
+    out = str(tmp_path / "out.png")
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               PT_TPU_CACHE=os.path.expanduser("~/.cache/jax_pt_tpu"))
+    r = subprocess.run(
+        [sys.executable, "-m", "path_tracing_tpu.cli", "--input", INPUT_TXT,
+         "--mode", mode, "--spp", "1", "--width", "16", "--height", "16",
+         "--eye-depth", "2", "--output", out, "--seed", "1"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    img = read_png(out)
+    assert img.shape == (16, 16, 3)
+
+
+def test_pt_fixed_mis_mode_differs_and_adds_energy():
+    """quirk 2: the stubbed strategy-A branch contributes nothing; the fixed
+    estimator adds the BSDF-hits-light term on rough surfaces."""
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.pt import render_pt
+    from path_tracing_tpu.scene.camera import make_camera
+    from path_tracing_tpu.scene.parser import load_scene
+
+    # NOTE: not mis_test.txt — its lights say "cutoff 360" and
+    # cos(radians(360)) ~ 1, so the reference's cone gates zero out NEE and
+    # depth>0 emission there entirely (we reproduce that, too).  input.txt's
+    # 180-degree light passes the gates and exposes the strategy-A term.
+    p = load_scene("/root/reference/input.txt")
+    scene = p.to_device()
+    W = H = 16
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    base = RenderConfig(width=W, height=H, eye_depth=3, delta_budget=2)
+    stub = np.asarray(render_pt(scene, cam, W, H, 8, base,
+                                jax.random.PRNGKey(0)))
+    fixed = np.asarray(render_pt(
+        scene, cam, W, H, 8, base.with_(pt_stub_mis_strategy_a=False),
+        jax.random.PRNGKey(0)))
+    assert fixed.mean() > stub.mean(), (fixed.mean(), stub.mean())
+    assert np.all(np.isfinite(fixed))
+
+
+def test_compare_app_smoke(tmp_path):
+    """The comparator (GUI replacement) runs all three integrators and emits
+    the side-by-side frame + convergence artifacts."""
+    from path_tracing_tpu import compare
+
+    out = str(tmp_path / "cmp")
+    rc = compare.main([
+        "--input", INPUT_TXT, "--iters", "2", "--spp", "1", "--spl", "2",
+        "--ppm-photons", "256", "--width", "16", "--height", "16",
+        "--eye-depth", "2", "--out-dir", out])
+    assert rc == 0
+    combined = read_png(os.path.join(out, "combined.png"))
+    assert combined.shape == (16, 48, 3)  # 3W x H packed frame
+    csv = open(os.path.join(out, "convergence.csv")).read().splitlines()
+    assert csv[0] == "iter,rms_ppm,rms_bdpt,rms_pt,diff_rms"
+    assert len(csv) == 3
+    assert os.path.exists(os.path.join(out, "telemetry.jsonl"))
