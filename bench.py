@@ -42,6 +42,9 @@ def main() -> int:
                     help="0 = headline 1080p PT; 1-5 = BASELINE configs")
     ap.add_argument("--obj", default="tests/fixtures/sphere.obj")
     ap.add_argument("--spp", type=int, default=0)
+    ap.add_argument("--conn-samples", type=int, default=0,
+                    help="config 5: unbiased per-eye-vertex connection "
+                         "subsample (0 = exact all-pairs)")
     args = ap.parse_args()
 
     import jax
@@ -124,13 +127,16 @@ def main() -> int:
         W = H = 512
         spp, spl = args.spp or 4, 8
         scene, cam, cfg = setup("/root/reference/input.txt", W, H,
-                                eye_depth=4, light_depth=4, delta_budget=4)
+                                eye_depth=4, light_depth=4, delta_budget=4,
+                                bdpt_connection_samples=args.conn_samples)
         dt = _timeit(lambda i: render_bdpt(scene, cam, W, H, spp, spl, cfg,
                                            jax.random.fold_in(key, i)),
                      iters=2)
         val = W * H * spp / dt / 1e6
+        cs = args.conn_samples
         print(json.dumps({"metric": f"config5 BDPT input.txt 512^2 spp={spp} "
-                                    f"spl={spl}",
+                                    f"spl={spl}"
+                                    + (f" conn_samples={cs}" if cs else ""),
                           "value": round(val, 3), "unit": "Mpaths/s",
                           "vs_baseline": round(val / 100.0, 4)}))
     else:

@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "hard-code 50; default honors the file)")
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--ppm-alpha", type=float, default=0.0,
+                    help="progressive-PPM radius shrink factor (0 = the "
+                         "reference's fixed radius)")
     ap.add_argument("--fix-pt-mis", action="store_true",
                     help="enable the full MIS light-hit term the reference "
                          "stubbed out (quirk 2)")
@@ -78,7 +81,8 @@ def main(argv=None) -> int:
     cfg = RenderConfig(width=W, height=H, spp=args.spp, spl=args.spl,
                        eye_depth=args.eye_depth, light_depth=args.light_depth,
                        seed=args.seed,
-                       pt_stub_mis_strategy_a=not args.fix_pt_mis)
+                       pt_stub_mis_strategy_a=not args.fix_pt_mis,
+                       ppm_alpha=args.ppm_alpha)
     mode = args.mode
     if args.device == "oracle":
         cfg = oracle_config(cfg)
@@ -121,7 +125,8 @@ def main(argv=None) -> int:
             return render_bdpt(scene, cam, W, H, args.spp, args.spl, cfg, k)
         else:
             from .integrators.ppm import render_ppm
-            return render_ppm(scene, cam, W, H, args.spl, cfg, k)
+            return render_ppm(scene, cam, W, H, args.spl, cfg, k,
+                              pass_index=i)
 
     print("[Render] Starting Render...")
     t0 = time.perf_counter()

@@ -32,6 +32,15 @@ class RenderConfig:
     # subsampling of N events per cell, contributions scaled by count/N —
     # same expectation, bounded work in photon-dense cells
     ppm_cell_samples: int = 0
+    # 0 = connect every eye vertex to EVERY light vertex (reference
+    # semantics, bdpt_cu.cu:384); N > 0 = unbiased stratified subsample of N
+    # light vertices per eye vertex, scaled by n_valid/N — same expectation,
+    # O(N) instead of O(V) per connection
+    bdpt_connection_samples: int = 0
+    # 0 = fixed-radius PPM (the reference never shrinks, quirk 13);
+    # alpha in (0,1) = progressive radius: r_i^2 = r^2 * prod (i+alpha)/(i+1)
+    # (Hachisuka-style), pass index supplied by the caller
+    ppm_alpha: float = 0.0
 
     # determinism
     seed: int = 0

@@ -429,6 +429,108 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
                              jnp.zeros((B, 3)))
 
 
+def _connect_sampled(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
+                     n_valid, ev_pos, ev_normal, ev_tp, ev_mtl, wo_e, wo_s,
+                     eye_f, key):
+    """Unbiased stratified connection subsampling: each eye vertex connects
+    to ``cfg.bdpt_connection_samples`` light vertices (stratified over the
+    compacted valid prefix) and scales by ``n_valid / M``.
+
+    Same expectation as the exact all-pairs sweep (the estimator is a
+    stratified Monte Carlo sum over the vertex axis); O(M) instead of O(V)
+    per eye vertex, which is what makes slice-scale BDPT (BASELINE config 5)
+    tractable.  Light-vertex fields are gathered per (lane, sample) — the
+    win over chunked broadcast appears once V >> M.
+    """
+    from ..ops.bsdf import _eval_local, _half_vector, _pdf_local
+    from ..ops.frame import build_local_frame, world_to_local
+    from ..ops.microfacet import roughness_to_alpha
+
+    B = ev_pos.shape[0]
+    M = cfg.bdpt_connection_samples
+    nv = jnp.maximum(n_valid, 1)
+
+    # per-lane stratified vertex indices
+    u = rng.uniforms(jax.random.fold_in(key, 0x5E1), (M, B), 1)[0]  # (M, B)
+    j = jnp.arange(M, dtype=jnp.float32)[:, None]
+    vidx = jnp.minimum(((j + u) * (nv.astype(jnp.float32) / M))
+                       .astype(jnp.int32), nv - 1)                   # (M, B)
+    vidx = vidx.T                                                    # (B, M)
+    scale = nv.astype(jnp.float32) / M
+
+    lvg = jax.tree.map(lambda x: x[vidx], lv_flat)                   # (B, M, ..)
+
+    # hoisted eye frame
+    et, eb = build_local_frame(ev_normal)
+    wo_e_l = world_to_local(wo_e, et, eb, ev_normal)[:, None]
+    wo_s_l = world_to_local(wo_s, et, eb, ev_normal)[:, None]
+    alpha_e = roughness_to_alpha(ev_mtl.roughness)[:, None]
+    ev_mtl_b = jax.tree.map(lambda x: x[:, None], ev_mtl)
+
+    # light frames per sampled vertex
+    lt, lb = build_local_frame(lvg.normal)
+    wo_t_l = world_to_local(lvg.wo, lt, lb, lvg.normal)
+    alpha_l = roughness_to_alpha(lvg.mtl.roughness)
+
+    d_vec = lvg.pos - ev_pos[:, None, :]                             # (B, M, 3)
+    dist2 = jnp.sum(d_vec * d_vec, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+    wi = d_vec / dist[..., None]
+
+    cos_e = jnp.maximum(0.0, jnp.sum(ev_normal[:, None] * wi, -1))
+    cos_l = jnp.maximum(0.0, jnp.sum(-lvg.normal * wi, -1))
+    gate = lvg.valid & (dist2 >= 1e-6) & (cos_e > 0.0) & (cos_l > 0.0)
+    cone_bad = (lvg.is_light_source & (lvg.source_cutoff > 0.0)
+                & ~lvg.is_parallel) & (
+        jnp.sum(lvg.emit_dir * (-wi), -1) < jnp.cos(lvg.source_cutoff))
+    gate &= ~cone_bad
+
+    def to_local(w, t, b, n):
+        return jnp.stack([jnp.sum(w * t, -1), jnp.sum(w * b, -1),
+                          jnp.sum(w * n, -1)], axis=-1)
+
+    wi_e_l = to_local(wi, et[:, None], eb[:, None], ev_normal[:, None])
+    wh_e, ok_e = _half_vector(wo_e_l, wi_e_l)
+    f_e = _eval_local(ev_mtl_b, jnp.broadcast_to(wo_e_l, wi_e_l.shape),
+                      wi_e_l, alpha_e, wh_e, ok_e)
+    wh_s, ok_s = _half_vector(wo_s_l, wi_e_l)
+    pdf_s = jnp.maximum(
+        _pdf_local(ev_mtl_b, jnp.broadcast_to(wo_s_l, wi_e_l.shape),
+                   wi_e_l, alpha_e, wh_s, ok_s), PDF_OMEGA_FLOOR)
+
+    wi_l_l = to_local(-wi, lt, lb, lvg.normal)
+    wh_l, ok_l = _half_vector(wo_t_l, wi_l_l)
+    f_l = jnp.where(lvg.is_light_source[..., None],
+                    jnp.ones((B, M, 3)),
+                    _eval_local(lvg.mtl, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l))
+    pdf_t = jnp.maximum(
+        _pdf_local(lvg.mtl, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l),
+        PDF_OMEGA_FLOOR)
+    gate &= jnp.any(f_e > 0.0, -1) & jnp.any(f_l > 0.0, -1)
+
+    p1 = jnp.broadcast_to(ev_pos[:, None] + ev_normal[:, None] * EPSILON,
+                          (B, M, 3)).reshape(-1, 3)
+    p2 = (lvg.pos + lvg.normal * EPSILON).reshape(-1, 3)
+    trans = transmittance(scene, p1, p2,
+                          dielectrics_block=cfg.shadow_dielectrics_block
+                          ).reshape(B, M)
+    gate &= trans > 0.0
+
+    g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
+    pdf_s_to_t = pdf_s * cos_l / jnp.maximum(dist2, 1e-20)
+    pdf_t_to_s = pdf_t * cos_e / jnp.maximum(dist2, 1e-20)
+    sum_ratios = (1.0 + pdf_t_to_s * eye_f[:, None]
+                  + pdf_s_to_t * lvg.mis_a)
+    mis_ok = jnp.isfinite(sum_ratios) & (sum_ratios > 0.0)
+    mis_w = jnp.where(mis_ok, 1.0 / jnp.maximum(sum_ratios, 1e-30), 0.0)
+
+    contrib = (ev_tp[:, None] * f_e * f_l * lvg.throughput
+               * (g_term * trans * mis_w)[..., None])
+    contrib = jnp.where((gate & is_valid_color(contrib))[..., None],
+                        clamp_radiance(contrib, cfg.clamp), 0.0)
+    return jnp.sum(contrib, axis=1) * scale
+
+
 def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
                           lv: LightVertices, px, py, key,
                           light_hit_scale: float, chunk: int) -> jnp.ndarray:
@@ -478,8 +580,14 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
         eye_f = jnp.where(
             (depth == 0) | (hit.mtl.eta > 0.0), 0.0,
             (1.0 / PDF_FWD_FLOOR) * (1.0 + state["g_mis"]))
-        total = _connect(scene, cfg, lv_flat, n_valid, hit.pos, hit.normal,
-                         state["tp"], hit.mtl, wo_e, wo_s, eye_f, chunk)
+        if cfg.bdpt_connection_samples > 0:
+            total = _connect_sampled(
+                scene, cfg, lv_flat, n_valid, hit.pos, hit.normal,
+                state["tp"], hit.mtl, wo_e, wo_s, eye_f, k)
+        else:
+            total = _connect(scene, cfg, lv_flat, n_valid, hit.pos,
+                             hit.normal, state["tp"], hit.mtl, wo_e, wo_s,
+                             eye_f, chunk)
         radiance = radiance + jnp.where(act[:, None], total, 0.0)
 
         # ---- bounce (bdpt_cu.cu:460-526) ----

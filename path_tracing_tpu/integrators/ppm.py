@@ -233,15 +233,29 @@ def ppm_photon_trace(scene: Scene, cfg: RenderConfig, num_photons: int,
         lambda x: x.reshape((-1,) + x.shape[2:]), events)
 
 
+def ppm_radius_scale(pass_index: int, alpha: float) -> float:
+    """Progressive-PPM radius schedule: r_i^2 = r0^2 * prod_{k=1..i}
+    (k+alpha)/(k+1) (Hachisuka et al.); alpha=0 or pass 0 -> 1.0 (the
+    reference's fixed-radius behavior, quirk 13)."""
+    if alpha <= 0.0 or pass_index <= 0:
+        return 1.0
+    scale = 1.0
+    for k in range(1, pass_index + 1):
+        scale *= (k + alpha) / (k + 1.0)
+    return scale
+
+
 def gather_flux(scene: Scene, cfg: RenderConfig, hp: HitPoints,
-                events: PhotonEvents):
+                events: PhotonEvents, r2_scale=1.0):
     """Per-hitpoint flux gather over 27 neighbor cells (sort + searchsorted).
 
     Returns (accum_flux (B,3), photon_count (B,), overflow (,)) where
     ``overflow`` counts candidate events dropped by the per-cell budget —
     0 means the gather was exact.
     """
-    r2 = cfg.ppm_radius * cfg.ppm_radius
+    # radius may shrink progressively (r2_scale <= 1) while the grid cell
+    # stays at r0, so the 27-cell neighborhood always covers the search ball
+    r2 = cfg.ppm_radius * cfg.ppm_radius * r2_scale
     cell = cfg.ppm_radius
     table = cfg.ppm_hash_size
     K = cfg.ppm_max_per_cell
@@ -341,7 +355,7 @@ def gather_flux(scene: Scene, cfg: RenderConfig, hp: HitPoints,
 
 @partial(jax.jit, static_argnames=("width", "height", "spl", "cfg"))
 def render_ppm_with_stats(scene: Scene, cam: Camera, width: int, height: int,
-                          spl: int, cfg: RenderConfig, key):
+                          spl: int, cfg: RenderConfig, key, r2_scale=1.0):
     """One PPM pass: (image (B,3), photon_count (B,), overflow ()).
 
     Equivalent of one ``ppm_render_wrapper`` call (ppm_cu.cu:328-400):
@@ -359,9 +373,10 @@ def render_ppm_with_stats(scene: Scene, cam: Camera, width: int, height: int,
     num_photons = scene.num_lights * spl
     events = ppm_photon_trace(scene, cfg, num_photons, spl,
                               jax.random.fold_in(key, 2))
-    flux, count, overflow = gather_flux(scene, cfg, hp, events)
+    flux, count, overflow = gather_flux(scene, cfg, hp, events, r2_scale)
 
-    radiance = flux / max(PI * cfg.ppm_radius * cfg.ppm_radius, 1e-6)
+    radiance = flux / jnp.maximum(
+        PI * cfg.ppm_radius * cfg.ppm_radius * r2_scale, 1e-6)
     radiance = jnp.where(
         (hp.valid & is_valid_color(radiance))[:, None],
         clamp_radiance(radiance, cfg.clamp), 0.0)
@@ -369,6 +384,8 @@ def render_ppm_with_stats(scene: Scene, cam: Camera, width: int, height: int,
 
 
 def render_ppm(scene: Scene, cam: Camera, width: int, height: int, spl: int,
-               cfg: RenderConfig, key) -> jnp.ndarray:
-    img, _, _ = render_ppm_with_stats(scene, cam, width, height, spl, cfg, key)
+               cfg: RenderConfig, key, pass_index: int = 0) -> jnp.ndarray:
+    img, _, _ = render_ppm_with_stats(
+        scene, cam, width, height, spl, cfg, key,
+        r2_scale=ppm_radius_scale(pass_index, cfg.ppm_alpha))
     return img

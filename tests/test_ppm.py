@@ -177,3 +177,22 @@ def test_ppm_vs_bdpt_cross_structure_and_brightness_quirk(setup):
     bb = b.reshape(4, 4, 4, 4, 3).mean((1, 3)).ravel()
     corr = float(np.corrcoef(ab, bb)[0, 1])
     assert corr > 0.6, corr
+
+
+def test_progressive_radius_schedule():
+    from path_tracing_tpu.integrators.ppm import ppm_radius_scale
+
+    assert ppm_radius_scale(0, 0.7) == 1.0
+    assert ppm_radius_scale(5, 0.0) == 1.0
+    s1 = ppm_radius_scale(1, 0.7)
+    s5 = ppm_radius_scale(5, 0.7)
+    assert s1 == pytest.approx(1.7 / 2.0)
+    assert 0.0 < s5 < s1 < 1.0  # monotonically shrinking
+
+
+def test_ppm_shrunk_radius_still_renders(setup):
+    scene, cam, cfg = setup
+    img, _, _ = render_ppm_with_stats(scene, cam, W, H, 256, cfg,
+                                      jax.random.PRNGKey(1), r2_scale=0.5)
+    img = np.asarray(img)
+    assert np.all(np.isfinite(img)) and float(img.sum()) > 0
