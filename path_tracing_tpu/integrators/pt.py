@@ -284,6 +284,19 @@ def trace_paths(scene: Scene, cam: Camera, cfg: RenderConfig,
     return jnp.where(is_valid_color(final)[:, None], final, 0.0)
 
 
+def _use_fused_shade() -> bool:
+    """Fused Pallas shade kernel on TPU (PT_TPU_NO_FUSED_SHADE=1 forces the
+    XLA shade path for A/B)."""
+    import os
+
+    if os.environ.get("PT_TPU_NO_FUSED_SHADE") or os.environ.get(
+            "PT_TPU_NO_PALLAS"):
+        return False
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
+
+
 def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
                  px: jnp.ndarray, py: jnp.ndarray, spp: int, key) -> jnp.ndarray:
     """Wavefront PT with path regeneration: one persistent lane per pixel;
@@ -312,6 +325,12 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     )
     # generous global cap; the while cond exits as soon as work runs dry
     max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
+    fused = _use_fused_shade()
+    if fused:
+        from ..ops.pallas_intersect import nearest_hit_pallas
+        from ..ops.pallas_shade import shade_step_pallas
+
+        light_tab = _light_table(scene)
 
     def cond(s):
         return ((s["it"] < max_total)
@@ -336,6 +355,32 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         last_pdf = jnp.where(regen, 1.0, state["last_pdf"])
         sample = state["sample"] + regen.astype(jnp.int32)
         alive = state["alive"] | regen
+
+        if fused:
+            h = nearest_hit_pallas(scene, ro, rd)
+            out = shade_step_pallas(
+                scene, light_tab, ro, rd, h, throughput, eta, depth, alive,
+                last_is_delta, last_pdf, u,
+                clamp_val=cfg.clamp, stub_mis=cfg.pt_stub_mis_strategy_a,
+                dielectrics_block=cfg.shadow_dielectrics_block)
+            radiance = radiance + out["radiance"]
+            alive_out = out["alive"] & (
+                out["last_is_delta"] | (out["depth"] < cfg.eye_depth))
+            new_path_it = jnp.where(alive, path_it + 1, path_it)
+            alive_out = alive_out & (new_path_it < cfg.max_eye_iters)
+            died = alive & ~alive_out
+            final = jnp.where(is_valid_color(radiance)[:, None],
+                              radiance, 0.0)
+            image = state["image"] + jnp.where(died[:, None], final, 0.0)
+            radiance = jnp.where(died[:, None], 0.0, radiance)
+            return dict(
+                it=it + 1, image=image, sample=sample,
+                path_it=new_path_it,
+                ro=out["ro"], rd=out["rd"], throughput=out["tp"],
+                radiance=radiance, eta=out["eta"], depth=out["depth"],
+                alive=alive_out, last_is_delta=out["last_is_delta"],
+                last_pdf=out["last_pdf"],
+            )
 
         # ---- one bounce for every live lane ----
         hit = find_closest_hit(scene, ro, rd)

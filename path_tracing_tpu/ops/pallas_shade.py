@@ -1,0 +1,694 @@
+"""Fused Pallas "shade" kernel for the PT wavefront.
+
+One bounce of the PT integrator after the nearest-hit kernel costs ~30
+XLA ops over (B,)/(B,3) arrays — every one a round trip through HBM.  This
+kernel fuses the whole shade stage into a single VMEM-resident pass per ray
+tile:
+
+  emission matching (pt_cu.cu:59-121) -> NEE with the shadow-ray loop
+  inlined over the VMEM scene tables (pt_cu.cu:125-201) -> BSDF sample
+  (geometric.cuh:486-562) -> ray/throughput/depth state update.
+
+Uniform random numbers are fed IN (drawn with jax.random outside) so the
+sample streams match the XLA path bit-for-bit, keeping renders reproducible
+and the two backends directly comparable (PT_TPU_NO_PALLAS A/B).
+
+Everything is written component-wise: a 3-vector is three (rows, 128) f32
+planes (the `V3` helper), matching the TPU's lane layout.  The math mirrors
+ops/bsdf.py / ops/fresnel.py / ops/microfacet.py exactly — including the
+reference's non-normalized GGX D quirk — and is validated against the XLA
+path by tests/test_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import Scene
+from .math3 import EPSILON, PI
+from .pallas_intersect import LANE, TILE_ROWS, _ray_specs, _tile, pack_scene
+
+INF = 1e20
+
+
+class V3(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    def __add__(s, o):
+        return V3(s.x + o.x, s.y + o.y, s.z + o.z)
+
+    def __sub__(s, o):
+        return V3(s.x - o.x, s.y - o.y, s.z - o.z)
+
+    def __neg__(s):
+        return V3(-s.x, -s.y, -s.z)
+
+    def scale(s, k):
+        return V3(s.x * k, s.y * k, s.z * k)
+
+    def mul(s, o):
+        return V3(s.x * o.x, s.y * o.y, s.z * o.z)
+
+
+def dot3(a: V3, b: V3):
+    return a.x * b.x + a.y * b.y + a.z * b.z
+
+
+def cross3(a: V3, b: V3) -> V3:
+    return V3(a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z,
+              a.x * b.y - a.y * b.x)
+
+
+def norm3(a: V3):
+    return jnp.sqrt(dot3(a, a))
+
+
+def normalize3(a: V3, eps=1e-20) -> V3:
+    inv = 1.0 / jnp.maximum(norm3(a), eps)
+    return a.scale(inv)
+
+
+def where3(m, a: V3, b: V3) -> V3:
+    return V3(jnp.where(m, a.x, b.x), jnp.where(m, a.y, b.y),
+              jnp.where(m, a.z, b.z))
+
+
+def valid3(c: V3):
+    bad = (jnp.isnan(c.x) | jnp.isnan(c.y) | jnp.isnan(c.z)
+           | jnp.isinf(c.x) | jnp.isinf(c.y) | jnp.isinf(c.z)
+           | (c.x < 0.0) | (c.y < 0.0) | (c.z < 0.0))
+    return ~bad
+
+
+def clamp3(c: V3, mx: float) -> V3:
+    m = jnp.maximum(c.x, jnp.maximum(c.y, c.z))
+    s = jnp.where(m > mx, mx / m, 1.0)
+    return c.scale(s)
+
+
+# ---------------------------------------------------------------------------
+# local frames + microfacet math (component-wise ports of ops/*)
+# ---------------------------------------------------------------------------
+
+def build_frame(n: V3):
+    """geometric.cuh:119-123"""
+    use_z = jnp.abs(n.z) < 0.999
+    ax = where3(use_z, V3(*(jnp.zeros_like(n.x),) * 2, jnp.ones_like(n.x)),
+                V3(jnp.zeros_like(n.x), jnp.ones_like(n.x),
+                   jnp.zeros_like(n.x)))
+    t = normalize3(cross3(ax, n))
+    b = cross3(n, t)
+    return t, b
+
+
+def to_local(v: V3, t: V3, b: V3, n: V3) -> V3:
+    return V3(dot3(v, t), dot3(v, b), dot3(v, n))
+
+
+def to_world(v: V3, t: V3, b: V3, n: V3) -> V3:
+    return V3(t.x * v.x + b.x * v.y + n.x * v.z,
+              t.y * v.x + b.y * v.y + n.y * v.z,
+              t.z * v.x + b.z * v.y + n.z * v.z)
+
+
+def fr_dielectric(cos_i, eta_i, eta_t):
+    """geometric.cuh:145-160 (incl. the eta=0 -> TIR/NaN edge semantics)."""
+    cos_i = jnp.clip(cos_i, -1.0, 1.0)
+    entering = cos_i > 0.0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    cos_i = jnp.abs(cos_i)
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    sin_t = ei / et * sin_i
+    tir = sin_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_par = ((et * cos_i) - (ei * cos_t)) / ((et * cos_i) + (ei * cos_t))
+    r_per = ((ei * cos_i) - (et * cos_t)) / ((ei * cos_i) + (et * cos_t))
+    return jnp.where(tir, 1.0, (r_par * r_par + r_per * r_per) / 2.0)
+
+
+def fr_schlick(cos_i, r0: V3) -> V3:
+    c = jnp.maximum(0.0, 1.0 - cos_i)
+    c5 = c * c * c * c * c
+    one = jnp.ones_like(cos_i)
+    return V3(r0.x + (one - r0.x) * c5, r0.y + (one - r0.y) * c5,
+              r0.z + (one - r0.z) * c5)
+
+
+def tan2_theta(w: V3):
+    c2 = w.z * w.z
+    s2 = jnp.maximum(0.0, 1.0 - c2)
+    return s2 / (c2 + 1e-7)
+
+
+def tr_d(wh: V3, alpha):
+    """Reference's non-normalized D (alpha^2 + tan^4), geometric.cuh:178-185."""
+    t2 = tan2_theta(wh)
+    cos4 = (wh.z * wh.z) * (wh.z * wh.z)
+    e = cos4 * (alpha * alpha + t2 * t2)
+    d = (alpha * alpha) / (PI * e)
+    return jnp.where(jnp.isinf(t2) | (e < 1e-12), 0.0, d)
+
+
+def tr_lambda(w: V3, alpha):
+    c2 = w.z * w.z
+    s2 = jnp.maximum(0.0, 1.0 - c2)
+    abs_tan = jnp.abs(jnp.sqrt(s2) / (w.z + 1e-7))
+    a2t2 = (alpha * abs_tan) * (alpha * abs_tan)
+    return jnp.where(jnp.isinf(abs_tan), 0.0,
+                     (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0)
+
+
+def roughness_to_alpha(r):
+    x = jnp.maximum(r, 1e-3)
+    return x * x
+
+
+class Mtl(NamedTuple):
+    bc: V3
+    rough: jnp.ndarray
+    metal: jnp.ndarray
+    eta: jnp.ndarray
+
+
+def half_vector(wo: V3, wi: V3):
+    wh = wo + wi
+    ln = norm3(wh)
+    wh = wh.scale(1.0 / jnp.maximum(ln, 1e-20))
+    wh = where3(wh.z < 0.0, -wh, wh)
+    return wh, ln >= 1e-6
+
+
+def eval_local(m: Mtl, wo: V3, wi: V3, alpha, wh: V3, wh_ok) -> V3:
+    """geometric.cuh:419-456 component-wise."""
+    zero_cos = (wo.z == 0.0) | (wi.z == 0.0)
+    smooth_diel = (m.eta > 0.0) & (m.rough < 0.001)
+
+    same = wo.z * wi.z > 0.0
+    kd = (1.0 - m.metal) / PI
+    diffuse = V3(m.bc.x * kd, m.bc.y * kd, m.bc.z * kd)
+    diffuse = where3(wo.z * wi.z < 0.0,
+                     V3(*(jnp.zeros_like(kd),) * 3), diffuse)
+
+    d = tr_d(wh, alpha)
+    g = 1.0 / (1.0 + tr_lambda(wo, alpha) + tr_lambda(wi, alpha))
+    fs = fr_schlick(jnp.abs(wo.z), m.bc)
+    fr = fr_dielectric(dot3(wo, wh), jnp.ones_like(m.eta), m.eta)
+    f = where3(m.metal > 0.0, fs, V3(fr, fr, fr))
+    denom = jnp.maximum(4.0 * jnp.abs(wo.z) * jnp.abs(wi.z), 1e-4)
+    spec = f.scale(d * g / denom)
+
+    out = where3(same, diffuse + spec, diffuse)
+    kill = zero_cos | smooth_diel | ~wh_ok
+    return where3(kill, V3(*(jnp.zeros_like(d),) * 3), out)
+
+
+def pdf_local(m: Mtl, wo: V3, wi: V3, alpha, wh: V3, wh_ok):
+    """geometric.cuh:458-484 component-wise."""
+    opposite = wo.z * wi.z <= 0.0
+    smooth_diel = (m.eta > 0.0) & (m.rough < 0.001)
+    pdf_diff = jnp.abs(wi.z) / PI
+    g1 = 1.0 / (1.0 + tr_lambda(wo, alpha))
+    dwh = dot3(wo, wh)
+    pdf_wh = tr_d(wh, alpha) * g1 * jnp.maximum(0.0, dwh) / jnp.maximum(
+        jnp.abs(wo.z), 1e-20)
+    pdf_spec = pdf_wh / (4.0 * dwh + 1e-7)
+    sw = jnp.where(m.metal > 0.0, 1.0, 0.5)
+    pdf = (1.0 - sw) * pdf_diff + sw * pdf_spec
+    return jnp.where(opposite | smooth_diel | ~wh_ok, 0.0, pdf)
+
+
+def sample_vndf(wo: V3, alpha, u1, u2) -> V3:
+    """geometric.cuh:200-221 component-wise; wo must be upper hemisphere."""
+    v = normalize3(V3(alpha * wo.x, alpha * wo.y, wo.z))
+    use_cross = v.z < 0.9999
+    zero = jnp.zeros_like(u1)
+    one = jnp.ones_like(u1)
+    cz = cross3(V3(zero, zero, one), v)
+    cz = cz.scale(1.0 / jnp.maximum(norm3(cz), 1e-20))
+    t1 = where3(use_cross, cz, V3(one, zero, zero))
+    t2 = cross3(v, t1)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * PI * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + v.z)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    nh = (t1.scale(p1) + t2.scale(p2)
+          + v.scale(jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))))
+    return normalize3(V3(alpha * nh.x, alpha * nh.y,
+                         jnp.maximum(0.0, nh.z)))
+
+
+def bsdf_sample_k(m: Mtl, wo_w: V3, n: V3, u_rr, u1, u2, cur_eta):
+    """geometric.cuh:486-562 component-wise (mask-selected branches)."""
+    t, b = build_frame(n)
+    wo = to_local(wo_w, t, b, n)
+
+    m_diel = (m.eta > 0.0) & (m.rough < 0.001) & (m.metal < 0.01)
+    m_cond = ~m_diel & (m.metal > 0.99) & (m.rough < 0.001)
+    is_delta = m_diel | m_cond
+
+    # smooth dielectric
+    f = fr_dielectric(wo.z, cur_eta, m.eta)
+    refl = V3(-wo.x, -wo.y, wo.z)
+    entering = wo.z > 0.0
+    eta_ratio = jnp.where(entering, cur_eta / m.eta, m.eta / cur_eta)
+    sin2_i = jnp.maximum(0.0, 1.0 - wo.z * wo.z)
+    sin2_t = eta_ratio * eta_ratio * sin2_i
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    cos_t = jnp.where(entering, -cos_t, cos_t)
+    refr = V3(-eta_ratio * wo.x, -eta_ratio * wo.y, cos_t)
+    take_refl = u_rr < f
+    d_wi = where3(take_refl, refl, refr)
+    d_cos = jnp.maximum(jnp.abs(d_wi.z), 1e-20)
+    d_pdf = jnp.where(take_refl, f, 1.0 - f)
+    one = jnp.ones_like(f)
+    d_val = where3(take_refl, V3(f / d_cos, f / d_cos, f / d_cos),
+                   m.bc.scale((1.0 - f) / d_cos))
+    dead_refr = ~take_refl & tir
+    d_pdf = jnp.where(dead_refr, 0.0, d_pdf)
+    d_val = where3(dead_refr, V3(*(jnp.zeros_like(f),) * 3), d_val)
+    d_eta = jnp.where(take_refl, cur_eta, jnp.where(entering, m.eta, one))
+
+    # smooth conductor
+    c_val = fr_schlick(jnp.abs(wo.z), m.bc).scale(
+        1.0 / jnp.maximum(jnp.abs(refl.z), 1e-20))
+
+    # rough
+    alpha = roughness_to_alpha(m.rough)
+    sw = jnp.where(m.metal > 0.0, 1.0, 0.5)
+    wo_up = where3(wo.z > 0.0, wo, -wo)
+    wh = sample_vndf(wo_up, alpha, u1, u2)
+    wh = where3(wo.z < 0.0, -wh, wh)
+    spec_wi = (-wo) - wh.scale(2.0 * dot3(wh, -wo))
+    spec_bad = wo.z * spec_wi.z <= 0.0
+    r = jnp.sqrt(u1)
+    phi = 2.0 * PI * u2
+    diff_wi = V3(r * jnp.cos(phi), r * jnp.sin(phi),
+                 jnp.sqrt(jnp.maximum(0.0, 1.0 - u1)))
+    diff_wi = where3(wo.z < 0.0, V3(diff_wi.x, diff_wi.y, -diff_wi.z),
+                     diff_wi)
+    take_spec = u_rr < sw
+    r_wi = where3(take_spec, spec_wi, diff_wi)
+    r_dead = take_spec & spec_bad
+    wh_r, wh_ok = half_vector(wo, r_wi)
+    r_pdf = jnp.where(r_dead, 0.0,
+                      pdf_local(m, wo, r_wi, alpha, wh_r, wh_ok))
+    r_val = where3(r_dead, V3(*(jnp.zeros_like(f),) * 3),
+                   eval_local(m, wo, r_wi, alpha, wh_r, wh_ok))
+
+    wi_l = where3(m_diel, d_wi, where3(m_cond, refl, r_wi))
+    wi_w = to_world(wi_l, t, b, n)
+    val = where3(m_diel, d_val, where3(m_cond, c_val, r_val))
+    pdf = jnp.where(m_diel, d_pdf, jnp.where(m_cond, one, r_pdf))
+    new_eta = jnp.where(m_diel, d_eta, cur_eta)
+    return wi_w, val, pdf, is_delta, new_eta
+
+
+def eval_pdf_world(m: Mtl, wo_w: V3, wi_w: V3, n: V3):
+    t, b = build_frame(n)
+    wo = to_local(wo_w, t, b, n)
+    wi = to_local(wi_w, t, b, n)
+    alpha = roughness_to_alpha(m.rough)
+    wh, ok = half_vector(wo, wi)
+    return (eval_local(m, wo, wi, alpha, wh, ok),
+            pdf_local(m, wo, wi, alpha, wh, ok))
+
+
+# ---------------------------------------------------------------------------
+# in-kernel shadow loop (the blocker sweep, cluster-culled)
+# ---------------------------------------------------------------------------
+
+def shadow_blocked(sph_ref, tri_ref, cl_ref, p1: V3, p2: V3, *, ns, nl, nt,
+                   blocks_col):
+    """check_visibility semantics (geometric.cuh:293-325) on VMEM tables."""
+    diff = p2 - p1
+    dist = norm3(diff)
+    rd = diff.scale(1.0 / jnp.maximum(dist, 1e-20))
+    md = dist - 1e-3
+    MIN_D = 1e-3
+    blocked = jnp.zeros_like(dist, jnp.int32)
+
+    def sph_body(i, blocked):
+        c = V3(sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
+        rr = sph_ref[i, 3]
+        can = sph_ref[i, blocks_col]
+        oc = p1 - c
+        b = dot3(oc, rd)
+        cq = dot3(oc, oc) - rr * rr
+        h = b * b - cq
+        sh = jnp.sqrt(jnp.maximum(h, 0.0))
+        ok = (h >= 0.0) & (rr > 0.0) & (can > 0.0)
+        t1 = -b - sh
+        t2 = -b + sh
+        v1 = ok & (t1 > EPSILON) & (t1 < md)
+        v2 = ok & (t2 > EPSILON) & (t2 < md)
+        t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
+        return blocked | ((t < INF) & (t > MIN_D)).astype(jnp.int32)
+
+    blocked = jax.lax.fori_loop(0, ns + nl, sph_body, blocked)
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d >= 0.0, 1e-12, -1e-12), d)
+    inv = V3(safe_inv(rd.x), safe_inv(rd.y), safe_inv(rd.z))
+
+    def tri_body(i, blocked):
+        v0 = V3(tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2])
+        e1 = V3(tri_ref[i, 3] - v0.x, tri_ref[i, 4] - v0.y,
+                tri_ref[i, 5] - v0.z)
+        e2 = V3(tri_ref[i, 6] - v0.x, tri_ref[i, 7] - v0.y,
+                tri_ref[i, 8] - v0.z)
+        can = tri_ref[i, blocks_col + 5]
+        h = cross3(rd, e2)
+        a = dot3(e1, h)
+        parallel = (a > -1e-6) & (a < 1e-6)
+        fi = 1.0 / jnp.where(parallel, 1.0, a)
+        s = p1 - v0
+        u = fi * dot3(s, h)
+        q = cross3(s, e1)
+        v = fi * dot3(rd, q)
+        t = fi * dot3(e2, q)
+        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > EPSILON) & (t < md) & (can > 0.0))
+        return blocked | (ok & (t > MIN_D)).astype(jnp.int32)
+
+    def cluster_body(c, blocked):
+        t0x = (cl_ref[c, 0] - p1.x) * inv.x
+        t1x = (cl_ref[c, 3] - p1.x) * inv.x
+        t0y = (cl_ref[c, 1] - p1.y) * inv.y
+        t1y = (cl_ref[c, 4] - p1.y) * inv.y
+        t0z = (cl_ref[c, 2] - p1.z) * inv.z
+        t1z = (cl_ref[c, 5] - p1.z) * inv.z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        could = (tn <= tf) & (tn < md) & (blocked == 0)
+        start = cl_ref[c, 6].astype(jnp.int32)
+        count = cl_ref[c, 7].astype(jnp.int32)
+
+        def run(blocked):
+            return jax.lax.fori_loop(start, start + count, tri_body, blocked)
+
+        return jax.lax.cond(jnp.any(could) & (count > 0), run,
+                            lambda b: b, blocked)
+
+    blocked = jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, blocked)
+    return blocked != 0
+
+
+# ---------------------------------------------------------------------------
+# the fused shade kernel
+# ---------------------------------------------------------------------------
+
+def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
+                  # ray + hit (from the nearest kernel)
+                  ox, oy, oz, dx, dy, dz,
+                  ht, hnx, hny, hnz, bcr, bcg, bcb, rough, metal, meta,
+                  hflag,
+                  # path state
+                  tpx, tpy, tpz, etas, depth, act_in, last_delta_in,
+                  last_pdf_in,
+                  # uniforms
+                  u0, u1, u2, u3, u4, u5,
+                  # outputs
+                  rad_x, rad_y, rad_z, nox, noy, noz, ndx, ndy, ndz,
+                  ntx, nty, ntz, neta, ndepth, nalive, ndelta, npdf,
+                  *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+    ro = V3(ox[...], oy[...], oz[...])
+    rd = V3(dx[...], dy[...], dz[...])
+    n = V3(hnx[...], hny[...], hnz[...])
+    t_hit = ht[...]
+    flag = hflag[...]
+    m = Mtl(V3(bcr[...], bcg[...], bcb[...]), rough[...], metal[...],
+            meta[...])
+    tp = V3(tpx[...], tpy[...], tpz[...])
+    eta = etas[...]
+    dep = depth[...]
+    act = act_in[...] != 0
+    last_delta = last_delta_in[...] != 0
+    last_pdf = last_pdf_in[...]
+    uu = [u0[...], u1[...], u2[...], u3[...], u4[...], u5[...]]
+
+    pos = ro + rd.scale(t_hit)
+    hit_ok = flag > 0
+    is_light = flag == 2
+    act = act & hit_ok
+    wo = -rd
+    zero = jnp.zeros_like(t_hit)
+    radiance = V3(zero, zero, zero)
+
+    # ---- 1. light-ball emission (pt_cu.cu:59-121) ----
+    # match the hit against the light table (first |dist-r| < 1e-2 wins)
+    found = jnp.zeros_like(t_hit, jnp.int32)
+    e_area = jnp.ones_like(t_hit)
+    e_cut = zero
+    e_par = jnp.zeros_like(t_hit, jnp.int32)
+    e_dx = zero
+    e_dy = zero
+    e_dz = zero
+    e_ix = zero
+    e_iy = zero
+    e_iz = zero
+    c2hx = zero
+    c2hy = zero
+    c2hz = zero
+
+    def light_match(i, carry):
+        (found, e_area, e_cut, e_par, e_dx, e_dy, e_dz, e_ix, e_iy, e_iz,
+         c2hx, c2hy, c2hz) = carry
+        lp = V3(light_ref[i, 0], light_ref[i, 1], light_ref[i, 2])
+        r = light_ref[i, 11]
+        c2h = pos - lp
+        match = (jnp.abs(norm3(c2h) - r) < 1e-2) & (found == 0)
+        sel = lambda a, b: jnp.where(match, a, b)
+        return (jnp.where(match, 1, found),
+                sel(4.0 * PI * r * r, e_area),
+                sel(light_ref[i, 9], e_cut),
+                jnp.where(match, (light_ref[i, 10] > 0.0).astype(jnp.int32),
+                          e_par),
+                sel(light_ref[i, 3], e_dx), sel(light_ref[i, 4], e_dy),
+                sel(light_ref[i, 5], e_dz),
+                sel(light_ref[i, 6], e_ix), sel(light_ref[i, 7], e_iy),
+                sel(light_ref[i, 8], e_iz),
+                sel(c2h.x, c2hx), sel(c2h.y, c2hy), sel(c2h.z, c2hz))
+
+    (found, e_area, e_cut, e_par, e_dx, e_dy, e_dz, e_ix, e_iy, e_iz,
+     c2hx, c2hy, c2hz) = jax.lax.fori_loop(
+        0, nl_lights, light_match,
+        (found, e_area, e_cut, e_par, e_dx, e_dy, e_dz, e_ix, e_iy, e_iz,
+         c2hx, c2hy, c2hz))
+
+    main_dir = normalize3(V3(e_dx, e_dy, e_dz))
+    c2h_dir = normalize3(V3(c2hx, c2hy, c2hz))
+    spot = (e_cut > 0.0) & (e_par == 0)
+    behind = dot3(main_dir, c2h_dir) < jnp.cos(e_cut)
+    cone = jnp.where(spot, (1.0 - jnp.cos(e_cut)) / 2.0, 1.0)
+    cone = jnp.where(spot & (dep == 0), 1.0, cone)
+    cone = jnp.where(spot & (dep != 0) & behind, 0.0, cone)
+    e_ok = (found != 0) & (cone > 0.0)
+    inv_ac = 1.0 / jnp.maximum(e_area * cone, 1e-20)
+    emission = where3(e_ok, V3(e_ix * inv_ac, e_iy * inv_ac, e_iz * inv_ac),
+                      V3(zero, zero, zero))
+    has_e = (emission.x > 0.0) | (emission.y > 0.0) | (emission.z > 0.0)
+
+    c_delta = tp.mul(emission)
+    c_delta = where3(valid3(c_delta), clamp3(c_delta, clamp_val),
+                     V3(zero, zero, zero))
+    if stub_mis:
+        light_contrib = where3(last_delta, c_delta, V3(zero, zero, zero))
+    else:
+        cos_l = jnp.maximum(dot3(n, wo), 1e-6)
+        pdf_l = (1.0 / (nl_lights * e_area)) * t_hit * t_hit / cos_l
+        p_b = last_pdf * last_pdf
+        p_l = pdf_l * pdf_l
+        mis_w = p_b / jnp.maximum(p_b + p_l, 1e-8)
+        c_mis = tp.mul(emission).scale(mis_w)
+        c_mis = where3((found != 0) & valid3(c_mis),
+                       clamp3(c_mis, clamp_val), V3(zero, zero, zero))
+        light_contrib = where3(last_delta, c_delta, c_mis)
+    add_light = act & is_light & has_e
+    radiance = radiance + where3(add_light, light_contrib,
+                                 V3(zero, zero, zero))
+
+    alive = act & ~is_light
+
+    # ---- 2. NEE (pt_cu.cu:125-201) ----
+    elig = (alive & (m.eta <= 0.0) & ((m.metal < 0.99) | (m.rough > 0.01)))
+    li = jnp.minimum((uu[0] * nl_lights).astype(jnp.int32), nl_lights - 1)
+
+    # gather the chosen light's row via a match loop (no vector gathers)
+    l_px = zero; l_py = zero; l_pz = zero
+    l_dxx = zero; l_dyy = zero; l_dzz = zero
+    l_ix = zero; l_iy = zero; l_iz = zero
+    l_cut = zero; l_parf = zero; l_r = zero
+
+    def pick(i, c):
+        (l_px, l_py, l_pz, l_dxx, l_dyy, l_dzz, l_ix, l_iy, l_iz, l_cut,
+         l_parf, l_r) = c
+        sel = li == i
+        g = lambda j, old: jnp.where(sel, light_ref[i, j], old)
+        return (g(0, l_px), g(1, l_py), g(2, l_pz), g(3, l_dxx), g(4, l_dyy),
+                g(5, l_dzz), g(6, l_ix), g(7, l_iy), g(8, l_iz), g(9, l_cut),
+                g(10, l_parf), g(11, l_r))
+
+    (l_px, l_py, l_pz, l_dxx, l_dyy, l_dzz, l_ix, l_iy, l_iz, l_cut, l_parf,
+     l_r) = jax.lax.fori_loop(0, nl_lights, pick,
+                              (l_px, l_py, l_pz, l_dxx, l_dyy, l_dzz, l_ix,
+                               l_iy, l_iz, l_cut, l_parf, l_r))
+    l_pos = V3(l_px, l_py, l_pz)
+    l_dir = V3(l_dxx, l_dyy, l_dzz)
+    l_illum = V3(l_ix, l_iy, l_iz)
+    l_par = l_parf > 0.0
+
+    pdir = normalize3(-l_dir)
+    # uniform point on the light ball
+    zc = 1.0 - 2.0 * uu[1]
+    rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - zc * zc))
+    ph = 2.0 * PI * uu[2]
+    d_loc = V3(rr * jnp.cos(ph), rr * jnp.sin(ph), zc)
+    lp = l_pos + d_loc.scale(l_r)
+    wi_vec = lp - pos
+    dist2 = dot3(wi_vec, wi_vec)
+    dist = jnp.sqrt(dist2)
+    wi_sph = wi_vec.scale(1.0 / jnp.maximum(dist, 1e-20))
+    wi = where3(l_par, pdir, wi_sph)
+    cos_surf = jnp.maximum(0.0, dot3(n, wi))
+    cos_light = jnp.maximum(0.0, dot3(d_loc, -wi_sph))
+    # boolean algebra, not select: Mosaic can't select over i1/i8 vectors
+    inside = l_par | (l_cut <= 0.0) | (
+        dot3(normalize3(l_dir), -wi_sph) >= jnp.cos(l_cut))
+
+    p2 = where3(l_par, pos + pdir.scale(1e4), lp + d_loc.scale(EPSILON))
+    blocked = shadow_blocked(sph_ref, tri_ref, cl_ref,
+                             pos + n.scale(EPSILON), p2,
+                             ns=ns, nl=nl_lights, nt=nt,
+                             blocks_col=blocks_col)
+    tr = jnp.where(blocked, 0.0, 1.0)
+
+    brdf, pdf_b = eval_pdf_world(m, wo, wi, n)
+    contrib_par = brdf.mul(l_illum).scale(tr * cos_surf * float(nl_lights))
+    area = 4.0 * PI * l_r * l_r
+    pdf_area = 1.0 / (nl_lights * area)
+    pdf_ld = pdf_area * dist2 / jnp.maximum(cos_light, 1e-6)
+    p_l2 = pdf_ld * pdf_ld
+    p_b2 = pdf_b * pdf_b
+    mis = p_l2 / jnp.maximum(p_l2 + p_b2, 1e-8)
+    contrib_sph = brdf.mul(l_illum).scale(tr * cos_surf / pdf_ld * mis)
+    gate_par = (cos_surf > 0.0) & (tr > 0.0)
+    gate_sph = ((cos_surf > 0.0) & (cos_light > 0.0) & inside & (tr > 0.0))
+    nee = where3(l_par, where3(gate_par, contrib_par, V3(zero, zero, zero)),
+                 where3(gate_sph, contrib_sph, V3(zero, zero, zero)))
+    nee = where3(valid3(nee), clamp3(nee, clamp_val), V3(zero, zero, zero))
+    radiance = radiance + where3(elig, nee, V3(zero, zero, zero))
+
+    # ---- 3. BSDF sample + state update (pt_cu.cu:204-241) ----
+    wi_b, val, pdf, is_delta, new_eta = bsdf_sample_k(
+        m, wo, n, uu[3], uu[4], uu[5], eta)
+    dead = (pdf <= 0.0) & ~is_delta
+    alive = alive & ~dead
+    cos_wi = jnp.abs(dot3(n, wi_b))
+    w = jnp.where(is_delta, 1.0, cos_wi / jnp.maximum(pdf, 1e-20))
+    new_tp = tp.mul(val).scale(w)
+    alive = alive & valid3(new_tp)
+    off = where3(dot3(wi_b, n) < 0.0, -n, n).scale(EPSILON)
+    new_ro = where3(is_delta, pos + off, pos + n.scale(EPSILON))
+    new_dep = dep + jnp.where(is_delta, 0, 1)
+
+    upd = act & ~is_light
+    rad_x[...] = radiance.x
+    rad_y[...] = radiance.y
+    rad_z[...] = radiance.z
+    nox[...] = jnp.where(upd, new_ro.x, ro.x)
+    noy[...] = jnp.where(upd, new_ro.y, ro.y)
+    noz[...] = jnp.where(upd, new_ro.z, ro.z)
+    ndx[...] = jnp.where(upd, wi_b.x, rd.x)
+    ndy[...] = jnp.where(upd, wi_b.y, rd.y)
+    ndz[...] = jnp.where(upd, wi_b.z, rd.z)
+    ntx[...] = jnp.where(upd, new_tp.x, tp.x)
+    nty[...] = jnp.where(upd, new_tp.y, tp.y)
+    ntz[...] = jnp.where(upd, new_tp.z, tp.z)
+    neta[...] = jnp.where(upd, new_eta, eta)
+    ndepth[...] = jnp.where(upd, new_dep, dep)
+    # Mosaic can't select over i1 vectors: cast masks to i32 first
+    nalive[...] = jnp.where(upd, alive.astype(jnp.int32),
+                            (act & ~is_light).astype(jnp.int32))
+    ndelta[...] = jnp.where(upd, is_delta.astype(jnp.int32),
+                            last_delta.astype(jnp.int32))
+    npdf[...] = jnp.where(upd & ~is_delta, pdf, last_pdf)
+
+
+def shade_step_pallas(scene: Scene, light_tab, ro, rd, hit, tp, eta, depth,
+                      act, last_delta, last_pdf, u, *, clamp_val, stub_mis,
+                      dielectrics_block):
+    """Run one fused shade step.  ``hit`` is the dict from
+    nearest_hit_pallas; ``u`` is (6, B) uniforms.  Returns a dict of updated
+    state + the radiance contribution of this bounce."""
+    B = ro.shape[0]
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+
+    comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+             hit["t"], hit["nx"], hit["ny"], hit["nz"], hit["bcr"],
+             hit["bcg"], hit["bcb"], hit["rough"], hit["metal"], hit["eta"],
+             hit["flag"],
+             tp[:, 0], tp[:, 1], tp[:, 2], eta, depth,
+             act.astype(jnp.int32), last_delta.astype(jnp.int32), last_pdf,
+             u[0], u[1], u[2], u[3], u[4], u[5]]
+    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    rows_total = tiled[0].shape[0]
+    grid = rows_total // TILE_ROWS
+
+    kernel = functools.partial(
+        _shade_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=clamp_val,
+        stub_mis=stub_mis, blocks_col=4 if dielectrics_block else 5)
+    # rad3, ro3, rd3, tp3, eta | depth, alive, delta | last_pdf
+    out_dtypes = ([jnp.float32] * 13
+                  + [jnp.int32, jnp.int32, jnp.int32, jnp.float32])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(light_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *_ray_specs(len(comps)),
+        ],
+        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in out_dtypes],
+        out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
+                   for dt in out_dtypes],
+    )(sph_tab, tri_tab, cl_tab, light_tab, *tiled)
+
+    # NOTE: output order must match _shade_kernel's signature
+    names = ["rad_x", "rad_y", "rad_z", "ox", "oy", "oz", "dx", "dy", "dz",
+             "tx", "ty", "tz", "eta", "depth", "alive", "delta", "last_pdf"]
+    flat = {nm: o.reshape(-1)[:B] for nm, o in zip(names, outs)}
+    return dict(
+        radiance=jnp.stack([flat["rad_x"], flat["rad_y"], flat["rad_z"]], -1),
+        ro=jnp.stack([flat["ox"], flat["oy"], flat["oz"]], -1),
+        rd=jnp.stack([flat["dx"], flat["dy"], flat["dz"]], -1),
+        tp=jnp.stack([flat["tx"], flat["ty"], flat["tz"]], -1),
+        eta=flat["eta"],
+        depth=flat["depth"],
+        alive=flat["alive"] != 0,
+        last_is_delta=flat["delta"] != 0,
+        last_pdf=flat["last_pdf"],
+    )
