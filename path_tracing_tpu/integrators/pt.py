@@ -327,7 +327,6 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
     fused = _use_fused_shade()
     if fused:
-        from ..ops.pallas_intersect import nearest_hit_pallas
         from ..ops.pallas_shade import shade_step_pallas
 
         light_tab = _light_table(scene)
@@ -357,9 +356,8 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         alive = state["alive"] | regen
 
         if fused:
-            h = nearest_hit_pallas(scene, ro, rd)
             out = shade_step_pallas(
-                scene, light_tab, ro, rd, h, throughput, eta, depth, alive,
+                scene, light_tab, ro, rd, throughput, eta, depth, alive,
                 last_is_delta, last_pdf, u,
                 clamp_val=cfg.clamp, stub_mis=cfg.pt_stub_mis_strategy_a,
                 dielectrics_block=cfg.shadow_dielectrics_block)

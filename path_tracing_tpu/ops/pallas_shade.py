@@ -409,15 +409,125 @@ def shadow_blocked(sph_ref, tri_ref, cl_ref, p1: V3, p2: V3, *, ns, nl, nt,
     return blocked != 0
 
 
+def nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro: V3, rd: V3, *, ns, nl,
+                       nt):
+    """In-kernel nearest hit (the _nearest_kernel sweep, plane-based):
+    returns (t, normal, Mtl, flag) with flag 0=miss/1=surface/2=light."""
+    zero = jnp.zeros_like(ro.x)
+    best_t = jnp.full_like(ro.x, INF)
+    bn = V3(zero, zero, zero)
+    bbc = V3(zero, zero, zero)
+    brough = zero
+    bmetal = zero
+    beta = zero
+    bflag = jnp.zeros_like(ro.x, jnp.int32)
+
+    def sph_body(i, c):
+        best_t, bn, bbc, brough, bmetal, beta, bflag = c
+        ctr = V3(sph_ref[i, 0], sph_ref[i, 1], sph_ref[i, 2])
+        r = sph_ref[i, 3]
+        oc = ro - ctr
+        b = dot3(oc, rd)
+        cq = dot3(oc, oc) - r * r
+        h = b * b - cq
+        sh = jnp.sqrt(jnp.maximum(h, 0.0))
+        t1 = -b - sh
+        t2 = -b + sh
+        ok = (h >= 0.0) & (r > 0.0)
+        v1 = ok & (t1 > EPSILON)
+        v2 = ok & (t2 > EPSILON)
+        t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
+        closer = t < best_t
+        inv_r = 1.0 / jnp.maximum(r, 1e-20)
+        nrm = (oc + rd.scale(t)).scale(inv_r)
+        sel = lambda a, b2: jnp.where(closer, a, b2)
+        flag = jnp.where(sph_ref[i, 14] > 0.0, 2, 1)
+        return (sel(t, best_t), where3(closer, nrm, bn),
+                where3(closer, V3(sph_ref[i, 8], sph_ref[i, 9],
+                                  sph_ref[i, 10]), bbc),
+                sel(sph_ref[i, 11], brough), sel(sph_ref[i, 12], bmetal),
+                sel(sph_ref[i, 13], beta), jnp.where(closer, flag, bflag))
+
+    carry = (best_t, bn, bbc, brough, bmetal, beta, bflag)
+    carry = jax.lax.fori_loop(0, ns + nl, sph_body, carry)
+    best_t, bn, bbc, brough, bmetal, beta, bflag = carry
+
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d >= 0.0, 1e-12, -1e-12), d)
+    inv = V3(safe_inv(rd.x), safe_inv(rd.y), safe_inv(rd.z))
+
+    def tri_body(i, c):
+        best_t, bn, bbc, brough, bmetal, beta, bflag = c
+        v0 = V3(tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2])
+        e1 = V3(tri_ref[i, 3] - v0.x, tri_ref[i, 4] - v0.y,
+                tri_ref[i, 5] - v0.z)
+        e2 = V3(tri_ref[i, 6] - v0.x, tri_ref[i, 7] - v0.y,
+                tri_ref[i, 8] - v0.z)
+        h = cross3(rd, e2)
+        a = dot3(e1, h)
+        parallel = (a > -1e-6) & (a < 1e-6)
+        fi = 1.0 / jnp.where(parallel, 1.0, a)
+        sv = ro - v0
+        u = fi * dot3(sv, h)
+        q = cross3(sv, e1)
+        v = fi * dot3(rd, q)
+        t = fi * dot3(e2, q)
+        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > EPSILON))
+        t = jnp.where(ok, t, INF)
+        closer = t < best_t
+        nrm = V3(jnp.broadcast_to(tri_ref[i, 12], t.shape),
+                 jnp.broadcast_to(tri_ref[i, 13], t.shape),
+                 jnp.broadcast_to(tri_ref[i, 14], t.shape))
+        sel = lambda a2, b2: jnp.where(closer, a2, b2)
+        return (sel(t, best_t), where3(closer, nrm, bn),
+                where3(closer, V3(tri_ref[i, 16], tri_ref[i, 17],
+                                  tri_ref[i, 18]), bbc),
+                sel(tri_ref[i, 19], brough), sel(tri_ref[i, 20], bmetal),
+                sel(tri_ref[i, 21], beta),
+                jnp.where(closer, 1, bflag))
+
+    def cluster_body(ci, c):
+        best_t = c[0]
+        t0x = (cl_ref[ci, 0] - ro.x) * inv.x
+        t1x = (cl_ref[ci, 3] - ro.x) * inv.x
+        t0y = (cl_ref[ci, 1] - ro.y) * inv.y
+        t1y = (cl_ref[ci, 4] - ro.y) * inv.y
+        t0z = (cl_ref[ci, 2] - ro.z) * inv.z
+        t1z = (cl_ref[ci, 5] - ro.z) * inv.z
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        could = (tn <= tf) & (tn < best_t)
+        start = cl_ref[ci, 6].astype(jnp.int32)
+        count = cl_ref[ci, 7].astype(jnp.int32)
+
+        def run(c):
+            return jax.lax.fori_loop(start, start + count, tri_body, c)
+
+        return jax.lax.cond(jnp.any(could) & (count > 0), run, lambda x: x, c)
+
+    carry = jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, carry)
+    best_t, bn, bbc, brough, bmetal, beta, bflag = carry
+
+    ndotd = dot3(bn, rd)
+    sgn = jnp.where(ndotd > 0.0, -1.0, 1.0)
+    bn = bn.scale(sgn)
+    bflag = bflag * (best_t < INF).astype(jnp.int32)
+    return best_t, bn, Mtl(bbc, brough, bmetal, beta), bflag
+
+
 # ---------------------------------------------------------------------------
 # the fused shade kernel
 # ---------------------------------------------------------------------------
 
 def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
-                  # ray + hit (from the nearest kernel)
+                  # ray
                   ox, oy, oz, dx, dy, dz,
-                  ht, hnx, hny, hnz, bcr, bcg, bcb, rough, metal, meta,
-                  hflag,
                   # path state
                   tpx, tpy, tpz, etas, depth, act_in, last_delta_in,
                   last_pdf_in,
@@ -429,11 +539,9 @@ def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
                   *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
     ro = V3(ox[...], oy[...], oz[...])
     rd = V3(dx[...], dy[...], dz[...])
-    n = V3(hnx[...], hny[...], hnz[...])
-    t_hit = ht[...]
-    flag = hflag[...]
-    m = Mtl(V3(bcr[...], bcg[...], bcb[...]), rough[...], metal[...],
-            meta[...])
+    # in-kernel nearest hit: no HBM round trip for the hit attributes
+    t_hit, n, m, flag = nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro, rd,
+                                           ns=ns, nl=nl_lights, nt=nt)
     tp = V3(tpx[...], tpy[...], tpz[...])
     eta = etas[...]
     dep = depth[...]
@@ -630,19 +738,16 @@ def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
     npdf[...] = jnp.where(upd & ~is_delta, pdf, last_pdf)
 
 
-def shade_step_pallas(scene: Scene, light_tab, ro, rd, hit, tp, eta, depth,
+def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
                       act, last_delta, last_pdf, u, *, clamp_val, stub_mis,
                       dielectrics_block):
-    """Run one fused shade step.  ``hit`` is the dict from
-    nearest_hit_pallas; ``u`` is (6, B) uniforms.  Returns a dict of updated
+    """Run one fused bounce (nearest hit + emission + NEE + sample) in a
+    single kernel.  ``u`` is (6, B) uniforms.  Returns a dict of updated
     state + the radiance contribution of this bounce."""
     B = ro.shape[0]
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
 
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
-             hit["t"], hit["nx"], hit["ny"], hit["nz"], hit["bcr"],
-             hit["bcg"], hit["bcb"], hit["rough"], hit["metal"], hit["eta"],
-             hit["flag"],
              tp[:, 0], tp[:, 1], tp[:, 2], eta, depth,
              act.astype(jnp.int32), last_delta.astype(jnp.int32), last_pdf,
              u[0], u[1], u[2], u[3], u[4], u[5]]
