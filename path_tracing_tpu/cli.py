@@ -124,9 +124,17 @@ def main(argv=None) -> int:
             from .integrators.bdpt import render_bdpt
             return render_bdpt(scene, cam, W, H, args.spp, args.spl, cfg, k)
         else:
-            from .integrators.ppm import render_ppm
-            return render_ppm(scene, cam, W, H, args.spl, cfg, k,
-                              pass_index=i)
+            from .integrators.ppm import (ppm_radius_scale,
+                                          render_ppm_with_stats)
+            img, _, overflow = render_ppm_with_stats(
+                scene, cam, W, H, args.spl, cfg, k,
+                r2_scale=ppm_radius_scale(i, cfg.ppm_alpha))
+            ov = int(overflow)
+            if ov:
+                print(f"[Warn] PPM gather dropped {ov} candidate events "
+                      f"(raise ppm_max_per_cell or use ppm_cell_samples)",
+                      file=sys.stderr)
+            return img
 
     print("[Render] Starting Render...")
     t0 = time.perf_counter()
