@@ -540,8 +540,22 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
     material for eye hits on light balls at depth>0, which then connect and
     bounce like diffuse surfaces — SURVEY.md quirk 6).
     """
+    import os
+
+    def _use_fused_connect():
+        if os.environ.get("PT_TPU_NO_FUSED_CONNECT") or os.environ.get(
+                "PT_TPU_NO_PALLAS"):
+            return False
+        return jax.default_backend() == "tpu"
+
     B = px.shape[0]
     lv_flat, n_valid = compact_flat(lv.flat())
+    fused_connect = (_use_fused_connect()
+                     and cfg.bdpt_connection_samples == 0)
+    if fused_connect:
+        from ..ops.pallas_connect import connect_pallas, pack_light_vertices
+
+        lv_tab = pack_light_vertices(lv_flat)
     jx, jy = rng.uniforms(jax.random.fold_in(key, 0xA11CE), (B,), 2)
     rd0 = primary_ray_dirs(cam, px, py, jx, jy)
 
@@ -580,7 +594,13 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
         eye_f = jnp.where(
             (depth == 0) | (hit.mtl.eta > 0.0), 0.0,
             (1.0 / PDF_FWD_FLOOR) * (1.0 + state["g_mis"]))
-        if cfg.bdpt_connection_samples > 0:
+        if fused_connect:
+            total = connect_pallas(
+                scene, lv_tab, n_valid, hit.pos, hit.normal, state["tp"],
+                hit.mtl, wo_e, wo_s, eye_f, act,
+                clamp_val=cfg.clamp,
+                dielectrics_block=cfg.shadow_dielectrics_block)
+        elif cfg.bdpt_connection_samples > 0:
             total = _connect_sampled(
                 scene, cfg, lv_flat, n_valid, hit.pos, hit.normal,
                 state["tp"], hit.mtl, wo_e, wo_s, eye_f, k)

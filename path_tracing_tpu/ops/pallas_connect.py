@@ -1,0 +1,205 @@
+"""Fused Pallas kernel for BDPT eye-light connections.
+
+The chunked XLA connection sweep (integrators/bdpt._connect) materializes
+~15 ``(B, C)`` intermediates per chunk in HBM.  This kernel holds the whole
+compacted light-vertex set as a small VMEM table and loops it per ray tile —
+exactly like the primitive sweeps — so each connection's geometry, both BSDF
+eval/pdf pairs, the inline shadow sweep and the O(1) MIS all stay in
+registers.  Output: the per-lane contribution sum (B, 3).
+
+Vertex table rows (see ``pack_light_vertices``):
+  [pos3, normal3, tp3, bc3, rough, metal, eta, is_src, cutoff, is_par,
+   emit_dir3, wo3, mis_a, valid]  (26 used, padded to 32)
+
+Semantics identical to bdpt._connect (bdpt_cu.cu:384-457 / cpu_bdpt.cpp:
+389-439 with the linear-prefactor MIS); equivalence is tested against the
+XLA path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import Scene
+from .math3 import EPSILON, PI
+from .pallas_intersect import LANE, TILE_ROWS, _ray_specs, _tile, pack_scene
+from .pallas_shade import (Mtl, V3, build_frame, clamp3, dot3, eval_local,
+                           half_vector, normalize3, pdf_local,
+                           roughness_to_alpha, shadow_blocked, to_local,
+                           valid3, where3)
+
+PDF_OMEGA_FLOOR = 1e-6
+
+
+def pack_light_vertices(lv_flat) -> jnp.ndarray:
+    """Flat LightVertices -> (V, 32) f32 VMEM table (column layout above)."""
+    V = lv_flat.pos.shape[0]
+    cols = [
+        lv_flat.pos, lv_flat.normal, lv_flat.throughput,
+        lv_flat.mtl.base_color,
+        lv_flat.mtl.roughness[:, None], lv_flat.mtl.metallic[:, None],
+        lv_flat.mtl.eta[:, None],
+        lv_flat.is_light_source.astype(jnp.float32)[:, None],
+        lv_flat.source_cutoff[:, None],
+        lv_flat.is_parallel.astype(jnp.float32)[:, None],
+        lv_flat.emit_dir, lv_flat.wo,
+        lv_flat.mis_a[:, None],
+        lv_flat.valid.astype(jnp.float32)[:, None],
+    ]
+    tab = jnp.concatenate(cols, axis=1)                      # (V, 26)
+    pad_cols = 32 - tab.shape[1]
+    tab = jnp.concatenate([tab, jnp.zeros((V, pad_cols))], axis=1)
+    pad_rows = (-V) % 8
+    return jnp.concatenate([tab, jnp.zeros((pad_rows, 32))], axis=0)
+
+
+def _connect_kernel(sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref,
+                    epx, epy, epz, enx, eny, enz,
+                    etx, ety, etz, bcr, bcg, bcb, rough, metal, meta,
+                    woex, woey, woez, wosx, wosy, wosz, eyef, act_in,
+                    out_x, out_y, out_z,
+                    *, ns, nl, nt, clamp_val, blocks_col):
+    ev_pos = V3(epx[...], epy[...], epz[...])
+    ev_n = V3(enx[...], eny[...], enz[...])
+    ev_tp = V3(etx[...], ety[...], etz[...])
+    m_e = Mtl(V3(bcr[...], bcg[...], bcb[...]), rough[...], metal[...],
+              meta[...])
+    wo_e = V3(woex[...], woey[...], woez[...])
+    wo_s = V3(wosx[...], wosy[...], wosz[...])
+    eye_f = eyef[...]
+    act = act_in[...] != 0
+    n_valid = nvalid_ref[0, 0]
+
+    zero = jnp.zeros_like(eye_f)
+    # hoisted eye-side frame
+    et, eb = build_frame(ev_n)
+    wo_e_l = to_local(wo_e, et, eb, ev_n)
+    wo_s_l = to_local(wo_s, et, eb, ev_n)
+    alpha_e = roughness_to_alpha(m_e.rough)
+
+    def body(c, acc):
+        lp = V3(lv_ref[c, 0], lv_ref[c, 1], lv_ref[c, 2])
+        ln = V3(lv_ref[c, 3], lv_ref[c, 4], lv_ref[c, 5])
+        ltp = V3(lv_ref[c, 6], lv_ref[c, 7], lv_ref[c, 8])
+        m_l = Mtl(V3(lv_ref[c, 9], lv_ref[c, 10], lv_ref[c, 11]),
+                  lv_ref[c, 12], lv_ref[c, 13], lv_ref[c, 14])
+        is_src = lv_ref[c, 15] > 0.0
+        cutoff = lv_ref[c, 16]
+        is_par = lv_ref[c, 17] > 0.0
+        emit = V3(lv_ref[c, 18], lv_ref[c, 19], lv_ref[c, 20])
+        lwo = V3(lv_ref[c, 21], lv_ref[c, 22], lv_ref[c, 23])
+        mis_a = lv_ref[c, 24]
+        v_ok = lv_ref[c, 25] > 0.0
+
+        d_vec = lp - ev_pos
+        dist2 = dot3(d_vec, d_vec)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        wi = d_vec.scale(1.0 / dist)
+
+        cos_e = jnp.maximum(0.0, dot3(ev_n, wi))
+        cos_l = jnp.maximum(0.0, dot3(-ln, wi))
+        gate = act & v_ok & (dist2 >= 1e-6) & (cos_e > 0.0) & (cos_l > 0.0)
+        cone_bad = (is_src & (cutoff > 0.0) & ~is_par
+                    & (dot3(emit, -wi) < jnp.cos(cutoff)))
+        gate &= ~cone_bad
+
+        # eye side: eval with wo_e, pdf with wo_s (hoisted frame)
+        wi_e_l = to_local(wi, et, eb, ev_n)
+        wh_e, ok_e = half_vector(wo_e_l, wi_e_l)
+        f_e = eval_local(m_e, wo_e_l, wi_e_l, alpha_e, wh_e, ok_e)
+        wh_s, ok_s = half_vector(wo_s_l, wi_e_l)
+        pdf_s = jnp.maximum(
+            pdf_local(m_e, wo_s_l, wi_e_l, alpha_e, wh_s, ok_s),
+            PDF_OMEGA_FLOOR)
+
+        # light side: per-vertex frame is scalar math broadcast per lane
+        lt, lb = build_frame(ln)
+        wo_t_l = to_local(lwo, lt, lb, ln)
+        alpha_l = roughness_to_alpha(m_l.rough)
+        wi_l_l = to_local(-wi, lt, lb, ln)
+        wh_l, ok_l = half_vector(wo_t_l, wi_l_l)
+        one = jnp.ones_like(zero)
+        f_l = where3(is_src, V3(one, one, one),
+                     eval_local(m_l, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l))
+        pdf_t = jnp.maximum(
+            pdf_local(m_l, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l),
+            PDF_OMEGA_FLOOR)
+        gate &= ((f_e.x > 0.0) | (f_e.y > 0.0) | (f_e.z > 0.0))
+        gate &= ((f_l.x > 0.0) | (f_l.y > 0.0) | (f_l.z > 0.0))
+
+        blocked = shadow_blocked(
+            sph_ref, tri_ref, cl_ref,
+            ev_pos + ev_n.scale(EPSILON), lp + ln.scale(EPSILON),
+            ns=ns, nl=nl, nt=nt, blocks_col=blocks_col)
+        tr = jnp.where(blocked, 0.0, 1.0)
+        gate &= tr > 0.0
+
+        g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
+        pdf_s_to_t = pdf_s * cos_l / jnp.maximum(dist2, 1e-20)
+        pdf_t_to_s = pdf_t * cos_e / jnp.maximum(dist2, 1e-20)
+        sum_ratios = 1.0 + pdf_t_to_s * eye_f + pdf_s_to_t * mis_a
+        mis_ok = jnp.isfinite(sum_ratios) & (sum_ratios > 0.0)
+        mis_w = jnp.where(mis_ok, 1.0 / jnp.maximum(sum_ratios, 1e-30), 0.0)
+
+        contrib = ev_tp.mul(f_e).mul(f_l).mul(ltp).scale(
+            g_term * tr * mis_w)
+        ok = gate & valid3(contrib)
+        contrib = where3(ok, clamp3(contrib, clamp_val),
+                         V3(zero, zero, zero))
+        return acc + contrib
+
+    acc = jax.lax.fori_loop(0, n_valid, body, V3(zero, zero, zero))
+    out_x[...] = acc.x
+    out_y[...] = acc.y
+    out_z[...] = acc.z
+
+
+def connect_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid,
+                   ev_pos, ev_normal, ev_tp, ev_mtl, wo_e, wo_s, eye_f, act,
+                   *, clamp_val, dielectrics_block):
+    """Sum of connection contributions per eye lane, (B, 3)."""
+    B = ev_pos.shape[0]
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+
+    comps = [ev_pos[:, 0], ev_pos[:, 1], ev_pos[:, 2],
+             ev_normal[:, 0], ev_normal[:, 1], ev_normal[:, 2],
+             ev_tp[:, 0], ev_tp[:, 1], ev_tp[:, 2],
+             ev_mtl.base_color[:, 0], ev_mtl.base_color[:, 1],
+             ev_mtl.base_color[:, 2], ev_mtl.roughness, ev_mtl.metallic,
+             ev_mtl.eta,
+             wo_e[:, 0], wo_e[:, 1], wo_e[:, 2],
+             wo_s[:, 0], wo_s[:, 1], wo_s[:, 2],
+             eye_f, act.astype(jnp.int32)]
+    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    rows_total = tiled[0].shape[0]
+    grid = rows_total // TILE_ROWS
+
+    kernel = functools.partial(
+        _connect_kernel, ns=ns, nl=nl, nt=nt, clamp_val=clamp_val,
+        blocks_col=4 if dielectrics_block else 5)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lv_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            *_ray_specs(len(comps)),
+        ],
+        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM) for _ in range(3)],
+        out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
+                   for _ in range(3)],
+    )(sph_tab, tri_tab, cl_tab, lv_tab,
+      jnp.asarray(n_valid, jnp.int32).reshape(1, 1), *tiled)
+    return jnp.stack([o.reshape(-1)[:B] for o in outs], axis=-1)
