@@ -96,3 +96,23 @@ def test_oracle_bit_reproducible(setup):
     c = np.asarray(render_oracle(scene, cam, W, H, 1, 4, cfg, seed=8, chunk=32))
     np.testing.assert_array_equal(a, b)
     assert np.any(a != c)
+
+
+def test_oracle_regression_fixture(setup):
+    """Pin the oracle's output against a committed fixture: semantic drift in
+    any shared module (BSDF, MIS prefactors, emission sampling, visibility)
+    shows up here.  Tolerances absorb cross-platform fp association."""
+    scene_, _, _ = setup
+    p = load_scene(INPUT_TXT)
+    scene = p.to_device()
+    W2 = H2 = 48
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W2, H2)
+    cfg = RenderConfig(width=W2, height=H2, eye_depth=4, light_depth=4,
+                       delta_budget=4)
+    img = np.asarray(render_oracle(scene, cam, W2, H2, 2, 8, cfg, seed=1337,
+                                   chunk=32))
+    ref = np.load("tests/fixtures/oracle_48_input.npz")["img"]
+    rmse = float(np.sqrt(np.mean(
+        (np.clip(img, 0, 1) - np.clip(ref, 0, 1)) ** 2)))
+    assert rmse < 0.02, rmse
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.05
