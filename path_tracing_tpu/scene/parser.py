@@ -53,7 +53,7 @@ class ParsedScene:
     tri_group: List = field(default_factory=list)
     lights: List = field(default_factory=list)        # rows [pos3,dir3,illum3,cutoff,is_par,ball_r]
 
-    def to_device(self) -> Scene:
+    def to_device(self, cluster_leaf_size: int = 64) -> Scene:
         import jax.numpy as jnp
 
         def mtl_of(rows):
@@ -80,6 +80,7 @@ class ParsedScene:
             light_cutoff=lights[:, 9],
             light_is_parallel=lights[:, 10].astype(np.int32),
             light_ball_r=lights[:, 11],
+            cluster_leaf_size=cluster_leaf_size,
         )
 
 
