@@ -38,13 +38,17 @@ def _timeit(fn, iters=3):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", type=int, default=0,
-                    help="0 = headline 1080p PT; 1-5 = BASELINE configs")
+    ap.add_argument("--config", default="0",
+                    help="0 = headline 1080p PT; 1-5 = BASELINE configs; "
+                         "'rmse' = time-to-target-RMSE vs the oracle")
     ap.add_argument("--obj", default="tests/fixtures/sphere.obj")
     ap.add_argument("--spp", type=int, default=0)
     ap.add_argument("--conn-samples", type=int, default=0,
                     help="config 5: unbiased per-eye-vertex connection "
                          "subsample (0 = exact all-pairs)")
+    ap.add_argument("--regen-rmse-target", action="store_true",
+                    help="rebuild the committed converged-oracle fixture "
+                         "used by --config rmse")
     args = ap.parse_args()
 
     import jax
@@ -64,7 +68,60 @@ def main() -> int:
         cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
         return scene, cam, RenderConfig(width=W, height=H, **cfg_kw)
 
-    c = args.config
+    if args.config == "rmse":
+        # BASELINE's second metric: wall seconds for a fresh progressive
+        # BDPT render to reach 8-bit RMSE < 13 against a converged
+        # deterministic oracle (committed fixture; --regen-rmse-target
+        # rebuilds it by averaging 256 independent oracle-mode passes).
+        import os
+
+        import numpy as np
+
+        from path_tracing_tpu.film import tonemap_u8
+        from path_tracing_tpu.integrators.bdpt import render_bdpt
+
+        W = H = 128
+        scene, cam, cfg = setup("/root/reference/input.txt", W, H,
+                                eye_depth=4, light_depth=4, delta_budget=4)
+        # progressive estimator: oracle mode (the GPU-parity estimator
+        # differs from the oracle by the dielectric shadow rule and
+        # plateaus at ~22 RMSE — a real reference property, not noise)
+        f = lambda k, i: render_bdpt(scene, cam, W, H, 4, 16, cfg,
+                                     jax.random.fold_in(k, i), oracle=True)
+        fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "fixtures", "rmse_target_128.npy")
+        if args.regen_rmse_target or not os.path.exists(fixture):
+            print("regenerating converged target (256 passes)...",
+                  file=sys.stderr)
+            tkey = jax.random.PRNGKey(0xA5A5)  # disjoint from measure keys
+            tacc = np.zeros((W * H, 3))
+            for i in range(256):
+                tacc += np.asarray(f(tkey, i))
+            np.save(fixture, (tacc / 256).astype(np.float32))
+        target = tonemap_u8(np.load(fixture), W, H).astype(np.float32)
+
+        _sync(f(key, 0))  # warm compile outside the timed region
+        acc = np.zeros((W * H, 3))
+        t0 = time.perf_counter()
+        rmse = 1e9
+        for i in range(1, 129):
+            img = f(key, i)
+            _sync(img)
+            acc += np.asarray(img)
+            u8 = tonemap_u8(acc / i, W, H)
+            rmse = float(np.sqrt(np.mean(
+                (u8.astype(np.float32) - target) ** 2)))
+            if rmse < 13.0:
+                break
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"time-to-RMSE<13 (8-bit) vs converged oracle, BDPT "
+                      f"128^2 (reached {rmse:.1f} after {i} passes)",
+            "value": round(dt, 2), "unit": "s",
+            "vs_baseline": round(dt / 60.0, 4)}))
+        return 0
+
+    c = int(args.config)
     if c in (0, 2, 3):
         from path_tracing_tpu.integrators.pt import render_pt
 
