@@ -32,6 +32,11 @@ class RenderConfig:
     # subsampling of N events per cell, contributions scaled by count/N —
     # same expectation, bounded work in photon-dense cells
     ppm_cell_samples: int = 0
+    # grid cap for the Pallas cell-blocked gather (ops/pallas_ppm_gather):
+    # max occupied hitpoint cells covered per pass; hitpoints beyond it are
+    # dropped and reported via the overflow count (512^2 input.txt occupies
+    # ~5.5k cells)
+    ppm_max_cells: int = 16384
     # 0 = connect every eye vertex to EVERY light vertex (reference
     # semantics, bdpt_cu.cu:384); N > 0 = unbiased stratified subsample of N
     # light vertices per eye vertex, scaled by n_valid/N — same expectation,

@@ -84,6 +84,18 @@ class PhotonEvents:
     valid: jnp.ndarray    # (E,)
 
 
+def _use_gather_kernel() -> bool:
+    """TPU default: the exact cell-blocked Pallas gather
+    (ops/pallas_ppm_gather).  ``PT_TPU_NO_PALLAS=1`` or
+    ``PT_TPU_NO_PPM_KERNEL=1`` force the XLA hash-grid path below (which
+    also reproduces the reference hash's in-neighborhood collision
+    double-counts — the kernel's collision-free lexicographic keys do not)."""
+    import os
+    return (jax.default_backend() == "tpu"
+            and not os.environ.get("PT_TPU_NO_PALLAS")
+            and not os.environ.get("PT_TPU_NO_PPM_KERNEL"))
+
+
 def hash_cell(ix, iy, iz, table_size: int):
     """ppm_cu.cu:27-30 with C int32 wraparound then unsigned modulo."""
     h = (ix * jnp.int32(73856093)) ^ (iy * jnp.int32(19349663)) \
@@ -373,7 +385,12 @@ def render_ppm_with_stats(scene: Scene, cam: Camera, width: int, height: int,
     num_photons = scene.num_lights * spl
     events = ppm_photon_trace(scene, cfg, num_photons, spl,
                               jax.random.fold_in(key, 2))
-    flux, count, overflow = gather_flux(scene, cfg, hp, events, r2_scale)
+    if _use_gather_kernel():
+        from ..ops.pallas_ppm_gather import gather_flux_pallas
+        flux, count, overflow = gather_flux_pallas(scene, cfg, hp, events,
+                                                   r2_scale)
+    else:
+        flux, count, overflow = gather_flux(scene, cfg, hp, events, r2_scale)
 
     radiance = flux / jnp.maximum(
         PI * cfg.ppm_radius * cfg.ppm_radius * r2_scale, 1e-6)

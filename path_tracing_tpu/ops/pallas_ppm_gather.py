@@ -1,0 +1,357 @@
+"""Pallas TPU kernel for the PPM photon-flux gather (the hot join).
+
+The XLA gather in integrators/ppm.gather_flux samples candidate photon
+events with per-(hitpoint, cell) random row gathers from an ~8M-row HBM
+table — 27 cells x 32 strata x 262k hitpoints of uncoalesced 48-byte reads
+dominate a PPM pass (6.5 s of a 6.8 s pass at 512^2 / 1M photons).
+
+This kernel restructures the join around the *cells* (the reference's unit
+of locality, ppm_cu.cu:225-263) so every HBM byte is read once per cell
+instead of once per hitpoint, and the pair math runs as dense
+(8 hitpoints x 128 events) vector blocks:
+
+1.  Events and hitpoints are sorted by a lexicographic integer cell key
+    (``(ix*G + iy)*G + iz``; collision-free inside any 27-neighborhood,
+    unlike the reference's spatial hash whose rare in-neighborhood
+    collisions double-count — see integrators/ppm docstring).  Sorting is
+    one multi-operand ``lax.sort`` — no gathers.
+2.  For every occupied *hitpoint* cell the 27 neighbor cells collapse to
+    9 contiguous key ranges (dx,dy fixed; dz in {-1,0,1} is key +-1), found
+    with ``searchsorted`` per cell (a few thousand queries, not millions).
+3.  The kernel walks occupied cells as its grid.  Per cell it DMAs the
+    cell's hitpoint rows and each neighbor-window's event chunks into VMEM
+    once, then evaluates hitpoint x event pair blocks entirely in
+    registers: distance/normal gates, local-frame BSDF eval
+    (geometric.cuh:419-456), flux deposit and photon count — the exact
+    candidate set, with no per-cell budget and no stratified subsampling.
+
+Event windows are 128-aligned and over-fetched; a per-pair key gate
+(``ev_key in [cell_key + off - 1, cell_key + off + 1]``) discards alien
+rows, which also makes axis wraparound at the grid boundary harmless
+(aliased cells are far away and additionally fail the distance test).
+
+Mosaic constraints shaped the layout: no dynamic *lane* indexing exists,
+so per-cell scalars arrive as an SMEM-blocked ``(1, 1, 32)`` meta row,
+hitpoints are row-major ``(128, 32)`` blocks sliced on the sublane axis
+(``pl.multiple_of`` 8-aligned), and accumulation is vector row-sums into
+``(128, 8)`` VMEM — never scalar stores.
+
+The grid covers at most ``cfg.ppm_max_cells`` occupied hitpoint cells;
+hitpoints beyond that (never seen in practice: input.txt 512^2 occupies
+~5.5k cells) are dropped and reported via the returned overflow count.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..scene.types import Scene
+from .frame import build_local_frame, world_to_local
+from .microfacet import roughness_to_alpha
+from .pallas_shade import Mtl, V3, eval_local, half_vector, valid3
+
+G = 1024                 # cells per axis in the packed key domain
+BIG = G * G * G          # sentinel key for invalid rows (fits int32)
+EV_CHUNK = 1024          # events per DMA'd chunk (8 sublane-blocks of 128)
+HP_CHUNK = 128           # hitpoints per DMA'd block
+SUB = 16                 # hitpoint sub-block rows per pair block
+# (dx, dy) neighbor offsets in key units; dz is folded into the +-1 range
+OFFS = tuple((dx * G + dy) * G for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+
+
+def _cell_size(scene: Scene, cfg: RenderConfig):
+    """radius-sized cells, grown if the scene outruns the G^3 key domain
+    (cell >= radius keeps the 27-neighborhood covering the search ball)."""
+    ext = jnp.max(scene.scene_max - scene.scene_min)
+    return jnp.maximum(jnp.float32(cfg.ppm_radius), ext / (G - 4))
+
+
+def _keys(pos, origin, cell):
+    c = jnp.floor((pos - origin) / cell).astype(jnp.int32) + 1
+    c = jnp.clip(c, 0, G - 1)
+    return (c[:, 0] * G + c[:, 1]) * G + c[:, 2]
+
+
+def _pad_to(x, n, value=0):
+    pad = n - x.shape[0]
+    return jnp.concatenate(
+        [x, jnp.full((pad,) + x.shape[1:], value, x.dtype)], 0)
+
+
+def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
+                   hp_vmem, ev_vmem, key_vmem, acc_vmem, sems):
+    hp_start = meta_ref[0, 0, 0]
+    hp_cnt = meta_ref[0, 0, 1]
+    r2 = r2_ref[0, 0]
+    EB = EV_CHUNK // 128
+
+    def ev_dma(slot, blk):
+        return pltpu.make_async_copy(
+            ev_ref.at[:, pl.ds(blk, EB), :], ev_vmem.at[slot],
+            sems.at[1 + slot])
+
+    def key_dma(slot, blk):
+        return pltpu.make_async_copy(
+            ekey_ref.at[pl.ds(blk, EB), :], key_vmem.at[slot],
+            sems.at[4 + slot])
+
+    def start_pair(slot, blk):
+        ev_dma(slot, blk).start()
+        key_dma(slot, blk).start()
+
+    def wait_pair(slot, blk):
+        ev_dma(slot, blk).wait()
+        key_dma(slot, blk).wait()
+
+    @pl.when(hp_cnt > 0)
+    def _():
+        n_hp_blocks = (hp_cnt + HP_CHUNK - 1) // HP_CHUNK
+
+        def hp_block(hb, _):
+            base = hp_start + hb * HP_CHUNK
+            cp = pltpu.make_async_copy(
+                hp_ref.at[pl.ds(base, HP_CHUNK)], hp_vmem, sems.at[0])
+            cp.start()
+            # prefetch offset 0's first chunk while the hitpoints load
+            start_pair(0, meta_ref[0, 0, 2])
+            cp.wait()
+            acc_vmem[...] = jnp.zeros_like(acc_vmem)
+            nh = jnp.minimum(hp_cnt - hb * HP_CHUNK, HP_CHUNK)
+            n_sub = (nh + SUB - 1) // SUB
+
+            def compute_chunk(buf_slot, k_base, asize, qlo,
+                              nh=nh, n_sub=n_sub):
+                """Join EV_CHUNK events (VMEM slot) x this cell's hitpoints."""
+                evb = ev_vmem[buf_slot]                    # (16, EB, 128)
+                keyb = key_vmem[buf_slot]                  # (EB, 128)
+                rem = asize - k_base
+                for j in range(EB):
+                    @pl.when(j * 128 < rem)
+                    def _(j=j, qlo=qlo, nh=nh, n_sub=n_sub, evb=evb,
+                          keyb=keyb):
+                        keys = keyb[j, :].reshape(1, 128)
+                        in_cell = (keys >= qlo) & (keys <= qlo + 2)
+                        ef = [evb[f, j, :].reshape(1, 128)
+                              for f in range(12)]
+                        ep = V3(ef[0], ef[1], ef[2])
+                        en = V3(ef[3], ef[4], ef[5])
+                        ewi = V3(ef[6], ef[7], ef[8])
+                        efl = V3(ef[9], ef[10], ef[11])
+
+                        def hp_sub(sidx, _):
+                            r0 = pl.multiple_of(sidx * SUB, SUB)
+                            sub = pl.ds(r0, SUB)
+
+                            def col(f):
+                                return hp_vmem[sub, f:f + 1]  # (SUB, 1)
+
+                            hpx = V3(col(0), col(1), col(2))
+                            hn = V3(col(3), col(4), col(5))
+                            ht = V3(col(6), col(7), col(8))
+                            hb_ = V3(col(9), col(10), col(11))
+                            wo_l = V3(col(12), col(13), col(14))
+                            m = Mtl(V3(col(15), col(16), col(17)),
+                                    col(18), col(19), col(20))
+                            tp = V3(col(21), col(22), col(23))
+                            alpha = col(24)
+
+                            dx = hpx.x - ep.x              # (SUB, 128)
+                            dy = hpx.y - ep.y
+                            dz = hpx.z - ep.z
+                            dist2 = dx * dx + dy * dy + dz * dz
+                            ndot = (hn.x * en.x + hn.y * en.y
+                                    + hn.z * en.z)
+                            rows = jax.lax.broadcasted_iota(
+                                jnp.int32, (SUB, 1), 0) + r0
+                            ok = (in_cell & (dist2 < r2)
+                                  & (ndot > 0.01) & (rows < nh))
+
+                            wi_l = V3(
+                                ewi.x * ht.x + ewi.y * ht.y + ewi.z * ht.z,
+                                ewi.x * hb_.x + ewi.y * hb_.y
+                                + ewi.z * hb_.z,
+                                ewi.x * hn.x + ewi.y * hn.y + ewi.z * hn.z)
+                            wh, wh_ok = half_vector(wo_l, wi_l)
+                            brdf = eval_local(m, wo_l, wi_l, alpha,
+                                              wh, wh_ok)
+                            okf = (ok & valid3(brdf)).astype(jnp.float32)
+
+                            def rsum(x):
+                                return jnp.sum(x, axis=1, keepdims=True)
+
+                            acc_vmem[sub, 0:1] += rsum(
+                                okf * efl.x * brdf.x) * tp.x
+                            acc_vmem[sub, 1:2] += rsum(
+                                okf * efl.y * brdf.y) * tp.y
+                            acc_vmem[sub, 2:3] += rsum(
+                                okf * efl.z * brdf.z) * tp.z
+                            acc_vmem[sub, 3:4] += rsum(okf)
+                            return 0
+
+                        jax.lax.fori_loop(0, n_sub, hp_sub, 0)
+
+            # static offset loop: VMEM slot indices must be compile-time
+            # (dynamic-slot full-buffer reads miscompile on Mosaic)
+            for o in range(9):
+                slot = o & 1
+                astart = meta_ref[0, 0, 2 + o]
+                asize = meta_ref[0, 0, 11 + o]
+                qlo = meta_ref[0, 0, 20 + o]
+
+                # software pipeline: launch the next offset's first chunk
+                # before consuming this one's
+                if o < 8:
+                    start_pair(1 - slot, meta_ref[0, 0, 3 + o])
+                wait_pair(slot, astart)
+
+                @pl.when(asize > 0)
+                def _(slot=slot, astart=astart, asize=asize, qlo=qlo):
+                    compute_chunk(slot, 0, asize, qlo)
+                    n_chunks = (asize + EV_CHUNK - 1) // EV_CHUNK
+
+                    # rare multi-chunk windows drain synchronously (slot 2)
+                    def extra_chunk(k, _, astart=astart, asize=asize,
+                                    qlo=qlo):
+                        start_pair(2, astart + k * EB)
+                        wait_pair(2, astart + k * EB)
+                        compute_chunk(2, k * EV_CHUNK, asize, qlo)
+                        return 0
+
+                    jax.lax.fori_loop(1, n_chunks, extra_chunk, 0)
+
+            cp = pltpu.make_async_copy(
+                acc_vmem, out_ref.at[pl.ds(base, HP_CHUNK)], sems.at[7])
+            cp.start()
+            cp.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_hp_blocks, hp_block, 0)
+
+
+def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
+                       r2_scale=1.0, max_cells: int | None = None,
+                       interpret: bool = False):
+    """Exact per-hitpoint flux gather.  Same contract as
+    ``integrators.ppm.gather_flux`` -> (flux (B,3), count (B,), overflow ())
+    except the gather is exact (no cell budget / stratification) and
+    ``overflow`` counts hitpoints dropped by the ``max_cells`` grid cap
+    (0 means the gather covered everything).
+    """
+    cmax = int(max_cells or cfg.ppm_max_cells)
+    origin = scene.scene_min
+    cell = _cell_size(scene, cfg)
+    r2 = jnp.float32(cfg.ppm_radius * cfg.ppm_radius) * r2_scale
+
+    # ---- events: sort by cell key, pack field-major -------------------
+    E = events.pos.shape[0]
+    ekey = jnp.where(events.valid, _keys(events.pos, origin, cell),
+                     jnp.int32(BIG))
+    ev_cols = [events.pos[:, 0], events.pos[:, 1], events.pos[:, 2],
+               events.normal[:, 0], events.normal[:, 1], events.normal[:, 2],
+               events.wi[:, 0], events.wi[:, 1], events.wi[:, 2],
+               events.flux[:, 0], events.flux[:, 1], events.flux[:, 2]]
+    # argsort + one row gather: variadic lax.sort at multi-M sizes takes
+    # minutes of XLA compile time; this compiles in seconds and the gather
+    # runs once per pass
+    eorder = jnp.argsort(ekey)
+    skey = ekey[eorder]
+    ev_mat = jnp.stack(ev_cols, axis=1)[eorder]            # (E, 12)
+    Ep = ((E + EV_CHUNK - 1) // EV_CHUNK + 1) * EV_CHUNK
+    # keys travel as a separate int32 table: bitcasting them through an f32
+    # column silently corrupts keys < 2^23 (TPU flushes f32 denormals)
+    key_tab = _pad_to(skey, Ep, BIG).reshape(Ep // 128, 128)
+    ev_mat = jnp.concatenate(
+        [_pad_to(ev_mat, Ep), jnp.zeros((Ep, 4), jnp.float32)], axis=1)
+    ev_tab = ev_mat.T.reshape(16, Ep // 128, 128)
+
+    # ---- hitpoints: precompute frame, sort, pack row-major -------------
+    B = hp.pos.shape[0]
+    hkey = jnp.where(hp.valid, _keys(hp.pos, origin, cell), jnp.int32(BIG))
+    tf, bf = build_local_frame(hp.normal)
+    wo_l = world_to_local(hp.wo, tf, bf, hp.normal)
+    alpha = roughness_to_alpha(hp.mtl.roughness)
+    hp_cols = [hp.pos[:, 0], hp.pos[:, 1], hp.pos[:, 2],
+               hp.normal[:, 0], hp.normal[:, 1], hp.normal[:, 2],
+               tf[:, 0], tf[:, 1], tf[:, 2],
+               bf[:, 0], bf[:, 1], bf[:, 2],
+               wo_l[:, 0], wo_l[:, 1], wo_l[:, 2],
+               hp.mtl.base_color[:, 0], hp.mtl.base_color[:, 1],
+               hp.mtl.base_color[:, 2],
+               hp.mtl.roughness, hp.mtl.metallic, hp.mtl.eta,
+               hp.throughput[:, 0], hp.throughput[:, 1],
+               hp.throughput[:, 2], alpha]
+    sperm = jnp.argsort(hkey).astype(jnp.int32)
+    shkey = hkey[sperm]
+    hp_mat = jnp.stack(hp_cols, axis=1)[sperm]             # (B, 25)
+    Bp = ((B + HP_CHUNK - 1) // HP_CHUNK + 1) * HP_CHUNK
+    # last dim padded to a full 128-lane tile: Mosaic requires DMA slices
+    # to cover whole lane tiles
+    hp_tab = jnp.concatenate(
+        [_pad_to(hp_mat, Bp),
+         jnp.zeros((Bp, 128 - hp_mat.shape[1]), jnp.float32)], axis=1)
+
+    # ---- per-cell meta: hitpoint ranges + 9 event windows --------------
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), shkey[:-1]])
+    starts = (shkey != prev) & (shkey < BIG)
+    rank = jnp.cumsum(starts.astype(jnp.int32)) - 1
+    n_valid_hp = jnp.sum((shkey < BIG).astype(jnp.int32))
+    slot = jnp.where(starts & (rank <= cmax), rank, cmax + 1)
+    key_cell = jnp.full((cmax + 2,), BIG, jnp.int32).at[slot].set(shkey)
+    hp_start = jnp.zeros((cmax + 2,), jnp.int32).at[slot].set(
+        jnp.arange(B, dtype=jnp.int32))
+    n_cells = jnp.sum(starts.astype(jnp.int32))
+    hp_start = hp_start.at[jnp.minimum(n_cells, cmax)].set(
+        jnp.where(n_cells <= cmax, n_valid_hp, hp_start[cmax]))
+    counts = hp_start[1:cmax + 1] - hp_start[:cmax]
+    live = (jnp.arange(cmax) < jnp.minimum(n_cells, cmax)) \
+        & (key_cell[:cmax] < BIG)
+    counts = jnp.where(live, counts, 0)
+
+    offs = jnp.asarray(OFFS, jnp.int32)
+    qlo = key_cell[:cmax, None] + offs[None, :] - 1       # (cmax, 9)
+    wstart = jnp.searchsorted(skey, qlo.ravel(),
+                              side="left").astype(jnp.int32)
+    wend = jnp.searchsorted(skey, (qlo + 2).ravel(),
+                            side="right").astype(jnp.int32)
+    astart = (wstart // 128).reshape(cmax, 9)
+    asize = jnp.maximum(wend.reshape(cmax, 9) - astart * 128, 0)
+    # meta row: [hp_start, hp_count, astart x9, asize x9, qlo x9, pad x3]
+    meta = jnp.concatenate(
+        [hp_start[:cmax, None], counts[:, None], astart, asize,
+         qlo, jnp.zeros((cmax, 3), jnp.int32)],
+        axis=1).reshape(cmax, 1, 32)
+
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid=(cmax,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 32), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((3, 16, EV_CHUNK // 128, 128), jnp.float32),
+            pltpu.VMEM((3, EV_CHUNK // 128, 128), jnp.int32),
+            pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=interpret,
+    )(meta, r2.reshape(1, 1), hp_tab, key_tab, ev_tab)
+
+    covered = (rank < cmax) & (shkey < BIG)               # sorted order
+    flux_s = jnp.where(covered[:, None], out[:B, 0:3], 0.0)
+    count_s = jnp.where(covered, out[:B, 3], 0.0)
+    flux = jnp.zeros((B, 3)).at[sperm].set(flux_s)
+    count = jnp.zeros((B,)).at[sperm].set(count_s).astype(jnp.int32)
+    overflow = n_valid_hp - jnp.sum(counts)
+    return flux, count, overflow
