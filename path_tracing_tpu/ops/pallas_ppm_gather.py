@@ -312,12 +312,19 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
 
     offs = jnp.asarray(OFFS, jnp.int32)
     qlo = key_cell[:cmax, None] + offs[None, :] - 1       # (cmax, 9)
-    wstart = jnp.searchsorted(skey, qlo.ravel(),
-                              side="left").astype(jnp.int32)
-    wend = jnp.searchsorted(skey, (qlo + 2).ravel(),
+    # windows are 128-aligned anyway, so search the 64x smaller array of
+    # per-block first keys instead of all E keys (the binary search's
+    # random probes were a measurable slice of the pass)
+    bkeys = key_tab[:, 0]                                 # (Ep/128,)
+    # side="left" - 1: a run of keys == qlo can span backward into the
+    # previous block (whose first key is < qlo)
+    astart = jnp.maximum(
+        jnp.searchsorted(bkeys, qlo.ravel(),
+                         side="left").astype(jnp.int32) - 1, 0)
+    bend = jnp.searchsorted(bkeys, (qlo + 2).ravel(),
                             side="right").astype(jnp.int32)
-    astart = (wstart // 128).reshape(cmax, 9)
-    asize = jnp.maximum(wend.reshape(cmax, 9) - astart * 128, 0)
+    astart = astart.reshape(cmax, 9)
+    asize = jnp.maximum(bend.reshape(cmax, 9) - astart, 0) * 128
     # meta row: [hp_start, hp_count, astart x9, asize x9, qlo x9, pad x3]
     meta = jnp.concatenate(
         [hp_start[:cmax, None], counts[:, None], astart, asize,
