@@ -297,6 +297,17 @@ def _use_fused_shade() -> bool:
     return _jax.default_backend() == "tpu"
 
 
+def _use_megakernel() -> bool:
+    """Persistent wavefront megakernel on TPU: the entire spp loop runs in
+    one pallas_call with in-kernel PRNG (PT_TPU_NO_MEGAKERNEL=1 falls back
+    to the per-bounce fused pipeline for A/B)."""
+    import os
+
+    if os.environ.get("PT_TPU_NO_MEGAKERNEL"):
+        return False
+    return _use_fused_shade()
+
+
 def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
                  px: jnp.ndarray, py: jnp.ndarray, spp: int, key) -> jnp.ndarray:
     """Wavefront PT with path regeneration: one persistent lane per pixel;
@@ -308,6 +319,16 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     ``spp`` samples (callers divide).
     """
     B = px.shape[0]
+    if _use_megakernel():
+        from ..ops.pallas_shade import render_wavefront_pallas
+
+        light_tab = _light_table(scene)
+        # the megakernel draws from the on-core PRNG; derive its seed from
+        # the caller's key so renders stay reproducible per (key, layout)
+        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                  dtype=jnp.int32)
+        return render_wavefront_pallas(scene, light_tab, cam, px, py, spp,
+                                       cfg, seed)
     state = dict(
         it=jnp.zeros((), jnp.int32),
         image=jnp.zeros((B, 3)),

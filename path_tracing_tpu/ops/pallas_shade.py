@@ -525,31 +525,18 @@ def nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro: V3, rd: V3, *, ns, nl,
 # the fused shade kernel
 # ---------------------------------------------------------------------------
 
-def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
-                  # ray
-                  ox, oy, oz, dx, dy, dz,
-                  # path state
-                  tpx, tpy, tpz, etas, depth, act_in, last_delta_in,
-                  last_pdf_in,
-                  # uniforms
-                  u0, u1, u2, u3, u4, u5,
-                  # outputs
-                  rad_x, rad_y, rad_z, nox, noy, noz, ndx, ndy, ndz,
-                  ntx, nty, ntz, neta, ndepth, nalive, ndelta, npdf,
-                  *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
-    ro = V3(ox[...], oy[...], oz[...])
-    rd = V3(dx[...], dy[...], dz[...])
+def _shade_core(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep,
+                act, last_delta, last_pdf, uu,
+                *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+    """One fused bounce on in-register state: nearest hit -> light-ball
+    emission -> NEE (with the in-kernel shadow sweep) -> BSDF sample.
+    Shared by the per-bounce kernel and the persistent wavefront megakernel.
+    Returns (radiance, new_ro, new_rd, new_tp, new_eta, new_dep, alive,
+    is_delta, pdf, upd) — callers fold ``upd`` into their state update.
+    """
     # in-kernel nearest hit: no HBM round trip for the hit attributes
     t_hit, n, m, flag = nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro, rd,
                                            ns=ns, nl=nl_lights, nt=nt)
-    tp = V3(tpx[...], tpy[...], tpz[...])
-    eta = etas[...]
-    dep = depth[...]
-    act = act_in[...] != 0
-    last_delta = last_delta_in[...] != 0
-    last_pdf = last_pdf_in[...]
-    uu = [u0[...], u1[...], u2[...], u3[...], u4[...], u5[...]]
-
     pos = ro + rd.scale(t_hit)
     hit_ok = flag > 0
     is_light = flag == 2
@@ -716,6 +703,38 @@ def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
     new_dep = dep + jnp.where(is_delta, 0, 1)
 
     upd = act & ~is_light
+    return (radiance, new_ro, wi_b, new_tp, new_eta, new_dep, alive,
+            is_delta, pdf, upd)
+
+
+def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
+                  # ray
+                  ox, oy, oz, dx, dy, dz,
+                  # path state
+                  tpx, tpy, tpz, etas, depth, act_in, last_delta_in,
+                  last_pdf_in,
+                  # uniforms
+                  u0, u1, u2, u3, u4, u5,
+                  # outputs
+                  rad_x, rad_y, rad_z, nox, noy, noz, ndx, ndy, ndz,
+                  ntx, nty, ntz, neta, ndepth, nalive, ndelta, npdf,
+                  *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+    ro = V3(ox[...], oy[...], oz[...])
+    rd = V3(dx[...], dy[...], dz[...])
+    tp = V3(tpx[...], tpy[...], tpz[...])
+    eta = etas[...]
+    dep = depth[...]
+    act = act_in[...] != 0
+    last_delta = last_delta_in[...] != 0
+    last_pdf = last_pdf_in[...]
+    uu = [u0[...], u1[...], u2[...], u3[...], u4[...], u5[...]]
+
+    (radiance, new_ro, wi_b, new_tp, new_eta, new_dep, alive, is_delta,
+     pdf, upd) = _shade_core(
+        sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep, act,
+        last_delta, last_pdf, uu, ns=ns, nl_lights=nl_lights, nt=nt,
+        clamp_val=clamp_val, stub_mis=stub_mis, blocks_col=blocks_col)
+
     rad_x[...] = radiance.x
     rad_y[...] = radiance.y
     rad_z[...] = radiance.z
@@ -731,8 +750,9 @@ def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
     neta[...] = jnp.where(upd, new_eta, eta)
     ndepth[...] = jnp.where(upd, new_dep, dep)
     # Mosaic can't select over i1 vectors: cast masks to i32 first
+    # (upd == act & ~is_light, the old else-branch value)
     nalive[...] = jnp.where(upd, alive.astype(jnp.int32),
-                            (act & ~is_light).astype(jnp.int32))
+                            upd.astype(jnp.int32))
     ndelta[...] = jnp.where(upd, is_delta.astype(jnp.int32),
                             last_delta.astype(jnp.int32))
     npdf[...] = jnp.where(upd & ~is_delta, pdf, last_pdf)
@@ -797,3 +817,181 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
         last_is_delta=flat["delta"] != 0,
         last_pdf=flat["last_pdf"],
     )
+
+
+# ---------------------------------------------------------------------------
+# persistent wavefront megakernel: the WHOLE path loop in one kernel
+# ---------------------------------------------------------------------------
+#
+# The per-bounce pipeline streams ~37 (B,) state arrays through HBM every
+# bounce (one pallas_call per while_loop iteration).  This kernel keeps the
+# entire wavefront — regeneration, bounce loop, accumulation — resident in
+# VMEM per ray tile: each grid step seeds the on-core PRNG, loops until its
+# own lanes have finished all ``spp`` samples, and writes only the final
+# per-pixel radiance sums.  State never leaves the chip.
+#
+# RNG: pltpu.prng_random_bits per iteration, seeded per tile.  The stream
+# differs from the XLA path's Threefry draws, so equivalence vs the
+# per-bounce path is statistical (same estimator, different sample points) —
+# tests/test_megakernel.py checks converged-image agreement; renders stay
+# bit-reproducible per (seed, tile layout).
+
+def _u01(shape):
+    """Uniform (0,1] draw from the on-core PRNG (curand_uniform support)."""
+    bits = pltpu.prng_random_bits(shape)
+    # take the top 24 bits via an i32-safe shift; (bits24 + 1) / 2^24 in (0,1]
+    b24 = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32),
+                                      jnp.uint32(8)).astype(jnp.int32)
+    return (b24.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+
+
+def _wavefront_kernel(sph_ref, tri_ref, cl_ref, light_ref, cam_ref, seed_ref,
+                      pxr, pyr,
+                      img_x, img_y, img_z,
+                      *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col,
+                      spp, eye_depth, max_path_iters, max_total):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    px = pxr[...]
+    py = pyr[...]
+    eye = V3(cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+    ul = V3(cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5])
+    cdx = V3(cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8])
+    cdy = V3(cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11])
+
+    # derive the zero tiles from loaded data, not constants: constant inits
+    # get a replicated Mosaic layout that the loop carry can't relayout from
+    zero = px * 0.0
+    zero_i = zero.astype(jnp.int32)
+    eye_b = V3(zero + eye.x, zero + eye.y, zero + eye.z)
+
+    def primary(jx, jy):
+        fx = px + jx
+        fy = py + jy
+        d = V3(ul.x + cdx.x * fx + cdy.x * fy - eye.x,
+               ul.y + cdx.y * fx + cdy.y * fy - eye.y,
+               ul.z + cdx.z * fx + cdy.z * fy - eye.z)
+        return normalize3(d)
+
+    def cond(c):
+        # the work flag is reduced at the END of the body — reductions in
+        # the while cond itself hit a Mosaic relayout bug
+        (it, work, *_rest) = c
+        return (it < max_total) & (work != 0)
+
+    def body(c):
+        (it, work, sample, path_it, ro, rd, tp, rad, img, eta, dep, alive_i,
+         last_delta_i, last_pdf) = c
+        u = [_u01(px.shape) for _ in range(8)]
+        alive = alive_i != 0
+
+        # ---- regenerate dead lanes that still owe samples ----
+        regen = ~alive & (sample < spp)
+        rd_new = primary(u[6], u[7])
+        ro = where3(regen, eye_b, ro)
+        rd = where3(regen, rd_new, rd)
+        tp = where3(regen, V3(1.0 - zero, 1.0 - zero, 1.0 - zero), tp)
+        rad = where3(regen, V3(zero, zero, zero), rad)
+        eta = jnp.where(regen, 1.0, eta)
+        dep = jnp.where(regen, 0, dep)
+        path_it = jnp.where(regen, 0, path_it)
+        # boolean algebra, not select: Mosaic can't select i1 vectors
+        last_delta = regen | (last_delta_i != 0)
+        last_pdf = jnp.where(regen, 1.0, last_pdf)
+        sample = sample + regen.astype(jnp.int32)
+        alive = alive | regen
+
+        # ---- one fused bounce ----
+        (brad, new_ro, wi_b, new_tp, new_eta, new_dep, b_alive, is_delta,
+         pdf, upd) = _shade_core(
+            sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep,
+            alive, last_delta, last_pdf, u[:6], ns=ns, nl_lights=nl_lights,
+            nt=nt, clamp_val=clamp_val, stub_mis=stub_mis,
+            blocks_col=blocks_col)
+        rad = rad + brad
+        ro = where3(upd, new_ro, ro)
+        rd = where3(upd, wi_b, rd)
+        tp = where3(upd, new_tp, tp)
+        eta = jnp.where(upd, new_eta, eta)
+        dep = jnp.where(upd, new_dep, dep)
+        out_delta = ((upd & is_delta) | (~upd & last_delta))
+        last_pdf = jnp.where(upd & ~is_delta, pdf, last_pdf)
+        # b_alive is False for lanes that missed/hit a light/died
+        alive_out = (upd & b_alive) & (is_delta | (new_dep < eye_depth))
+        path_it = jnp.where(alive, path_it + 1, path_it)
+        alive_out = alive_out & (path_it < max_path_iters)
+
+        # ---- flush finished paths into the image ----
+        died = alive & ~alive_out
+        flush = died & valid3(rad)
+        img = img + where3(flush, rad, V3(zero, zero, zero))
+        rad = where3(died, V3(zero, zero, zero), rad)
+
+        new_work = (jnp.any(alive_out) | jnp.any(sample < spp)).astype(
+            jnp.int32)
+        return (it + 1, new_work, sample, path_it, ro, rd, tp, rad, img,
+                eta, dep, alive_out.astype(jnp.int32),
+                out_delta.astype(jnp.int32), last_pdf)
+
+    init = (jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32), zero_i,
+            zero_i, eye_b, V3(zero, zero, zero),
+            V3(1.0 - zero, 1.0 - zero, 1.0 - zero), V3(zero, zero, zero),
+            V3(zero, zero, zero), 1.0 - zero, zero_i, zero_i,
+            zero_i + 1, 1.0 - zero)
+    c = jax.lax.while_loop(cond, body, init)
+    (_, _, _, _, _, _, _, rad, img, _, _, alive_i, _, _) = c
+    # paths cut by the global cap still contribute what they gathered
+    leftover = (alive_i != 0) & valid3(rad)
+    img = img + where3(leftover, rad, V3(*(jnp.zeros_like(rad.x),) * 3))
+    img_x[...] = img.x
+    img_y[...] = img.y
+    img_z[...] = img.z
+
+
+def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
+                            cfg, seed) -> jnp.ndarray:
+    """Full PT wavefront (all spp samples, regeneration, bounded bounce
+    loop) in ONE pallas_call.  Returns the per-pixel radiance SUM (B, 3)."""
+    B = px.shape[0]
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    cam_row = jnp.zeros((1, LANE), jnp.float32)
+    cam_row = cam_row.at[0, 0:3].set(cam.eye)
+    cam_row = cam_row.at[0, 3:6].set(cam.ul)
+    cam_row = cam_row.at[0, 6:9].set(cam.dx)
+    cam_row = cam_row.at[0, 9:12].set(cam.dy)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    pxt = _tile(px.astype(jnp.float32), TILE_ROWS)[0]
+    pyt = _tile(py.astype(jnp.float32), TILE_ROWS)[0]
+    rows_total = pxt.shape[0]
+    grid = rows_total // TILE_ROWS
+
+    max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
+    kernel = functools.partial(
+        _wavefront_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=cfg.clamp,
+        stub_mis=cfg.pt_stub_mis_strategy_a,
+        blocks_col=4 if cfg.shadow_dielectrics_block else 5,
+        spp=spp, eye_depth=cfg.eye_depth,
+        max_path_iters=cfg.max_eye_iters, max_total=max_total)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(light_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *_ray_specs(2),
+        ],
+        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM) for _ in range(3)],
+        out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
+                   for _ in range(3)],
+    )(sph_tab, tri_tab, cl_tab, light_tab, cam_row, seed_arr, pxt, pyt)
+    return jnp.stack([o.reshape(-1)[:B] for o in outs], -1)

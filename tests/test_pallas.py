@@ -78,3 +78,43 @@ def test_transmittance_equivalence_and_dielectric_rules():
                            static_argnames="dielectrics_block")(
         scene, p1, p2, dielectrics_block=False)[0])
     assert blocked == 0.0 and passes == 1.0
+
+
+def test_megakernel_statistical_equivalence_and_determinism():
+    """The persistent wavefront megakernel draws from the on-core PRNG (a
+    different sample stream than the XLA/per-bounce Threefry path), so
+    equivalence is statistical: same estimator, converged means must agree.
+    Also checks bit-reproducibility per seed."""
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.pt import render_pt
+    from path_tracing_tpu.scene.camera import make_camera
+    from path_tracing_tpu.scene.parser import load_scene
+
+    assert not os.environ.get("PT_TPU_NO_MEGAKERNEL"), "unset for this test"
+    p = load_scene("/root/reference/input.txt")
+    scene = p.to_device()
+    W = H = 64
+    spp = 64
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=4, delta_budget=4)
+    key = jax.random.PRNGKey(7)
+
+    a = np.asarray(render_pt(scene, cam, W, H, spp, cfg, key))
+    b = np.asarray(render_pt(scene, cam, W, H, spp, cfg, key))
+    assert np.array_equal(a, b), "megakernel render not deterministic"
+    assert not np.isnan(a).any()
+
+    os.environ["PT_TPU_NO_MEGAKERNEL"] = "1"
+    try:
+        render_pt.clear_cache()  # backend choice is baked in at trace time
+        ref = np.asarray(render_pt(scene, cam, W, H, spp, cfg,
+                                   jax.random.fold_in(key, 1)))
+    finally:
+        del os.environ["PT_TPU_NO_MEGAKERNEL"]
+        render_pt.clear_cache()
+    # per-channel image means within ~2% at spp 64 (MC noise floor)
+    ma, mr = a.mean(axis=0), ref.mean(axis=0)
+    assert np.all(np.abs(ma - mr) / np.maximum(np.abs(mr), 1e-6) < 0.02), (
+        ma, mr)
