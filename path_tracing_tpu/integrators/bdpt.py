@@ -65,6 +65,17 @@ PDF_FWD_FLOOR = 1e-8   # fmaxf clamp in both MIS walks (cpu_bdpt.cpp:145,155,160
 PDF_OMEGA_FLOOR = 1e-6  # fmaxf on connection pdfs (cpu_bdpt.cpp:133-134)
 
 
+def _use_bdpt_megakernel() -> bool:
+    """Persistent BDPT eye megakernel on TPU (PT_TPU_NO_BDPT_MEGAKERNEL=1
+    falls back to the scan + per-bounce connection kernel for A/B)."""
+    import os
+
+    if (os.environ.get("PT_TPU_NO_BDPT_MEGAKERNEL")
+            or os.environ.get("PT_TPU_NO_PALLAS")):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def _register(cls):
     fields = [f.name for f in dataclasses.fields(cls)]
     jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
@@ -713,6 +724,20 @@ def render_bdpt(scene: Scene, cam: Camera, width: int, height: int, spp: int,
 
     lv = trace_light_paths(scene_used, cfg, num_paths, spl,
                            jax.random.fold_in(key, 0x0101))
+
+    if _use_bdpt_megakernel() and cfg.bdpt_connection_samples == 0:
+        # persistent eye megakernel: the whole spp loop in one pallas_call
+        from ..ops.pallas_bdpt_eye import bdpt_eye_pallas
+        from ..ops.pallas_connect import pack_light_vertices
+
+        lv_flat, n_valid = compact_flat(lv.flat())
+        lv_tab = pack_light_vertices(lv_flat)
+        seed = jax.random.randint(
+            jax.random.fold_in(key, 0x0202), (), 0,
+            jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        acc = bdpt_eye_pallas(scene_used, lv_tab, n_valid, cam, px, py,
+                              spp, cfg, seed, light_hit_scale)
+        return acc / spp
 
     def body(acc, sidx):
         c = eye_trace_and_connect(

@@ -1,0 +1,272 @@
+"""Persistent BDPT eye-trace-and-connect megakernel.
+
+BDPT analog of the PT wavefront megakernel (ops/pallas_shade.py): the
+ENTIRE eye pass — sample regeneration, the bounded bounce loop, the
+per-vertex connection sweep against the whole VMEM-resident light-vertex
+table, the streaming O(1) MIS recurrence, and accumulation — runs in one
+pallas_call, with uniforms from the on-core PRNG.
+
+vs the scan pipeline (``spp`` sequential eye passes of ``max_eye_iters``
+full-width iterations each, one connection kernel + nearest-hit + ~40 glue
+ops per iteration) this wins on three axes, measured on v5e: no per-bounce
+HBM round trips for the ~20 state arrays, path regeneration (a lane starts
+its pixel's next sample the moment its path dies instead of idling to the
+scan horizon), and large ray tiles (PT_TPU_MEGA_ROWS=128 rows = 16K lanes
+per grid step) that amortize the sequential light-vertex/primitive loops —
+together 2.2x on BASELINE configs 1 and 5 (0.52 -> 1.16, 0.059 -> 0.127
+Mpaths/s).
+
+Semantics mirror ``eye_trace_and_connect`` exactly (bdpt_cu.cu:289-536 /
+cpu_bdpt.cpp:336-473 with the linear-prefactor MIS; SURVEY.md quirk 6 light
+material handled by pack_scene's light rows):
+- depth-0 eye hit on a light ball adds base_color * light_hit_scale
+  (bdpt_cu.cu:350-361) and ends the path,
+- at every surviving vertex, connect against all valid light vertices
+  (connect_core — bdpt_cu.cu:384-457 incl. cone gate, G, fE/fL, visibility,
+  MIS), with the eye-side prefactor eye_f = (1/pdf_floor)*(1+G_mis),
+- bounce via BSDF sampling; delta bounces keep depth; the pdf_fwd/pdf_rev
+  area-measure recurrence updates the carried scalar G (cpu_bdpt.cpp:145).
+
+The sample stream comes from pltpu.prng_random_bits (seeded per tile), so
+equivalence vs the XLA path is statistical; renders are bit-reproducible per
+seed.  PT_TPU_NO_BDPT_MEGAKERNEL=1 falls back to the scan pipeline.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..scene.types import Scene
+from .math3 import EPSILON
+from .pallas_connect import connect_core
+from .pallas_intersect import LANE, TILE_ROWS, _ray_specs, _tile, pack_scene
+from .pallas_shade import (Mtl, V3, _u01, bsdf_sample_k, build_frame, dot3,
+                           half_vector, nearest_hit_inline, normalize3,
+                           pdf_local, roughness_to_alpha, to_local, valid3,
+                           where3)
+
+PDF_FWD_FLOOR = 1e-8   # cpu_bdpt.cpp:145,155,160
+
+
+def _bdpt_eye_kernel(sph_ref, tri_ref, cl_ref, lv_ref, cam_ref, scal_ref,
+                     pxr, pyr,
+                     img_x, img_y, img_z, iters_out,
+                     *, ns, nl_lights, nt, clamp_val, blocks_col, spp,
+                     eye_depth, max_path_iters, max_total, light_hit_scale):
+    pltpu.prng_seed(scal_ref[0] + pl.program_id(0))
+    n_valid = scal_ref[1]
+    px = pxr[...]
+    py = pyr[...]
+    eye = V3(cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+    ul = V3(cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5])
+    cdx = V3(cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8])
+    cdy = V3(cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11])
+
+    # non-constant zeros: see the PT megakernel's carry-layout note
+    zero = px * 0.0
+    zero_i = zero.astype(jnp.int32)
+    one = zero + 1.0
+    eye_b = V3(zero + eye.x, zero + eye.y, zero + eye.z)
+
+    def primary(jx, jy):
+        fx = px + jx
+        fy = py + jy
+        return normalize3(V3(ul.x + cdx.x * fx + cdy.x * fy - eye.x,
+                             ul.y + cdx.y * fx + cdy.y * fy - eye.y,
+                             ul.z + cdx.z * fx + cdy.z * fy - eye.z))
+
+    def cond(c):
+        return (c[0] < max_total) & (c[1] != 0)
+
+    def body(c):
+        (it, work, sample, path_it, ro, rd, tp, rad, img, eta, dep,
+         alive_i, last_n, last_p, last_pdf, g_mis, prev_v) = c
+        u = [_u01(px.shape) for _ in range(5)]
+        alive = alive_i != 0
+
+        # ---- regenerate dead lanes that still owe samples ----
+        regen = ~alive & (sample < spp)
+        rd_new = primary(u[3], u[4])
+        ro = where3(regen, eye_b, ro)
+        rd = where3(regen, rd_new, rd)
+        tp = where3(regen, V3(one, one, one), tp)
+        rad = where3(regen, V3(zero, zero, zero), rad)
+        eta = jnp.where(regen, 1.0, eta)
+        dep = jnp.where(regen, 0, dep)
+        path_it = jnp.where(regen, 0, path_it)
+        last_n = where3(regen, rd_new, last_n)
+        last_p = where3(regen, eye_b, last_p)
+        last_pdf = jnp.where(regen, 1.0, last_pdf)
+        g_mis = jnp.where(regen, 0.0, g_mis)
+        prev_v = where3(regen, eye_b, prev_v)
+        sample = sample + regen.astype(jnp.int32)
+        alive_in = alive | regen
+
+        # ---- nearest hit ----
+        t_hit, n, m, flag = nearest_hit_inline(
+            sph_ref, tri_ref, cl_ref, ro, rd, ns=ns, nl=nl_lights, nt=nt)
+        pos = ro + rd.scale(t_hit)
+        hit_ok = flag > 0
+        is_light = flag == 2
+        act = alive_in & hit_ok
+
+        # depth-0 direct light hit (bdpt_cu.cu:350-361)
+        light0 = act & is_light & (dep == 0)
+        rad = rad + where3(light0, m.bc.scale(light_hit_scale),
+                           V3(zero, zero, zero))
+        act = act & ~light0
+
+        # ---- connection at the current vertex ----
+        wo_e = -rd
+        wo_s = where3(dep == 0, normalize3(eye_b - pos),
+                      normalize3(prev_v - pos))
+        eye_f = jnp.where((dep == 0) | (m.eta > 0.0), 0.0,
+                          (1.0 / PDF_FWD_FLOOR) * (1.0 + g_mis))
+        total = connect_core(
+            sph_ref, tri_ref, cl_ref, lv_ref, n_valid, pos, n, tp, m,
+            wo_e, wo_s, eye_f, act, ns=ns, nl=nl_lights, nt=nt,
+            clamp_val=clamp_val, blocks_col=blocks_col)
+        rad = rad + where3(act, total, V3(zero, zero, zero))
+
+        # ---- bounce (bdpt_cu.cu:460-526) ----
+        d_vec = pos - last_p
+        dist2 = dot3(d_vec, d_vec)
+        ok = act & (dist2 >= 1e-6)
+        cos_at_hit = jnp.abs(dot3(n, -rd))
+        cos_at_prev = jnp.abs(dot3(last_n, rd))
+        pdf_fwd = last_pdf * cos_at_hit / jnp.maximum(dist2, 1e-20)
+
+        wi_b, sval, spdf, is_delta, new_eta = bsdf_sample_k(
+            m, wo_e, n, u[0], u[1], u[2], eta)
+        sample_ok = (spdf > 0.0) | is_delta
+        delta = ok & sample_ok & is_delta
+        rough = ok & sample_ok & ~is_delta
+
+        # pdf_rev = bsdf_pdf(mtl, wo=wi_b, wi=wo_e) in the hit frame
+        tb_t, tb_b = build_frame(n)
+        wi_b_l = to_local(wi_b, tb_t, tb_b, n)
+        wo_e_l = to_local(wo_e, tb_t, tb_b, n)
+        alpha = roughness_to_alpha(m.rough)
+        wh_r, wh_ok = half_vector(wi_b_l, wo_e_l)
+        pdf_rev_w = pdf_local(m, wi_b_l, wo_e_l, alpha, wh_r, wh_ok)
+        pdf_rev = pdf_rev_w * cos_at_prev / jnp.maximum(dist2, 1e-20)
+        g_new = jnp.where(
+            (dep == 0) | (m.eta > 0.0), 0.0,
+            (1.0 + pdf_rev * g_mis) / jnp.maximum(pdf_fwd, PDF_FWD_FLOOR))
+
+        w = jnp.where(is_delta, 1.0,
+                      jnp.abs(dot3(n, wi_b)) / jnp.maximum(spdf, 1e-20))
+        new_tp = tp.mul(sval).scale(w)
+        tp_valid = valid3(new_tp)
+
+        off = where3(dot3(wi_b, n) < 0.0, -n, n).scale(EPSILON)
+        new_ro = where3(is_delta, pos + off, pos + n.scale(EPSILON))
+        new_dep = dep + jnp.where(rough, 1, 0)
+
+        upd = delta | rough
+        # surviving set == act here (miss / light0 lanes are already out)
+        alive_out = act & upd & (delta | (tp_valid & (new_dep < eye_depth)))
+        alive_out = alive_out & (~delta | tp_valid)
+
+        ro = where3(upd, new_ro, ro)
+        rd = where3(upd, wi_b, rd)
+        tp = where3(upd, new_tp, tp)
+        eta = jnp.where(upd, new_eta, eta)
+        dep = new_dep
+        last_n = where3(upd, n, last_n)
+        last_p = where3(upd, pos, last_p)
+        last_pdf = jnp.where(delta, 1.0, jnp.where(rough, spdf, last_pdf))
+        g_mis = jnp.where(rough, g_new, g_mis)
+        prev_v = where3(rough, pos, prev_v)
+
+        path_it = jnp.where(alive_in, path_it + 1, path_it)
+        alive_out = alive_out & (path_it < max_path_iters)
+
+        # ---- flush finished paths ----
+        died = alive_in & ~alive_out
+        flush = died & valid3(rad)
+        img = img + where3(flush, rad, V3(zero, zero, zero))
+        rad = where3(died, V3(zero, zero, zero), rad)
+
+        new_work = (jnp.any(alive_out) | jnp.any(sample < spp)).astype(
+            jnp.int32)
+        return (it + 1, new_work, sample, path_it, ro, rd, tp, rad, img,
+                eta, dep, alive_out.astype(jnp.int32), last_n, last_p,
+                last_pdf, g_mis, prev_v)
+
+    init = (jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32), zero_i,
+            zero_i, eye_b, V3(zero, zero, zero), V3(one, one, one),
+            V3(zero, zero, zero), V3(zero, zero, zero), one, zero_i, zero_i,
+            V3(zero, zero, zero), eye_b, one, zero, eye_b)
+    c = jax.lax.while_loop(cond, body, init)
+    it, rad, img, alive_i = c[0], c[7], c[8], c[11]
+    leftover = (alive_i != 0) & valid3(rad)
+    img = img + where3(leftover, rad, V3(*(jnp.zeros_like(rad.x),) * 3))
+    img_x[...] = img.x
+    img_y[...] = img.y
+    img_z[...] = img.z
+    iters_out[...] = zero_i + it   # per-tile loop trip count (diagnostics)
+
+
+def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
+                    px, py, spp: int, cfg, seed,
+                    light_hit_scale: float, return_iters: bool = False):
+    """Full BDPT eye pass (all spp samples) in ONE pallas_call.  Returns the
+    per-pixel radiance SUM over spp (B, 3); with ``return_iters`` also the
+    per-tile while-loop trip counts (diagnostics)."""
+    B = px.shape[0]
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    cam_row = jnp.zeros((1, LANE), jnp.float32)
+    cam_row = cam_row.at[0, 0:3].set(cam.eye)
+    cam_row = cam_row.at[0, 3:6].set(cam.ul)
+    cam_row = cam_row.at[0, 6:9].set(cam.dx)
+    cam_row = cam_row.at[0, 9:12].set(cam.dy)
+    scal = jnp.stack([jnp.asarray(seed, jnp.int32),
+                      jnp.asarray(n_valid, jnp.int32)])
+
+    import os
+
+    rows = int(os.environ.get("PT_TPU_MEGA_ROWS", "128"))
+    pxt = _tile(px.astype(jnp.float32), rows)[0]
+    pyt = _tile(py.astype(jnp.float32), rows)[0]
+    rows_total = pxt.shape[0]
+    grid = rows_total // rows
+
+    max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
+    kernel = functools.partial(
+        _bdpt_eye_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=cfg.clamp,
+        blocks_col=4 if cfg.shadow_dielectrics_block else 5,
+        spp=spp, eye_depth=cfg.eye_depth,
+        max_path_iters=cfg.max_eye_iters, max_total=max_total,
+        light_hit_scale=light_hit_scale)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lv_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            *_ray_specs(2, rows),
+        ],
+        out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM) for _ in range(4)],
+        out_shape=([jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
+                    for _ in range(3)]
+                   + [jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32)]),
+    )(sph_tab, tri_tab, cl_tab, lv_tab, cam_row, scal, pxt, pyt)
+    img = jnp.stack([o.reshape(-1)[:B] for o in outs[:3]], -1)
+    if return_iters:
+        return img, outs[3][::rows, 0]
+    return img

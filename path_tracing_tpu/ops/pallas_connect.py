@@ -57,23 +57,13 @@ def pack_light_vertices(lv_flat) -> jnp.ndarray:
     return jnp.concatenate([tab, jnp.zeros((pad_rows, 32))], axis=0)
 
 
-def _connect_kernel(sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref,
-                    epx, epy, epz, enx, eny, enz,
-                    etx, ety, etz, bcr, bcg, bcb, rough, metal, meta,
-                    woex, woey, woez, wosx, wosy, wosz, eyef, act_in,
-                    out_x, out_y, out_z,
-                    *, ns, nl, nt, clamp_val, blocks_col):
-    ev_pos = V3(epx[...], epy[...], epz[...])
-    ev_n = V3(enx[...], eny[...], enz[...])
-    ev_tp = V3(etx[...], ety[...], etz[...])
-    m_e = Mtl(V3(bcr[...], bcg[...], bcb[...]), rough[...], metal[...],
-              meta[...])
-    wo_e = V3(woex[...], woey[...], woez[...])
-    wo_s = V3(wosx[...], wosy[...], wosz[...])
-    eye_f = eyef[...]
-    act = act_in[...] != 0
-    n_valid = nvalid_ref[0, 0]
-
+def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
+                 ev_pos: V3, ev_n: V3, ev_tp: V3, m_e: Mtl, wo_e: V3,
+                 wo_s: V3, eye_f, act,
+                 *, ns, nl, nt, clamp_val, blocks_col) -> V3:
+    """Sum of all light-vertex connection contributions for one eye vertex
+    per lane, entirely in registers.  Shared by the standalone connection
+    kernel and the BDPT eye megakernel (ops/pallas_bdpt_eye.py)."""
     zero = jnp.zeros_like(eye_f)
     # hoisted eye-side frame
     et, eb = build_frame(ev_n)
@@ -131,11 +121,19 @@ def _connect_kernel(sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref,
         gate &= ((f_e.x > 0.0) | (f_e.y > 0.0) | (f_e.z > 0.0))
         gate &= ((f_l.x > 0.0) | (f_l.y > 0.0) | (f_l.z > 0.0))
 
-        blocked = shadow_blocked(
-            sph_ref, tri_ref, cl_ref,
-            ev_pos + ev_n.scale(EPSILON), lp + ln.scale(EPSILON),
-            ns=ns, nl=nl, nt=nt, blocks_col=blocks_col)
-        tr = jnp.where(blocked, 0.0, 1.0)
+        # the shadow sweep is ~60% of the body — skip it whenever NO lane in
+        # the tile still has a live gate for this vertex (delta-chain-only
+        # iterations, behind-cone vertices, fully back-facing tiles...)
+        def run_shadow(_):
+            return shadow_blocked(
+                sph_ref, tri_ref, cl_ref,
+                ev_pos + ev_n.scale(EPSILON), lp + ln.scale(EPSILON),
+                ns=ns, nl=nl, nt=nt,
+                blocks_col=blocks_col).astype(jnp.int32)
+
+        blocked = jax.lax.cond(jnp.any(gate), run_shadow,
+                               lambda _: jnp.ones_like(zero, jnp.int32), 0)
+        tr = jnp.where(blocked != 0, 0.0, 1.0)
         gate &= tr > 0.0
 
         g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
@@ -152,7 +150,31 @@ def _connect_kernel(sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref,
                          V3(zero, zero, zero))
         return acc + contrib
 
-    acc = jax.lax.fori_loop(0, n_valid, body, V3(zero, zero, zero))
+    def run_loop(_):
+        return jax.lax.fori_loop(0, n_valid, body, V3(zero, zero, zero))
+
+    # skip the whole sweep when the tile has no active eye vertex at all
+    return jax.lax.cond(jnp.any(act), run_loop,
+                        lambda _: V3(zero, zero, zero), 0)
+
+
+def _connect_kernel(sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref,
+                    epx, epy, epz, enx, eny, enz,
+                    etx, ety, etz, bcr, bcg, bcb, rough, metal, meta,
+                    woex, woey, woez, wosx, wosy, wosz, eyef, act_in,
+                    out_x, out_y, out_z,
+                    *, ns, nl, nt, clamp_val, blocks_col):
+    acc = connect_core(
+        sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref[0, 0],
+        V3(epx[...], epy[...], epz[...]),
+        V3(enx[...], eny[...], enz[...]),
+        V3(etx[...], ety[...], etz[...]),
+        Mtl(V3(bcr[...], bcg[...], bcb[...]), rough[...], metal[...],
+            meta[...]),
+        V3(woex[...], woey[...], woez[...]),
+        V3(wosx[...], wosy[...], wosz[...]),
+        eyef[...], act_in[...] != 0,
+        ns=ns, nl=nl, nt=nt, clamp_val=clamp_val, blocks_col=blocks_col)
     out_x[...] = acc.x
     out_y[...] = acc.y
     out_z[...] = acc.z

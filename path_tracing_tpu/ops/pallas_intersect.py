@@ -363,8 +363,8 @@ def _tile(x, rows):
     return x.reshape(-1, LANE), pad
 
 
-def _ray_specs(n):
-    return [pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+def _ray_specs(n, rows=TILE_ROWS):
+    return [pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                          memory_space=pltpu.VMEM) for _ in range(n)]
 
 

@@ -960,10 +960,13 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
     cam_row = cam_row.at[0, 9:12].set(cam.dy)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
-    pxt = _tile(px.astype(jnp.float32), TILE_ROWS)[0]
-    pyt = _tile(py.astype(jnp.float32), TILE_ROWS)[0]
+    import os
+
+    rows = int(os.environ.get("PT_TPU_MEGA_ROWS", "128"))
+    pxt = _tile(px.astype(jnp.float32), rows)[0]
+    pyt = _tile(py.astype(jnp.float32), rows)[0]
     rows_total = pxt.shape[0]
-    grid = rows_total // TILE_ROWS
+    grid = rows_total // rows
 
     max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
     kernel = functools.partial(
@@ -987,9 +990,9 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
             pl.BlockSpec((1, LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            *_ray_specs(2),
+            *_ray_specs(2, rows),
         ],
-        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM) for _ in range(3)],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
                    for _ in range(3)],

@@ -118,3 +118,42 @@ def test_megakernel_statistical_equivalence_and_determinism():
     ma, mr = a.mean(axis=0), ref.mean(axis=0)
     assert np.all(np.abs(ma - mr) / np.maximum(np.abs(mr), 1e-6) < 0.02), (
         ma, mr)
+
+
+def test_bdpt_megakernel_statistical_equivalence_and_determinism():
+    """BDPT eye megakernel (on-core PRNG stream) vs the scan + per-bounce
+    connection kernel pipeline: same estimator, converged means agree."""
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.bdpt import render_bdpt
+    from path_tracing_tpu.scene.camera import make_camera
+    from path_tracing_tpu.scene.parser import load_scene
+
+    assert not os.environ.get("PT_TPU_NO_BDPT_MEGAKERNEL")
+    p = load_scene("/root/reference/input.txt")
+    scene = p.to_device()
+    W = H = 64
+    spp, spl = 16, 8
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=4, light_depth=4,
+                       delta_budget=4)
+    key = jax.random.PRNGKey(11)
+
+    a = np.asarray(render_bdpt(scene, cam, W, H, spp, spl, cfg, key))
+    b = np.asarray(render_bdpt(scene, cam, W, H, spp, spl, cfg, key))
+    assert np.array_equal(a, b), "BDPT megakernel render not deterministic"
+    assert not np.isnan(a).any()
+
+    os.environ["PT_TPU_NO_BDPT_MEGAKERNEL"] = "1"
+    try:
+        render_bdpt.clear_cache()
+        # SAME key: identical light subpaths (the dominant variance source
+        # at 256 paths); only the eye sample stream differs
+        ref = np.asarray(render_bdpt(scene, cam, W, H, spp, spl, cfg, key))
+    finally:
+        del os.environ["PT_TPU_NO_BDPT_MEGAKERNEL"]
+        render_bdpt.clear_cache()
+    ma, mr = a.mean(axis=0), ref.mean(axis=0)
+    assert np.all(np.abs(ma - mr) / np.maximum(np.abs(mr), 1e-6) < 0.05), (
+        ma, mr)
