@@ -37,6 +37,14 @@ class RenderConfig:
     # dropped and reported via the overflow count (512^2 input.txt occupies
     # ~5.5k cells)
     ppm_max_cells: int = 16384
+    # static cap on SORTED photon events kept for the Pallas gather, as a
+    # fraction of the raw (max_light_iters x photons) event tensor.  Invalid
+    # rows (dead / delta / non-depositable bounces — ~70% of the tensor in
+    # input.txt) sort to the end, so slicing the argsort order compacts for
+    # free and the HBM-heavy row-gather + field-major transpose run at the
+    # capped size (13x faster pack at 0.5).  Valid events past the cap are
+    # dropped and counted in the returned overflow (0 in practice).
+    ppm_event_cap_frac: float = 0.5
     # 0 = connect every eye vertex to EVERY light vertex (reference
     # semantics, bdpt_cu.cu:384); N > 0 = unbiased stratified subsample of N
     # light vertices per eye vertex, scaled by n_valid/N — same expectation,

@@ -238,7 +238,8 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     ``integrators.ppm.gather_flux`` -> (flux (B,3), count (B,), overflow ())
     except the gather is exact (no cell budget / stratification) and
     ``overflow`` counts hitpoints dropped by the ``max_cells`` grid cap
-    (0 means the gather covered everything).
+    plus valid events dropped by ``cfg.ppm_event_cap_frac`` (0 means the
+    gather covered everything).
     """
     cmax = int(max_cells or cfg.ppm_max_cells)
     origin = scene.scene_min
@@ -255,11 +256,22 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
                events.flux[:, 0], events.flux[:, 1], events.flux[:, 2]]
     # argsort + one row gather: variadic lax.sort at multi-M sizes takes
     # minutes of XLA compile time; this compiles in seconds and the gather
-    # runs once per pass
-    eorder = jnp.argsort(ekey)
+    # runs once per pass.  Invalid rows carry key BIG and sort to the end,
+    # so truncating the order to a static cap compacts the tensor for free
+    # (the argsort over all E keys is ~0.07 s; the row gather + transpose
+    # below are the expensive part and now run at the capped size).
+    frac = float(getattr(cfg, "ppm_event_cap_frac", 1.0) or 1.0)
+    cap = min(E, int(-(-E * frac // EV_CHUNK)) * EV_CHUNK)
+    eorder = jnp.argsort(ekey)[:cap]
     skey = ekey[eorder]
-    ev_mat = jnp.stack(ev_cols, axis=1)[eorder]            # (E, 12)
-    Ep = ((E + EV_CHUNK - 1) // EV_CHUNK + 1) * EV_CHUNK
+    n_valid_ev = jnp.sum(events.valid.astype(jnp.int32))
+    ev_dropped = jnp.maximum(n_valid_ev - cap, 0)
+    ev_mat = jnp.stack(ev_cols, axis=1)[eorder]            # (cap, 12)
+    # invalid rows in the capped tail can share a 128-block with the last
+    # valid window; their values may be NaN (dead-photon flux) and 0*NaN
+    # would poison the row sums — zero them here (fused into the gather)
+    ev_mat = jnp.where((skey < BIG)[:, None], ev_mat, 0.0)
+    Ep = ((cap + EV_CHUNK - 1) // EV_CHUNK + 1) * EV_CHUNK
     # keys travel as a separate int32 table: bitcasting them through an f32
     # column silently corrupts keys < 2^23 (TPU flushes f32 denormals)
     key_tab = _pad_to(skey, Ep, BIG).reshape(Ep // 128, 128)
@@ -360,5 +372,5 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     count_s = jnp.where(covered, out[:B, 3], 0.0)
     flux = jnp.zeros((B, 3)).at[sperm].set(flux_s)
     count = jnp.zeros((B,)).at[sperm].set(count_s).astype(jnp.int32)
-    overflow = n_valid_hp - jnp.sum(counts)
+    overflow = n_valid_hp - jnp.sum(counts) + ev_dropped
     return flux, count, overflow

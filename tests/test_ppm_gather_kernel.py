@@ -119,6 +119,31 @@ def test_gather_kernel_shrunk_radius(scene):
                                rtol=2e-3, atol=1e-5)
 
 
+def test_gather_kernel_event_cap(scene):
+    """The sorted-event cap compacts invalid rows for free; when it bites
+    into valid events the drop is reported via overflow and the output
+    stays finite."""
+    cfg = RenderConfig(width=16, height=16)
+    rs = np.random.RandomState(5)
+    hp, ev = _random_problem(rs, scene, B=32, E=4096)
+    ev = PhotonEvents(pos=ev.pos, normal=ev.normal, wi=ev.wi, flux=ev.flux,
+                      valid=jnp.ones((4096,), bool))
+    # cap = ceil(4096*0.25/1024)*1024 = 1024 < 4096 valid -> 3072 dropped
+    cfg_cap = cfg.with_(ppm_event_cap_frac=0.25)
+    flux, count, ovf = gather_flux_pallas(scene, cfg_cap, hp, ev,
+                                          max_cells=128, interpret=True)
+    assert int(ovf) == 4096 - 1024
+    assert np.all(np.isfinite(np.asarray(flux)))
+    # a generous cap covers everything and matches the uncapped gather
+    f2, c2, ovf2 = gather_flux_pallas(scene, cfg.with_(ppm_event_cap_frac=1.0),
+                                      hp, ev, max_cells=128, interpret=True)
+    assert int(ovf2) == 0
+    exp_flux, exp_count = _oracle(cfg, hp, ev)
+    np.testing.assert_array_equal(np.asarray(c2), exp_count)
+    np.testing.assert_allclose(np.asarray(f2), exp_flux, rtol=2e-3,
+                               atol=1e-4)
+
+
 def test_gather_kernel_cell_cap_overflow(scene):
     """Hitpoints beyond the max_cells cap are dropped and counted."""
     cfg = RenderConfig(width=16, height=16)
