@@ -562,7 +562,8 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
     B = px.shape[0]
     lv_flat, n_valid = compact_flat(lv.flat())
     fused_connect = (_use_fused_connect()
-                     and cfg.bdpt_connection_samples == 0)
+                     and cfg.bdpt_connection_samples == 0
+                     and not scene.has_textures)
     if fused_connect:
         from ..ops.pallas_connect import connect_pallas, pack_light_vertices
 
@@ -725,7 +726,8 @@ def render_bdpt(scene: Scene, cam: Camera, width: int, height: int, spp: int,
     lv = trace_light_paths(scene_used, cfg, num_paths, spl,
                            jax.random.fold_in(key, 0x0101))
 
-    if _use_bdpt_megakernel() and cfg.bdpt_connection_samples == 0:
+    if (_use_bdpt_megakernel() and cfg.bdpt_connection_samples == 0
+            and not scene_used.has_textures):
         # persistent eye megakernel: the whole spp loop in one pallas_call
         from ..ops.pallas_bdpt_eye import bdpt_eye_pallas
         from ..ops.pallas_connect import pack_light_vertices

@@ -319,7 +319,7 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     ``spp`` samples (callers divide).
     """
     B = px.shape[0]
-    if _use_megakernel():
+    if _use_megakernel() and not scene.has_textures:
         from ..ops.pallas_shade import render_wavefront_pallas
 
         light_tab = _light_table(scene)
@@ -346,7 +346,7 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     )
     # generous global cap; the while cond exits as soon as work runs dry
     max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
-    fused = _use_fused_shade()
+    fused = _use_fused_shade() and not scene.has_textures
     if fused:
         from ..ops.pallas_shade import shade_step_pallas
 

@@ -116,7 +116,7 @@ def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
                    normal=zeros3, mtl=Material.light_ball(zeros3),
                    is_light=jnp.zeros(B, bool))
 
-    if use_pallas():
+    if use_pallas() and not scene.has_textures:
         from .pallas_intersect import nearest_hit_pallas
 
         h = nearest_hit_pallas(scene, ro, rd)
@@ -167,8 +167,34 @@ def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
     # flip toward the ray (geometric.cuh:350,365,383)
     normal = jnp.where((dot(normal, rd) > 0.0)[:, None], -normal, normal)
 
+    mtl = mtl_table.gather(idx)
+    if scene.has_textures:
+        # map_Kd modulation (ops/texture.py): recompute the winning
+        # triangle's Moller-Trumbore barycentrics (B-sized, vs the (B, Nt)
+        # sweep above), interpolate vertex UVs, bilinear-fetch the atlas
+        from .texture import interpolate_uv, sample_bilinear
+
+        ti = jnp.clip(idx - (ns + nl), 0, nt - 1)
+        v0, v1, v2 = scene.tri_v0[ti], scene.tri_v1[ti], scene.tri_v2[ti]
+        e1, e2 = v1 - v0, v2 - v0
+        hv = cross(rd, e2)
+        a = jnp.sum(e1 * hv, axis=-1)
+        f = 1.0 / jnp.where(jnp.abs(a) < 1e-12, 1.0, a)
+        s = ro - v0
+        bu = f * jnp.sum(s * hv, axis=-1)
+        q = cross(s, e1)
+        bv = f * jnp.sum(rd * q, axis=-1)
+        uv = interpolate_uv(scene.tri_uv[ti], bu, bv)
+        tex_id = scene.tri_tex[ti]
+        texel = sample_bilinear(scene.tex_atlas, scene.tex_size, tex_id, uv)
+        textured = is_tri_table[idx] & (tex_id >= 0)
+        mtl = dataclasses.replace(
+            mtl, base_color=jnp.where(textured[:, None],
+                                      mtl.base_color * texel,
+                                      mtl.base_color))
+
     return Hit(hit=hit, t=best_t, pos=pos, normal=normal,
-               mtl=mtl_table.gather(idx), is_light=is_light_table[idx])
+               mtl=mtl, is_light=is_light_table[idx])
 
 
 def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,

@@ -6,8 +6,9 @@ active: OBJ geometry feeds the same triangle SoA as the text format, so every
 integrator renders meshes unchanged (BASELINE config 3).
 
 Supported subset (the part of tinyobj the reference could have used):
-- ``v`` positions, ``vn`` normals and ``vt`` texcoords (parsed; shading uses
-  geometric normals like the reference's Triangle::normal_at),
+- ``v`` positions, ``vn`` normals (parsed; shading uses geometric normals
+  like the reference's Triangle::normal_at) and ``vt`` texcoords
+  (interpolated for ``map_Kd`` sampling, ops/texture.py),
 - ``f`` faces with ``v``, ``v/vt``, ``v//vn``, ``v/vt/vn`` forms, negative
   (relative) indices, and polygon fan triangulation,
 - ``o``/``g`` object/group names (mapped to group ids like the text format's
@@ -16,7 +17,10 @@ Supported subset (the part of tinyobj the reference could have used):
   (shininess -> roughness = sqrt(2/(Ns+2)), the Blinn-Phong moment match),
   ``Ni`` (IOR), ``d``/``Tr`` (dissolve: d < 1 marks a dielectric -> eta=Ni),
   ``illum`` (3/5 -> mirror-like metallic=1.0, roughness~0),
-  ``Pm``/``Pr`` (PBR metallic/roughness extensions, take precedence).
+  ``Pm``/``Pr`` (PBR metallic/roughness extensions, take precedence),
+  ``map_Kd`` (diffuse texture, decoded via PIL or the built-in PNG reader
+  and modulated onto base_color at hit time — BASELINE config 3's
+  "textured OBJ mesh").
 
 A C++ implementation of the same grammar lives in csrc/ (see
 runtime/native.py); this module is the always-available fallback and the
@@ -43,6 +47,7 @@ class MtlDef:
     illum: int = 2
     pm: float | None = None  # PBR metallic
     pr: float | None = None  # PBR roughness
+    map_kd: str | None = None  # diffuse texture filename (relative to MTL)
 
     def to_material_row(self) -> List[float]:
         """-> [r, g, b, roughness, metallic, eta] (our Material layout)."""
@@ -93,9 +98,30 @@ def _parse_mtl(path: str) -> Dict[str, MtlDef]:
                     cur.pm = float(tok[1])
                 elif key == "pr":
                     cur.pr = float(tok[1])
+                elif key == "map_kd":
+                    cur.map_kd = tok[-1]  # options (-o, -s ...) precede it
             except (ValueError, IndexError):
                 continue  # tolerant like the text parser
     return mtls
+
+
+def _decode_texture(path: str) -> "np.ndarray | None":
+    """Image file -> (H, W, 3) float32 in [0, 1].  PIL when available
+    (jpg/bmp/...), our dependency-free PNG reader otherwise; None (flat
+    color fallback) when neither can decode it."""
+    try:
+        from PIL import Image
+
+        img = np.asarray(Image.open(path).convert("RGB"), np.float32)
+        return img / 255.0
+    except Exception:
+        pass
+    try:
+        from ..film import read_png
+
+        return np.asarray(read_png(path), np.float32) / 255.0
+    except Exception:
+        return None
 
 
 def load_obj(path: str, default_mtl: List[float] | None = None) -> ParsedScene:
@@ -103,8 +129,11 @@ def load_obj(path: str, default_mtl: List[float] | None = None) -> ParsedScene:
     come from CLI flags or a companion text scene)."""
     out = ParsedScene()
     verts: List[List[float]] = []
+    texcoords: List[List[float]] = []
     mtls: Dict[str, MtlDef] = {}
     cur_mtl = list(default_mtl or [0.8, 0.8, 0.8, 0.5, 0.0, 0.0])
+    cur_tex = -1
+    tex_ids: Dict[str, int] = {}  # resolved path -> index into out.textures
     group_id = 0
     next_group = 0
     base = os.path.dirname(os.path.abspath(path))
@@ -112,6 +141,25 @@ def load_obj(path: str, default_mtl: List[float] | None = None) -> ParsedScene:
     def vidx(tok: str) -> int:
         i = int(tok.split("/")[0])
         return i - 1 if i > 0 else len(verts) + i
+
+    def tidx(tok: str) -> int:
+        """vt index of a face token, or -1 when absent (v or v//vn forms)."""
+        parts = tok.split("/")
+        if len(parts) < 2 or not parts[1]:
+            return -1
+        i = int(parts[1])
+        return i - 1 if i > 0 else len(texcoords) + i
+
+    def tex_of(m: MtlDef) -> int:
+        if not m.map_kd:
+            return -1
+        p = os.path.normpath(os.path.join(base, m.map_kd))
+        if p not in tex_ids:
+            img = _decode_texture(p)
+            tex_ids[p] = -1 if img is None else len(out.textures)
+            if img is not None:
+                out.textures.append(img)
+        return tex_ids[p]
 
     with open(path) as f:
         for line in f:
@@ -122,21 +170,34 @@ def load_obj(path: str, default_mtl: List[float] | None = None) -> ParsedScene:
             try:
                 if key == "v":
                     verts.append([float(tok[1]), float(tok[2]), float(tok[3])])
+                elif key == "vt":
+                    texcoords.append([float(tok[1]),
+                                      float(tok[2]) if len(tok) > 2 else 0.0])
                 elif key == "mtllib":
                     mtls.update(_parse_mtl(os.path.join(base, tok[1])))
                 elif key == "usemtl":
                     if tok[1] in mtls:
                         cur_mtl = mtls[tok[1]].to_material_row()
+                        cur_tex = tex_of(mtls[tok[1]])
                 elif key in ("o", "g"):
                     next_group += 1
                     group_id = next_group
                 elif key == "f":
                     idx = [vidx(t) for t in tok[1:]]
+                    uvi = [tidx(t) for t in tok[1:]]
                     for k in range(1, len(idx) - 1):  # fan triangulation
                         out.tri_verts.append(
                             [verts[idx[0]], verts[idx[k]], verts[idx[k + 1]]])
                         out.tri_mtl.append(list(cur_mtl))
                         out.tri_group.append(group_id)
+                        corners = (uvi[0], uvi[k], uvi[k + 1])
+                        uv = []
+                        for c in corners:
+                            uv.extend(texcoords[c] if 0 <= c < len(texcoords)
+                                      else [0.0, 0.0])
+                        out.tri_uv.append(uv)
+                        out.tri_tex.append(
+                            cur_tex if all(c >= 0 for c in corners) else -1)
             except (ValueError, IndexError):
                 continue
     return out

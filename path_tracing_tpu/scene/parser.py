@@ -52,6 +52,12 @@ class ParsedScene:
     tri_mtl: List = field(default_factory=list)
     tri_group: List = field(default_factory=list)
     lights: List = field(default_factory=list)        # rows [pos3,dir3,illum3,cutoff,is_par,ball_r]
+    # textures (OBJ map_Kd; empty for text scenes): per-triangle vertex UVs
+    # [u0,v0,u1,v1,u2,v2], per-triangle texture index (-1 = untextured), and
+    # the decoded images (H, W, 3) float32 in [0, 1]
+    tri_uv: List = field(default_factory=list)
+    tri_tex: List = field(default_factory=list)
+    textures: List = field(default_factory=list)
 
     def to_device(self, cluster_leaf_size: int = 64) -> Scene:
         import jax.numpy as jnp
@@ -66,6 +72,18 @@ class ParsedScene:
             )
 
         lights = np.asarray(self.lights, np.float32).reshape(-1, 12)
+
+        # pad all textures into one (NT, TH, TW, 3) atlas (ops/texture.py)
+        tex_atlas = tex_size = None
+        if self.textures:
+            th = max(t.shape[0] for t in self.textures)
+            tw = max(t.shape[1] for t in self.textures)
+            tex_atlas = np.zeros((len(self.textures), th, tw, 3), np.float32)
+            tex_size = np.zeros((len(self.textures), 2), np.int32)
+            for i, t in enumerate(self.textures):
+                tex_atlas[i, :t.shape[0], :t.shape[1]] = t
+                tex_size[i] = (t.shape[0], t.shape[1])
+
         return scene_from_numpy(
             sph_center=np.asarray(self.sph_center, np.float32).reshape(-1, 3),
             sph_radius=np.asarray(self.sph_radius, np.float32),
@@ -81,6 +99,12 @@ class ParsedScene:
             light_is_parallel=lights[:, 10].astype(np.int32),
             light_ball_r=lights[:, 11],
             cluster_leaf_size=cluster_leaf_size,
+            tri_uv=(np.asarray(self.tri_uv, np.float32).reshape(-1, 6)
+                    if self.tri_uv else None),
+            tri_tex=(np.asarray(self.tri_tex, np.int32)
+                     if self.tri_tex else None),
+            tex_atlas=tex_atlas,
+            tex_size=tex_size,
         )
 
 

@@ -119,10 +119,27 @@ class Scene:
     # per ray tile.  aabb rows are [min3, max3]; ranges are [start, count].
     tri_cluster_aabb: jnp.ndarray   # (M, 6)
     tri_cluster_range: jnp.ndarray  # (M, 2) int32
+    # textures (ops/texture.py; OBJ map_Kd — the capability the reference's
+    # vendored-but-unused tiny_obj_loader implies).  Empty for text scenes.
+    tri_uv: jnp.ndarray = field(
+        default_factory=lambda: jnp.zeros((0, 6), jnp.float32))   # (Nt, 6)
+    tri_tex: jnp.ndarray = field(
+        default_factory=lambda: jnp.zeros((0,), jnp.int32))       # (Nt,)
+    tex_atlas: jnp.ndarray = field(
+        default_factory=lambda: jnp.zeros((0, 1, 1, 3), jnp.float32))
+    tex_size: jnp.ndarray = field(
+        default_factory=lambda: jnp.zeros((0, 2), jnp.int32))     # (NT, 2)
 
     @property
     def num_spheres(self) -> int:
         return self.sph_center.shape[0]
+
+    @property
+    def has_textures(self) -> bool:
+        """Static (trace-time) — textured scenes take the XLA intersection
+        path, where batched texture gathers are natural; the Pallas kernels
+        resolve materials in-register and cannot do per-lane atlas fetches."""
+        return self.tex_atlas.shape[0] > 0 and self.tri_tex.shape[0] > 0
 
     @property
     def num_triangles(self) -> int:
@@ -157,6 +174,7 @@ def scene_from_numpy(
     sph_center, sph_radius, sph_mtl, tri_v0, tri_v1, tri_v2, tri_mtl,
     light_pos, light_dir, light_illum, light_cutoff, light_is_parallel,
     light_ball_r, cluster_leaf_size: int = 64,
+    tri_uv=None, tri_tex=None, tex_atlas=None, tex_size=None,
 ) -> Scene:
     """Build a device Scene from host numpy arrays, computing the scene AABB
     the way the marshalling helpers do (bdpt_cu_helper.cpp:29-53): union of
@@ -174,6 +192,11 @@ def scene_from_numpy(
 
     # cluster + reorder triangles (single whole-scene cluster for tiny sets)
     nt_total = tri_v0.shape[0]
+    tri_uv = (np.asarray(tri_uv, f32).reshape(-1, 6) if tri_uv is not None
+              else np.zeros((nt_total, 6), f32))
+    tri_tex = (np.asarray(tri_tex, np.int32).reshape(-1)
+               if tri_tex is not None
+               else np.full((nt_total,), -1, np.int32))
     if nt_total > cluster_leaf_size:
         from ..ops.bvh import build_clusters
 
@@ -181,6 +204,7 @@ def scene_from_numpy(
         order, cl_aabb, cl_range = build_clusters(tris9, cluster_leaf_size)
         tri_v0, tri_v1, tri_v2 = tri_v0[order], tri_v1[order], tri_v2[order]
         tri_mtl = tri_mtl.gather(jnp.asarray(order))
+        tri_uv, tri_tex = tri_uv[order], tri_tex[order]
     else:
         if nt_total:
             verts_all = np.concatenate([tri_v0, tri_v1, tri_v2], axis=0)
@@ -225,4 +249,14 @@ def scene_from_numpy(
         tri_cluster_aabb=jnp.asarray(np.asarray(cl_aabb, f32).reshape(-1, 6)),
         tri_cluster_range=jnp.asarray(
             np.asarray(cl_range, np.int32).reshape(-1, 2)),
+        tri_uv=jnp.asarray(tri_uv),
+        tri_tex=jnp.asarray(tri_tex),
+        tex_atlas=jnp.asarray(
+            np.asarray(tex_atlas, f32).reshape(-1, *np.shape(tex_atlas)[1:])
+            if tex_atlas is not None and np.size(tex_atlas)
+            else np.zeros((0, 1, 1, 3), f32)),
+        tex_size=jnp.asarray(
+            np.asarray(tex_size, np.int32).reshape(-1, 2)
+            if tex_size is not None and np.size(tex_size)
+            else np.zeros((0, 2), np.int32)),
     )

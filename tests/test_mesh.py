@@ -124,3 +124,92 @@ def test_mesh_scene_renders():
     h = jax.jit(find_closest_hit)(scene, jnp.broadcast_to(cam.eye, (W * H, 3)),
                                   rd)
     assert float(h.hit.mean()) > 0.15
+
+
+def _write_checker_texture(path, n=8):
+    """4-quadrant texture: UL red / UR green / LL blue / LR white (image
+    row 0 is the TOP of the texture; uv v=1 maps there)."""
+    from path_tracing_tpu.film import write_png
+
+    img = np.zeros((n, n, 3), np.uint8)
+    img[: n // 2, : n // 2] = (255, 0, 0)
+    img[: n // 2, n // 2:] = (0, 255, 0)
+    img[n // 2:, : n // 2] = (0, 0, 255)
+    img[n // 2:, n // 2:] = (255, 255, 255)
+    write_png(str(path), img)
+
+
+def _textured_quad_obj(tmp_path):
+    """Unit quad in z=0, uv = xy, with a map_Kd checker texture."""
+    _write_checker_texture(tmp_path / "check.png")
+    (tmp_path / "quad.mtl").write_text(
+        "newmtl tex\nKd 1 1 1\nNs 2\nmap_Kd check.png\n")
+    (tmp_path / "quad.obj").write_text(
+        "mtllib quad.mtl\nusemtl tex\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "f 1/1 2/2 3/3 4/4\n")
+    return str(tmp_path / "quad.obj")
+
+
+def test_obj_texture_loading(tmp_path):
+    p = load_obj(_textured_quad_obj(tmp_path))
+    assert len(p.tri_verts) == 2
+    assert len(p.textures) == 1 and p.textures[0].shape == (8, 8, 3)
+    assert p.tri_tex == [0, 0]
+    np.testing.assert_allclose(p.tri_uv[0], [0, 0, 1, 0, 1, 1], atol=1e-6)
+    scene = p.to_device()
+    assert scene.has_textures
+    assert scene.tex_atlas.shape == (1, 8, 8, 3)
+    assert tuple(np.asarray(scene.tex_size[0])) == (8, 8)
+
+
+def test_obj_without_vt_is_untextured(tmp_path):
+    (tmp_path / "m.mtl").write_text("newmtl t\nKd 1 1 1\nmap_Kd missing.png\n")
+    (tmp_path / "q.obj").write_text(
+        "mtllib m.mtl\nusemtl t\nv 0 0 0\nv 1 0 0\nv 1 1 0\nf 1 2 3\n")
+    p = load_obj(str(tmp_path / "q.obj"))
+    assert p.tri_tex == [-1]       # no vt indices -> untextured face
+    assert not p.to_device().has_textures
+
+
+def test_textured_hit_modulates_base_color(tmp_path):
+    """Rays into each quadrant of the textured quad pick up that quadrant's
+    texel color (bilinear, wrap, v-up convention)."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.ops.intersect import find_closest_hit
+
+    p = load_obj(_textured_quad_obj(tmp_path))
+    scene = p.to_device()
+    # uv = hit xy; sample quadrant centers (texel centers, no filtering seam)
+    uvs = np.array([[0.25, 0.25], [0.75, 0.25], [0.25, 0.75], [0.75, 0.75]],
+                   np.float32)
+    expect = np.array([[0, 0, 1], [1, 1, 1], [1, 0, 0], [0, 1, 0]],
+                      np.float32)  # v=0 is the image BOTTOM row
+    ro = np.concatenate([uvs, np.full((4, 1), -1.0, np.float32)], axis=1)
+    rd = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    h = jax.jit(find_closest_hit)(scene, jnp.asarray(ro), jnp.asarray(rd))
+    assert bool(h.hit.all())
+    np.testing.assert_allclose(np.asarray(h.mtl.base_color), expect,
+                               atol=1e-5)
+
+
+def test_textured_mesh_renders_pt(tmp_path):
+    """End-to-end PT render of a textured mesh (XLA fallback path)."""
+    import jax
+
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.pt import render_pt
+    from path_tracing_tpu.scene.camera import make_camera
+
+    p = load_any_scene(_textured_quad_obj(tmp_path))
+    scene = p.to_device()
+    assert scene.has_textures
+    W = H = 16
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=2, delta_budget=2)
+    img = np.asarray(render_pt(scene, cam, W, H, 4, cfg,
+                               jax.random.PRNGKey(0)))
+    assert np.all(np.isfinite(img))
