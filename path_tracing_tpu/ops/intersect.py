@@ -116,15 +116,26 @@ def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
                    normal=zeros3, mtl=Material.light_ball(zeros3),
                    is_light=jnp.zeros(B, bool))
 
-    if use_pallas() and not scene.has_textures:
+    if use_pallas():
         from .pallas_intersect import nearest_hit_pallas
 
-        h = nearest_hit_pallas(scene, ro, rd)
+        h = nearest_hit_pallas(scene, ro, rd, with_uv=scene.has_textures)
         hit = h["flag"] > 0
         pos = ro + rd * h["t"][:, None]
         normal = jnp.stack([h["nx"], h["ny"], h["nz"]], axis=-1)
+        base_color = jnp.stack([h["bcr"], h["bcg"], h["bcb"]], axis=-1)
+        if scene.has_textures:
+            # the kernel interpolated UVs in-register; the atlas fetch is
+            # one batched XLA gather here (ops/texture.py)
+            from .texture import sample_bilinear
+
+            tex_id = h["tex"].astype(jnp.int32)
+            texel = sample_bilinear(scene.tex_atlas, scene.tex_size, tex_id,
+                                    jnp.stack([h["iu"], h["iv"]], axis=-1))
+            base_color = jnp.where((tex_id >= 0)[:, None],
+                                   base_color * texel, base_color)
         mtl = Material(
-            base_color=jnp.stack([h["bcr"], h["bcg"], h["bcb"]], axis=-1),
+            base_color=base_color,
             roughness=h["rough"], metallic=h["metal"], eta=h["eta"])
         return Hit(hit=hit, t=h["t"], pos=pos, normal=normal, mtl=mtl,
                    is_light=h["flag"] == 2)

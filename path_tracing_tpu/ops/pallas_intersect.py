@@ -51,10 +51,14 @@ TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
 # scene packing
 # ---------------------------------------------------------------------------
 
-def pack_scene(scene: Scene):
+def pack_scene(scene: Scene, with_uv: bool = False):
     """Traceable packing of the primitive tables (runs under jit; XLA hoists
     it out of scan bodies as loop-invariant).  Returns (sph_tab (Ms,8),
     tri_tab (Mt,16), ns, nl, nt); sphere rows are [spheres..., light balls...].
+
+    ``with_uv`` appends per-triangle vertex UVs (cols 24-29) and the texture
+    id (col 30) so the nearest-hit kernel can interpolate texture coordinates
+    in-register (textured OBJ scenes, ops/texture.py).
     """
     ns, nl, nt = scene.num_spheres, scene.num_lights, scene.num_triangles
     s_rows = ns + nl
@@ -99,12 +103,20 @@ def pack_scene(scene: Scene):
     tn = jnp.cross(tn, scene.tri_v2 - scene.tri_v0)
     tn = tn / jnp.maximum(
         jnp.sqrt(jnp.sum(tn * tn, axis=-1, keepdims=True)), 1e-20)
-    tri_rows = jnp.concatenate([
+    tri_cols = [
         scene.tri_v0, scene.tri_v1, scene.tri_v2,
         jnp.ones((nt, 1)),
         (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None],
         jnp.zeros((nt, 1)), tn, jnp.zeros((nt, 1)),
-        mtl_cols(scene.tri_mtl, nt, False), jnp.zeros((nt, 1))], axis=1)
+        mtl_cols(scene.tri_mtl, nt, False), jnp.zeros((nt, 1))]
+    if with_uv:
+        uv6 = (scene.tri_uv if scene.tri_uv.shape[0] == nt
+               else jnp.zeros((nt, 6)))
+        tex = (scene.tri_tex.astype(jnp.float32)[:, None]
+               if scene.tri_tex.shape[0] == nt
+               else jnp.full((nt, 1), -1.0))
+        tri_cols += [uv6, tex]
+    tri_rows = jnp.concatenate(tri_cols, axis=1)
     tri = rowpad(tri_rows, mt)
 
     # cluster table rows: [min3, max3, start, count] (start/count as f32;
@@ -124,12 +136,17 @@ def pack_scene(scene: Scene):
 def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
                     t_out, nx_out, ny_out, nz_out,
                     bcr_out, bcg_out, bcb_out, rough_out, metal_out, eta_out,
-                    flags_out, *, ns, nl, nt):
+                    flags_out, *uv_outs, ns, nl, nt, with_uv=False):
     """Nearest hit + in-kernel attribute resolution.
 
     Carrying the winning primitive's normal/material through the loop
     avoids (B,) HBM gathers afterwards (they cost more than the whole
     intersection sweep).  flags_out: 0 = miss, 1 = surface, 2 = light ball.
+    ``with_uv`` additionally interpolates the winning triangle's vertex UVs
+    from its Moller-Trumbore barycentrics and carries the texture id
+    (outputs iu, iv, tex appended) — the texture FETCH stays outside (per-
+    lane atlas gathers don't exist in Mosaic; the host does one batched
+    XLA gather instead, ops/texture.py).
     """
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
@@ -139,10 +156,12 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
                 nx=f0, ny=f0, nz=f0, bcr=f0, bcg=f0, bcb=f0,
                 rough=f0, metal=f0, eta=f0, flag=jnp.zeros(rox.shape,
                                                            jnp.int32))
+    if with_uv:
+        best.update(iu=f0, iv=f0, tex=f0 - 1.0)
 
-    def keep(best, closer, t, nx, ny, nz, row_mtl, flag):
+    def keep(best, closer, t, nx, ny, nz, row_mtl, flag, uvt=None):
         sel = lambda a, b: jnp.where(closer, a, b)
-        return dict(
+        out = dict(
             t=sel(t, best["t"]),
             nx=sel(nx, best["nx"]), ny=sel(ny, best["ny"]),
             nz=sel(nz, best["nz"]),
@@ -154,6 +173,11 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
             eta=sel(row_mtl[5], best["eta"]),
             flag=jnp.where(closer, flag, best["flag"]),
         )
+        if with_uv:
+            iu, iv, tex = uvt if uvt is not None else (f0, f0, f0 - 1.0)
+            out.update(iu=sel(iu, best["iu"]), iv=sel(iv, best["iv"]),
+                       tex=sel(tex, best["tex"]))
+        return out
 
     # spheres then light balls (geometric.cuh:240-259, order = tie-break)
     def sph_body(i, best):
@@ -214,8 +238,18 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
         ny = jnp.broadcast_to(tri_ref[i, 13], rox.shape)
         nz = jnp.broadcast_to(tri_ref[i, 14], rox.shape)
         row = [tri_ref[i, 16 + j] for j in range(6)]
+        uvt = None
+        if with_uv:
+            # uv6 at cols 24-29, tex at col 30 (the base row is 24 wide:
+            # 9 verts + 3 flags + 3 normal + pad + 7 mtl + pad)
+            w0 = 1.0 - u - v
+            iu = (w0 * tri_ref[i, 24] + u * tri_ref[i, 26]
+                  + v * tri_ref[i, 28])
+            iv = (w0 * tri_ref[i, 25] + u * tri_ref[i, 27]
+                  + v * tri_ref[i, 29])
+            uvt = (iu, iv, jnp.broadcast_to(tri_ref[i, 30], rox.shape))
         return keep(best, closer, t, nx, ny, nz, row,
-                    jnp.ones((), jnp.int32))
+                    jnp.ones((), jnp.int32), uvt)
 
     n_clusters = cl_ref.shape[0]
 
@@ -259,6 +293,11 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
     metal_out[...] = best["metal"]
     eta_out[...] = best["eta"]
     flags_out[...] = best["flag"] * (best["t"] < INF).astype(jnp.int32)
+    if with_uv:
+        iu_out, iv_out, tex_out = uv_outs
+        iu_out[...] = best["iu"]
+        iv_out[...] = best["iv"]
+        tex_out[...] = best["tex"]
 
 
 def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
@@ -368,19 +407,25 @@ def _ray_specs(n, rows=TILE_ROWS):
                          memory_space=pltpu.VMEM) for _ in range(n)]
 
 
-def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray):
+def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
+                       with_uv: bool = False):
     """Returns a dict of per-ray hit attributes (all (B,)):
     t, normal xyz (flipped toward the ray), material fields, and flag
-    (0 miss / 1 surface / 2 light ball)."""
-    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    (0 miss / 1 surface / 2 light ball).  ``with_uv`` adds interpolated
+    texture coordinates iu/iv (f32) and the texture id tex (f32, -1 =
+    untextured) for textured mesh scenes."""
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, with_uv=with_uv)
     B = ro.shape[0]
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
     tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
     rows_total = tiled[0].shape[0]
     grid = rows_total // TILE_ROWS
 
-    kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt)
+    kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt,
+                               with_uv=with_uv)
     shapes = [jnp.float32] * 10 + [jnp.int32]
+    if with_uv:
+        shapes += [jnp.float32] * 3
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -401,6 +446,8 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray):
     )(sph_tab, tri_tab, cl_tab, *tiled)
     names = ["t", "nx", "ny", "nz", "bcr", "bcg", "bcb", "rough", "metal",
              "eta", "flag"]
+    if with_uv:
+        names += ["iu", "iv", "tex"]
     return {n: o.reshape(-1)[:B] for n, o in zip(names, outs)}
 
 

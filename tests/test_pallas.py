@@ -32,9 +32,13 @@ def test_nearest_hit_equivalence():
     from path_tracing_tpu.ops import intersect as I
 
     scene, ro, rd = _setup()
+    # NB: jit traces cache per function object; clear between env toggles or
+    # the second call silently reuses the first backend's trace (vacuous A/B)
     os.environ["PT_TPU_NO_PALLAS"] = "1"
+    jax.clear_caches()
     h1 = jax.tree.map(np.asarray, jax.jit(I.find_closest_hit)(scene, ro, rd))
     del os.environ["PT_TPU_NO_PALLAS"]
+    jax.clear_caches()
     h2 = jax.tree.map(np.asarray, jax.jit(I.find_closest_hit)(scene, ro, rd))
 
     same_t = np.isclose(h1.t, h2.t, rtol=1e-5, atol=1e-6) | \
@@ -61,6 +65,7 @@ def test_transmittance_equivalence_and_dielectric_rules():
             os.environ["PT_TPU_NO_PALLAS"] = "1"
         else:
             os.environ.pop("PT_TPU_NO_PALLAS", None)
+        jax.clear_caches()
         for rule in (True, False):
             tr[(pallas, rule)] = np.asarray(jax.jit(
                 I.transmittance, static_argnames="dielectrics_block")(
@@ -157,3 +162,51 @@ def test_bdpt_megakernel_statistical_equivalence_and_determinism():
     ma, mr = a.mean(axis=0), ref.mean(axis=0)
     assert np.all(np.abs(ma - mr) / np.maximum(np.abs(mr), 1e-6) < 0.05), (
         ma, mr)
+
+
+def test_nearest_hit_with_uv_textures():
+    """Pallas nearest-hit with in-kernel UV interpolation matches the XLA
+    textured path (same base_color modulation)."""
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.ops import intersect as I
+    from path_tracing_tpu.scene.obj_loader import load_obj
+
+    import tempfile, os as _os
+    d = tempfile.mkdtemp()
+    from path_tracing_tpu.film import write_png
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:4, :4] = (255, 0, 0); img[:4, 4:] = (0, 255, 0)
+    img[4:, :4] = (0, 0, 255); img[4:, 4:] = (255, 255, 255)
+    write_png(_os.path.join(d, "check.png"), img)
+    with open(_os.path.join(d, "q.mtl"), "w") as f:
+        f.write("newmtl tex\nKd 1 1 1\nNs 2\nmap_Kd check.png\n")
+    with open(_os.path.join(d, "q.obj"), "w") as f:
+        f.write("mtllib q.mtl\nusemtl tex\n"
+                "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+                "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+                "f 1/1 2/2 3/3 4/4\n")
+    p = load_obj(_os.path.join(d, "q.obj"))
+    scene = p.to_device()
+    assert scene.has_textures
+
+    k = jax.random.PRNGKey(2)
+    B = 1024
+    xy = jax.random.uniform(k, (B, 2), minval=-0.2, maxval=1.2)
+    ro = jnp.concatenate([xy, jnp.full((B, 1), -1.0)], axis=1)
+    rd = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (B, 1))
+
+    h_pl = jax.tree.map(np.asarray, jax.jit(I.find_closest_hit)(scene, ro, rd))
+    os.environ["PT_TPU_NO_PALLAS"] = "1"
+    jax.clear_caches()
+    try:
+        h_xla = jax.tree.map(np.asarray,
+                             jax.jit(I.find_closest_hit)(scene, ro, rd))
+    finally:
+        del os.environ["PT_TPU_NO_PALLAS"]
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(h_pl.hit), np.asarray(h_xla.hit))
+    m = np.asarray(h_pl.hit)
+    np.testing.assert_allclose(np.asarray(h_pl.mtl.base_color)[m],
+                               np.asarray(h_xla.mtl.base_color)[m],
+                               rtol=1e-4, atol=1e-5)
