@@ -54,7 +54,8 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops import rng
 from ..ops.bsdf import bsdf_evaluate, bsdf_pdf, bsdf_sample
-from ..ops.intersect import find_closest_hit, transmittance
+from ..ops.intersect import (find_closest_hit, transmittance,
+                             vmem_tris_ok)
 from ..ops.math3 import (EPSILON, PI, clamp_radiance, dot, is_valid_color,
                          normalize)
 from ..ops.sampling import sample_light_emission
@@ -563,7 +564,8 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
     lv_flat, n_valid = compact_flat(lv.flat())
     fused_connect = (_use_fused_connect()
                      and cfg.bdpt_connection_samples == 0
-                     and not scene.has_textures)
+                     and not scene.has_textures
+                     and vmem_tris_ok(scene))
     if fused_connect:
         from ..ops.pallas_connect import connect_pallas, pack_light_vertices
 
@@ -727,7 +729,7 @@ def render_bdpt(scene: Scene, cam: Camera, width: int, height: int, spp: int,
                            jax.random.fold_in(key, 0x0101))
 
     if (_use_bdpt_megakernel() and cfg.bdpt_connection_samples == 0
-            and not scene_used.has_textures):
+            and not scene_used.has_textures and vmem_tris_ok(scene_used)):
         # persistent eye megakernel: the whole spp loop in one pallas_call
         from ..ops.pallas_bdpt_eye import bdpt_eye_pallas
         from ..ops.pallas_connect import pack_light_vertices

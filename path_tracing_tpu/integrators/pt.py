@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops import rng
 from ..ops.bsdf import bsdf_eval_pdf, bsdf_evaluate, bsdf_pdf, bsdf_sample
-from ..ops.intersect import find_closest_hit, transmittance
+from ..ops.intersect import (find_closest_hit, transmittance,
+                             vmem_tris_ok)
 from ..ops.math3 import (EPSILON, PI, clamp_radiance, dot, is_valid_color,
                          normalize)
 from ..ops.sampling import uniform_sphere_dir
@@ -319,7 +320,8 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     ``spp`` samples (callers divide).
     """
     B = px.shape[0]
-    if _use_megakernel() and not scene.has_textures:
+    if (_use_megakernel() and not scene.has_textures
+            and vmem_tris_ok(scene)):
         from ..ops.pallas_shade import render_wavefront_pallas
 
         light_tab = _light_table(scene)
@@ -346,7 +348,8 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     )
     # generous global cap; the while cond exits as soon as work runs dry
     max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
-    fused = _use_fused_shade() and not scene.has_textures
+    fused = (_use_fused_shade() and not scene.has_textures
+             and vmem_tris_ok(scene))
     if fused:
         from ..ops.pallas_shade import shade_step_pallas
 

@@ -90,6 +90,16 @@ def triangle_ts(ro, rd, v0, v1, v2, max_dist) -> jnp.ndarray:
     return jnp.where(ok, t, INF)
 
 
+def vmem_tris_ok(scene) -> bool:
+    """The fused-shade / megakernel / connection kernels keep the whole
+    triangle table in VMEM; beyond ``max_vmem_tris()`` they must yield to
+    the streaming nearest-hit/blocker kernels (find_closest_hit routes
+    there automatically)."""
+    from .pallas_intersect import max_vmem_tris
+
+    return scene.num_triangles <= max_vmem_tris()
+
+
 def use_pallas() -> bool:
     """Pallas kernels carry the hot path on TPU; pure XLA elsewhere.
 

@@ -46,12 +46,31 @@ LANE = 128
 SUB = 8          # f32 sublane
 TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
 
+# HBM-streamed triangle tables (meshes too large for a VMEM-resident table):
+# 4 triangles per 128-lane row in 32-lane slots (31 cols used).  Two Mosaic
+# constraints shape this: DMA slices must span whole 128-lane tiles, and
+# dynamic-sublane scalar loads only take static lane indices inside the
+# FIRST 128-lane tile — 4 x 32 satisfies both.  Rows are DMA'd per cluster
+# in STREAM_ROWS chunks.
+TRI_SLOT = 32
+TRI_PER_ROW = 4
+STREAM_ROWS = 32   # rows per DMA chunk = 128 triangles
+
+
+def max_vmem_tris() -> int:
+    """Above this the triangle table leaves VMEM and the streaming kernels
+    take over (249k tris overflow the 128M VMEM budget; 131072 rows of 31
+    cols is ~16M and leaves room for the ray tiles)."""
+    import os
+
+    return int(os.environ.get("PT_TPU_MAX_VMEM_TRIS", "131072"))
+
 
 # ---------------------------------------------------------------------------
 # scene packing
 # ---------------------------------------------------------------------------
 
-def pack_scene(scene: Scene, with_uv: bool = False):
+def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
     """Traceable packing of the primitive tables (runs under jit; XLA hoists
     it out of scan bodies as loop-invariant).  Returns (sph_tab (Ms,8),
     tri_tab (Mt,16), ns, nl, nt); sphere rows are [spheres..., light balls...].
@@ -59,6 +78,12 @@ def pack_scene(scene: Scene, with_uv: bool = False):
     ``with_uv`` appends per-triangle vertex UVs (cols 24-29) and the texture
     id (col 30) so the nearest-hit kernel can interpolate texture coordinates
     in-register (textured OBJ scenes, ops/texture.py).
+
+    ``stream`` packs the triangle table for the HBM-streaming kernels
+    instead: ``(NB, 128)`` rows of 4 x 32-lane triangle slots (cols 0-30 as
+    above, always incl. UVs), DMA'd per cluster at render time — lifts the
+    VMEM ceiling (~131k tris) to HBM scale.  Cluster start/count stay exact
+    as f32 below 2^24 triangles.
     """
     ns, nl, nt = scene.num_spheres, scene.num_lights, scene.num_triangles
     s_rows = ns + nl
@@ -109,7 +134,7 @@ def pack_scene(scene: Scene, with_uv: bool = False):
         (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None],
         jnp.zeros((nt, 1)), tn, jnp.zeros((nt, 1)),
         mtl_cols(scene.tri_mtl, nt, False), jnp.zeros((nt, 1))]
-    if with_uv:
+    if with_uv or stream:
         uv6 = (scene.tri_uv if scene.tri_uv.shape[0] == nt
                else jnp.zeros((nt, 6)))
         tex = (scene.tri_tex.astype(jnp.float32)[:, None]
@@ -117,7 +142,17 @@ def pack_scene(scene: Scene, with_uv: bool = False):
                else jnp.full((nt, 1), -1.0))
         tri_cols += [uv6, tex]
     tri_rows = jnp.concatenate(tri_cols, axis=1)
-    tri = rowpad(tri_rows, mt)
+    if stream:
+        # (NB, 128) HBM slot rows, padded by a full DMA chunk so fixed-size
+        # windows never run off the end
+        nb = (nt + TRI_PER_ROW - 1) // TRI_PER_ROW + STREAM_ROWS
+        flat = jnp.concatenate(
+            [tri_rows, jnp.zeros((nt, TRI_SLOT - tri_rows.shape[1]))], axis=1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((nb * TRI_PER_ROW - nt, TRI_SLOT))], axis=0)
+        tri = flat.reshape(nb, TRI_PER_ROW * TRI_SLOT)
+    else:
+        tri = rowpad(tri_rows, mt)
 
     # cluster table rows: [min3, max3, start, count] (start/count as f32;
     # exact below 2^24).  Single all-covering cluster when unset.
@@ -133,10 +168,57 @@ def pack_scene(scene: Scene, with_uv: bool = False):
 # kernels
 # ---------------------------------------------------------------------------
 
+def _make_tri_test(rox, roy, roz, rdx, rdy, rdz, keep, with_uv):
+    """Shared Moller-Trumbore test body: ``read(col)`` abstracts the table
+    access (VMEM row vs streamed scratch slot) so the resident and streaming
+    kernels run bit-identical math.  ``extra_ok`` masks slot over-fetch."""
+
+    def tri_test(best, read, extra_ok=None):
+        v0x, v0y, v0z = read(0), read(1), read(2)
+        e1x = read(3) - v0x; e1y = read(4) - v0y; e1z = read(5) - v0z
+        e2x = read(6) - v0x; e2y = read(7) - v0y; e2z = read(8) - v0z
+        hx = rdy * e2z - rdz * e2y
+        hy = rdz * e2x - rdx * e2z
+        hz = rdx * e2y - rdy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        parallel = (a > -1e-6) & (a < 1e-6)
+        f = 1.0 / jnp.where(parallel, 1.0, a)
+        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (rdx * qx + rdy * qy + rdz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+              & (u + v <= 1.0) & (t > EPSILON))
+        if extra_ok is not None:
+            ok &= extra_ok
+        t = jnp.where(ok, t, INF)
+        closer = t < best["t"]
+        nx = jnp.broadcast_to(read(12), rox.shape)
+        ny = jnp.broadcast_to(read(13), rox.shape)
+        nz = jnp.broadcast_to(read(14), rox.shape)
+        row = [read(16 + j) for j in range(6)]
+        uvt = None
+        if with_uv:
+            # uv6 at cols 24-29, tex at col 30 (the base row is 24 wide:
+            # 9 verts + 3 flags + 3 normal + pad + 7 mtl + pad)
+            w0 = 1.0 - u - v
+            iu = w0 * read(24) + u * read(26) + v * read(28)
+            iv = w0 * read(25) + u * read(27) + v * read(29)
+            uvt = (iu, iv, jnp.broadcast_to(read(30), rox.shape))
+        return keep(best, closer, t, nx, ny, nz, row,
+                    jnp.ones((), jnp.int32), uvt)
+
+    return tri_test
+
+
 def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
                     t_out, nx_out, ny_out, nz_out,
                     bcr_out, bcg_out, bcb_out, rough_out, metal_out, eta_out,
-                    flags_out, *uv_outs, ns, nl, nt, with_uv=False):
+                    flags_out, *rest, ns, nl, nt, with_uv=False,
+                    stream=False):
     """Nearest hit + in-kernel attribute resolution.
 
     Carrying the winning primitive's normal/material through the loop
@@ -147,7 +229,17 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
     (outputs iu, iv, tex appended) — the texture FETCH stays outside (per-
     lane atlas gathers don't exist in Mosaic; the host does one batched
     XLA gather instead, ops/texture.py).
+
+    ``stream``: ``tri_ref`` lives in HBM packed as (NB, 128) rows of 4
+    triangle slots; each non-culled cluster's rows are DMA'd into the
+    ``tri_vmem`` scratch in STREAM_ROWS chunks and the 4 slots per row
+    unroll with static lane offsets.  Lifts the VMEM ceiling to HBM scale.
     """
+    if stream:
+        uv_outs = rest[:-2]
+        tri_vmem, dma_sem = rest[-2:]
+    else:
+        uv_outs = rest
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
 
@@ -211,45 +303,10 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
                                jnp.where(d >= 0.0, 1e-12, -1e-12), d)
     invx, invy, invz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
 
+    tri_test = _make_tri_test(rox, roy, roz, rdx, rdy, rdz, keep, with_uv)
+
     def tri_body(i, best):
-        v0x = tri_ref[i, 0]; v0y = tri_ref[i, 1]; v0z = tri_ref[i, 2]
-        e1x = tri_ref[i, 3] - v0x; e1y = tri_ref[i, 4] - v0y
-        e1z = tri_ref[i, 5] - v0z
-        e2x = tri_ref[i, 6] - v0x; e2y = tri_ref[i, 7] - v0y
-        e2z = tri_ref[i, 8] - v0z
-        hx = rdy * e2z - rdz * e2y
-        hy = rdz * e2x - rdx * e2z
-        hz = rdx * e2y - rdy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        parallel = (a > -1e-6) & (a < 1e-6)
-        f = 1.0 / jnp.where(parallel, 1.0, a)
-        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (rdx * qx + rdy * qy + rdz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-              & (u + v <= 1.0) & (t > EPSILON))
-        t = jnp.where(ok, t, INF)
-        closer = t < best["t"]
-        nx = jnp.broadcast_to(tri_ref[i, 12], rox.shape)
-        ny = jnp.broadcast_to(tri_ref[i, 13], rox.shape)
-        nz = jnp.broadcast_to(tri_ref[i, 14], rox.shape)
-        row = [tri_ref[i, 16 + j] for j in range(6)]
-        uvt = None
-        if with_uv:
-            # uv6 at cols 24-29, tex at col 30 (the base row is 24 wide:
-            # 9 verts + 3 flags + 3 normal + pad + 7 mtl + pad)
-            w0 = 1.0 - u - v
-            iu = (w0 * tri_ref[i, 24] + u * tri_ref[i, 26]
-                  + v * tri_ref[i, 28])
-            iv = (w0 * tri_ref[i, 25] + u * tri_ref[i, 27]
-                  + v * tri_ref[i, 29])
-            uvt = (iu, iv, jnp.broadcast_to(tri_ref[i, 30], rox.shape))
-        return keep(best, closer, t, nx, ny, nz, row,
-                    jnp.ones((), jnp.int32), uvt)
+        return tri_test(best, lambda col: tri_ref[i, col])
 
     n_clusters = cl_ref.shape[0]
 
@@ -270,8 +327,39 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
         start = cl_ref[c, 6].astype(jnp.int32)
         count = cl_ref[c, 7].astype(jnp.int32)
 
-        def run(best):
-            return jax.lax.fori_loop(start, start + count, tri_body, best)
+        if not stream:
+            def run(best):
+                return jax.lax.fori_loop(start, start + count, tri_body, best)
+        else:
+            blk0 = start // TRI_PER_ROW
+            nblk = ((start + count + TRI_PER_ROW - 1) // TRI_PER_ROW) - blk0
+
+            def run(best):
+                n_chunks = (nblk + STREAM_ROWS - 1) // STREAM_ROWS
+
+                def chunk(ch, best):
+                    c0 = blk0 + ch * STREAM_ROWS
+                    cp = pltpu.make_async_copy(
+                        tri_ref.at[pl.ds(c0, STREAM_ROWS)], tri_vmem,
+                        dma_sem)
+                    cp.start()
+                    cp.wait()
+                    rows = jnp.minimum(nblk - ch * STREAM_ROWS, STREAM_ROWS)
+
+                    def row_body(r, best):
+                        for k in range(TRI_PER_ROW):  # static lane offsets
+                            idx = (c0 + r) * TRI_PER_ROW + k
+                            valid = (idx >= start) & (idx < start + count)
+                            best = tri_test(
+                                best,
+                                lambda col, r=r, k=k:
+                                    tri_vmem[r, k * TRI_SLOT + col],
+                                extra_ok=valid)
+                        return best
+
+                    return jax.lax.fori_loop(0, rows, row_body, best)
+
+                return jax.lax.fori_loop(0, n_chunks, chunk, best)
 
         return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                             lambda b: b, best)
@@ -301,10 +389,14 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
 
 
 def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
-                    blocked_out, *, ns, nl, nt, blocks_col):
+                    blocked_out, *scratch, ns, nl, nt, blocks_col,
+                    stream=False):
     """any-hit in (1e-3, maxd) honoring the per-prim blocks flag.
 
-    Light balls are excluded by their blocks flag being 0."""
+    Light balls are excluded by their blocks flag being 0.  ``stream`` DMAs
+    cluster windows of the HBM slot table like ``_nearest_kernel``."""
+    if stream:
+        tri_vmem, dma_sem = scratch
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     md = maxd[...]
@@ -337,13 +429,11 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
                                jnp.where(d >= 0.0, 1e-12, -1e-12), d)
     invx, invy, invz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
 
-    def tri_body(i, blocked):
-        v0x = tri_ref[i, 0]; v0y = tri_ref[i, 1]; v0z = tri_ref[i, 2]
-        e1x = tri_ref[i, 3] - v0x; e1y = tri_ref[i, 4] - v0y
-        e1z = tri_ref[i, 5] - v0z
-        e2x = tri_ref[i, 6] - v0x; e2y = tri_ref[i, 7] - v0y
-        e2z = tri_ref[i, 8] - v0z
-        can_block = tri_ref[i, blocks_col + 5]  # tri flags live at cols 9/10
+    def tri_shadow(blocked, read, extra_ok=None):
+        v0x, v0y, v0z = read(0), read(1), read(2)
+        e1x = read(3) - v0x; e1y = read(4) - v0y; e1z = read(5) - v0z
+        e2x = read(6) - v0x; e2y = read(7) - v0y; e2z = read(8) - v0z
+        can_block = read(blocks_col + 5)  # tri flags live at cols 9/10
         hx = rdy * e2z - rdz * e2y
         hy = rdz * e2x - rdx * e2z
         hz = rdx * e2y - rdy * e2x
@@ -360,7 +450,12 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
         ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
               & (u + v <= 1.0) & (t > EPSILON) & (t < md)
               & (can_block > 0.0))
+        if extra_ok is not None:
+            ok &= extra_ok
         return blocked | (ok & (t > MIN_D)).astype(jnp.int32)
+
+    def tri_body(i, blocked):
+        return tri_shadow(blocked, lambda col: tri_ref[i, col])
 
     def cluster_body(c, blocked):
         t0x = (cl_ref[c, 0] - rox) * invx
@@ -379,8 +474,40 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
         start = cl_ref[c, 6].astype(jnp.int32)
         count = cl_ref[c, 7].astype(jnp.int32)
 
-        def run(blocked):
-            return jax.lax.fori_loop(start, start + count, tri_body, blocked)
+        if not stream:
+            def run(blocked):
+                return jax.lax.fori_loop(start, start + count, tri_body,
+                                         blocked)
+        else:
+            blk0 = start // TRI_PER_ROW
+            nblk = ((start + count + TRI_PER_ROW - 1) // TRI_PER_ROW) - blk0
+
+            def run(blocked):
+                n_chunks = (nblk + STREAM_ROWS - 1) // STREAM_ROWS
+
+                def chunk(ch, blocked):
+                    c0 = blk0 + ch * STREAM_ROWS
+                    cp = pltpu.make_async_copy(
+                        tri_ref.at[pl.ds(c0, STREAM_ROWS)], tri_vmem,
+                        dma_sem)
+                    cp.start()
+                    cp.wait()
+                    rows = jnp.minimum(nblk - ch * STREAM_ROWS, STREAM_ROWS)
+
+                    def row_body(r, blocked):
+                        for k in range(TRI_PER_ROW):
+                            idx = (c0 + r) * TRI_PER_ROW + k
+                            valid = (idx >= start) & (idx < start + count)
+                            blocked = tri_shadow(
+                                blocked,
+                                lambda col, r=r, k=k:
+                                    tri_vmem[r, k * TRI_SLOT + col],
+                                extra_ok=valid)
+                        return blocked
+
+                    return jax.lax.fori_loop(0, rows, row_body, blocked)
+
+                return jax.lax.fori_loop(0, n_chunks, chunk, blocked)
 
         return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                             lambda b: b, blocked)
@@ -407,14 +534,30 @@ def _ray_specs(n, rows=TILE_ROWS):
                          memory_space=pltpu.VMEM) for _ in range(n)]
 
 
+def _stream_mode(nt: int, force_stream: bool) -> bool:
+    return force_stream or nt > max_vmem_tris()
+
+
+def _stream_extras():
+    """tri scratch + DMA semaphore for the streaming kernels."""
+    return [pltpu.VMEM((STREAM_ROWS, TRI_PER_ROW * TRI_SLOT), jnp.float32),
+            pltpu.SemaphoreType.DMA]
+
+
 def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
-                       with_uv: bool = False):
+                       with_uv: bool = False, force_stream: bool = False,
+                       interpret: bool = False):
     """Returns a dict of per-ray hit attributes (all (B,)):
     t, normal xyz (flipped toward the ray), material fields, and flag
     (0 miss / 1 surface / 2 light ball).  ``with_uv`` adds interpolated
     texture coordinates iu/iv (f32) and the texture id tex (f32, -1 =
-    untextured) for textured mesh scenes."""
-    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, with_uv=with_uv)
+    untextured) for textured mesh scenes.
+
+    Meshes beyond ``max_vmem_tris()`` automatically switch to the
+    HBM-streaming kernel (``force_stream`` pins it for tests)."""
+    stream = _stream_mode(scene.num_triangles, force_stream)
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(
+        scene, with_uv=with_uv, stream=stream)
     B = ro.shape[0]
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
     tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
@@ -422,18 +565,20 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     grid = rows_total // TILE_ROWS
 
     kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt,
-                               with_uv=with_uv)
+                               with_uv=with_uv, stream=stream)
     shapes = [jnp.float32] * 10 + [jnp.int32]
     if with_uv:
         shapes += [jnp.float32] * 3
+    tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream
+                else pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            tri_spec,
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             *_ray_specs(6),
@@ -443,6 +588,8 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
                    for _ in shapes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in shapes],
+        scratch_shapes=_stream_extras() if stream else [],
+        interpret=interpret,
     )(sph_tab, tri_tab, cl_tab, *tiled)
     names = ["t", "nx", "ny", "nz", "bcr", "bcg", "bcb", "rough", "metal",
              "eta", "flag"]
@@ -452,9 +599,11 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
 
 
 def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
-                       max_d: jnp.ndarray, dielectrics_block: bool):
+                       max_d: jnp.ndarray, dielectrics_block: bool,
+                       force_stream: bool = False, interpret: bool = False):
     """Returns blocked (B,) bool for shadow rays p1 + t*rd, t in (1e-3, max_d)."""
-    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    stream = _stream_mode(scene.num_triangles, force_stream)
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, stream=stream)
     B = p1.shape[0]
     comps = [p1[:, 0], p1[:, 1], p1[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
              max_d]
@@ -464,15 +613,17 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
 
     kernel = functools.partial(
         _blocker_kernel, ns=ns, nl=nl, nt=nt,
-        blocks_col=4 if dielectrics_block else 5)
+        blocks_col=4 if dielectrics_block else 5, stream=stream)
+    tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream
+                else pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM))
     blocked = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            tri_spec,
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             *_ray_specs(7),
@@ -480,5 +631,7 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
         out_specs=pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
+        scratch_shapes=_stream_extras() if stream else [],
+        interpret=interpret,
     )(sph_tab, tri_tab, cl_tab, *tiled)
     return blocked.reshape(-1)[:B] != 0

@@ -213,3 +213,68 @@ def test_textured_mesh_renders_pt(tmp_path):
     img = np.asarray(render_pt(scene, cam, W, H, 4, cfg,
                                jax.random.PRNGKey(0)))
     assert np.all(np.isfinite(img))
+
+
+def test_streaming_kernels_match_xla():
+    """HBM-streaming nearest-hit/blocker kernels (forced, interpret mode)
+    vs the XLA brute force on the 2304-tri mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.ops import intersect as I
+    from path_tracing_tpu.ops.pallas_intersect import (any_blocker_pallas,
+                                                       nearest_hit_pallas)
+
+    p = load_any_scene(SPHERE_OBJ)
+    scene = p.to_device()
+    k = jax.random.PRNGKey(5)
+    B = 512
+    ro = jax.random.uniform(k, (B, 3), minval=-0.8, maxval=0.8)
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (B, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+    h_s = nearest_hit_pallas(scene, ro, rd, force_stream=True,
+                             interpret=True)
+    h_x = jax.jit(lambda s, a, b: I.find_closest_hit(s, a, b))(scene, ro, rd)
+    same_t = np.isclose(np.asarray(h_s["t"]), np.asarray(h_x.t),
+                        rtol=1e-5, atol=1e-6) | \
+        ((np.asarray(h_s["t"]) >= 1e19) & (np.asarray(h_x.t) >= 1e19))
+    assert same_t.mean() > 0.999
+    assert (np.asarray(h_s["flag"] > 0) == np.asarray(h_x.hit)).mean() > 0.999
+    m = np.asarray(h_x.hit) & same_t
+    assert int(m.sum()) > 50  # the fixture actually hits
+    np.testing.assert_allclose(
+        np.stack([h_s["bcr"], h_s["bcg"], h_s["bcb"]], -1)[m],
+        np.asarray(h_x.mtl.base_color)[m], atol=1e-5)
+
+    p2 = ro + rd * 1.5
+    diff = p2 - ro
+    dist = np.linalg.norm(np.asarray(diff), axis=-1)
+    rdn = jnp.asarray(np.asarray(diff) / dist[:, None])
+    b_s = any_blocker_pallas(scene, ro, rdn, jnp.asarray(dist - 1e-3),
+                             dielectrics_block=True, force_stream=True,
+                             interpret=True)
+    tr = jax.jit(lambda s, a, b: I.transmittance(s, a, b, True))(
+        scene, ro, p2)
+    assert (np.asarray(b_s) == (np.asarray(tr) == 0.0)).mean() > 0.999
+
+
+def test_streaming_kernels_with_uv(tmp_path):
+    """Streamed slot table carries the UV/tex columns too."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
+
+    p = load_obj(_textured_quad_obj(tmp_path))
+    scene = p.to_device()
+    uvs = np.array([[0.25, 0.25], [0.75, 0.25], [0.25, 0.75], [0.75, 0.75]],
+                   np.float32)
+    ro = jnp.asarray(np.concatenate(
+        [uvs, np.full((4, 1), -1.0, np.float32)], axis=1))
+    rd = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4, 1))
+    h = nearest_hit_pallas(scene, ro, rd, with_uv=True, force_stream=True,
+                           interpret=True)
+    np.testing.assert_allclose(
+        np.stack([h["iu"], h["iv"]], -1), uvs, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h["tex"]), 0.0, atol=1e-6)
