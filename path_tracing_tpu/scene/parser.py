@@ -59,7 +59,7 @@ class ParsedScene:
     tri_tex: List = field(default_factory=list)
     textures: List = field(default_factory=list)
 
-    def to_device(self, cluster_leaf_size: int = 64) -> Scene:
+    def to_device(self, cluster_leaf_size: int | None = None) -> Scene:
         import jax.numpy as jnp
 
         def mtl_of(rows):
