@@ -100,6 +100,45 @@ def vmem_tris_ok(scene) -> bool:
     return scene.num_triangles <= max_vmem_tris()
 
 
+def _coherence_key(scene, ro, rd) -> jnp.ndarray:
+    """Spatial sort key for ray coherence: 3-bit direction octant above an
+    18-bit Morton code of the origin quantized inside the scene AABB.
+
+    Secondary bounces are direction-incoherent, so consecutive lanes hit
+    unrelated parts of a large mesh and the Pallas kernels' TILE-level
+    cluster culling degenerates to streaming the whole table per tile.
+    Sorting rays by this key before the kernel restores tile coherence —
+    the wavefront sort/compaction re-architecture SURVEY.md §2.2 calls for.
+    """
+    ext = jnp.maximum(scene.scene_max - scene.scene_min, 1e-6)
+    q = jnp.clip(((ro - scene.scene_min) / ext * 64.0).astype(jnp.int32),
+                 0, 63)
+
+    def spread(x):  # 6 bits -> every 3rd bit
+        x = (x | (x << 8)) & 0x0300F
+        x = (x | (x << 4)) & 0x030C3
+        x = (x | (x << 2)) & 0x09249
+        return x
+
+    morton = (spread(q[:, 0]) | (spread(q[:, 1]) << 1)
+              | (spread(q[:, 2]) << 2))
+    octant = ((rd[:, 0] >= 0).astype(jnp.int32)
+              | ((rd[:, 1] >= 0).astype(jnp.int32) << 1)
+              | ((rd[:, 2] >= 0).astype(jnp.int32) << 2))
+    return (octant << 18) | morton
+
+
+def _sorted_call(scene, ro, rd, fn):
+    """Run ``fn(ro, rd) -> dict/array pytree of (B,) leaves`` on coherence-
+    sorted rays and unsort the results."""
+    b = ro.shape[0]
+    order = jnp.argsort(_coherence_key(scene, ro, rd))
+    out = fn(ro[order], rd[order])
+    inv = jnp.zeros((b,), order.dtype).at[order].set(
+        jnp.arange(b, dtype=order.dtype))
+    return jax.tree.map(lambda x: x[inv], out)
+
+
 def use_pallas() -> bool:
     """Pallas kernels carry the hot path on TPU; pure XLA elsewhere.
 
@@ -129,7 +168,17 @@ def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
     if use_pallas():
         from .pallas_intersect import nearest_hit_pallas
 
-        h = nearest_hit_pallas(scene, ro, rd, with_uv=scene.has_textures)
+        if not vmem_tris_ok(scene):
+            # streamed-scale mesh: restore tile coherence (the sort+two
+            # gathers cost far less than streaming the triangle table for
+            # every incoherent tile)
+            h = _sorted_call(
+                scene, ro, rd,
+                lambda a, b: nearest_hit_pallas(
+                    scene, a, b, with_uv=scene.has_textures))
+        else:
+            h = nearest_hit_pallas(scene, ro, rd,
+                                   with_uv=scene.has_textures)
         hit = h["flag"] > 0
         pos = ro + rd * h["t"][:, None]
         normal = jnp.stack([h["nx"], h["ny"], h["nz"]], axis=-1)
@@ -239,8 +288,18 @@ def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
     if use_pallas():
         from .pallas_intersect import any_blocker_pallas
 
-        blocked = any_blocker_pallas(scene, p1, rd, dist - 1e-3,
-                                     dielectrics_block)
+        if not vmem_tris_ok(scene):
+            md = dist - 1e-3
+            b = p1.shape[0]
+            order = jnp.argsort(_coherence_key(scene, p1, rd))
+            blocked_s = any_blocker_pallas(scene, p1[order], rd[order],
+                                           md[order], dielectrics_block)
+            inv = jnp.zeros((b,), order.dtype).at[order].set(
+                jnp.arange(b, dtype=order.dtype))
+            blocked = blocked_s[inv]
+        else:
+            blocked = any_blocker_pallas(scene, p1, rd, dist - 1e-3,
+                                         dielectrics_block)
         return jnp.where(blocked, 0.0, 1.0)
 
     max_d = (dist - 1e-3)[:, None]
