@@ -48,6 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--fix-pt-mis", action="store_true",
                     help="enable the full MIS light-hit term the reference "
                          "stubbed out (quirk 2)")
+    ap.add_argument("--debug-nan", action="store_true",
+                    help="enable jax_debug_nans: abort with a traceback the "
+                         "moment any kernel produces a NaN (the debug-mode "
+                         "sanitizer SURVEY.md §5 calls for; the release "
+                         "path relies on is_valid_color rejection like the "
+                         "reference)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the render loop to "
+                         "DIR (view with TensorBoard/XProf) — the "
+                         "structured replacement for the reference's "
+                         "chrono couts")
     return ap
 
 
@@ -61,6 +72,8 @@ def main(argv=None) -> int:
     import numpy as np
     from .runtime import setup_jax_cache
     setup_jax_cache()
+    if args.debug_nan:
+        jax.config.update("jax_debug_nans", True)
 
     from .config import RenderConfig, oracle_config
     from .film import (AccumState, load_checkpoint, save_checkpoint,
@@ -137,13 +150,23 @@ def main(argv=None) -> int:
             return img
 
     print("[Render] Starting Render...")
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        try:
+            prof = jax.profiler.trace(args.profile)
+        except Exception as e:  # profiling is best-effort on some backends
+            print(f"[Warn] jax.profiler unavailable: {e}", file=sys.stderr)
+
     t0 = time.perf_counter()
-    for i in range(start_iter, start_iter + args.iters):
-        f = frame(i)
-        f.block_until_ready()
-        state = state.add(f)
-        dt = time.perf_counter() - t0
-        print(f"[Render] iter {i + 1}: {dt * 1000:.1f} ms cumulative")
+    with prof:
+        for i in range(start_iter, start_iter + args.iters):
+            f = frame(i)
+            f.block_until_ready()
+            state = state.add(f)
+            dt = time.perf_counter() - t0
+            print(f"[Render] iter {i + 1}: {dt * 1000:.1f} ms cumulative")
     total = time.perf_counter() - t0
     paths = W * H * args.spp * args.iters
     print(f"[Render] Finished in {total * 1000:.1f} ms "

@@ -112,3 +112,22 @@ def test_compare_app_smoke(tmp_path):
     assert csv[0] == "iter,rms_ppm,rms_bdpt,rms_pt,diff_rms"
     assert len(csv) == 3
     assert os.path.exists(os.path.join(out, "telemetry.jsonl"))
+
+
+def test_cli_debug_nan_and_profile(tmp_path):
+    """--debug-nan turns on jax_debug_nans; --profile writes a trace dir."""
+    out = str(tmp_path / "out.png")
+    prof = str(tmp_path / "trace")
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               PT_TPU_CACHE=os.path.expanduser("~/.cache/jax_pt_tpu"))
+    r = subprocess.run(
+        [sys.executable, "-m", "path_tracing_tpu.cli", "--input", INPUT_TXT,
+         "--mode", "pt", "--spp", "1", "--width", "16", "--height", "16",
+         "--eye-depth", "2", "--output", out, "--seed", "1",
+         "--debug-nan", "--profile", prof],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(out)
+    # the profiler wrote something (plugins/ dir with a .xplane.pb capture)
+    assert os.path.isdir(prof) and any(os.scandir(prof)), r.stderr[-500:]
