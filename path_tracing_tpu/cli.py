@@ -152,15 +152,13 @@ def main(argv=None) -> int:
     print("[Render] Starting Render...")
     import contextlib
 
-    prof = contextlib.nullcontext()
-    if args.profile:
-        try:
-            prof = jax.profiler.trace(args.profile)
-        except Exception as e:  # profiling is best-effort on some backends
-            print(f"[Warn] jax.profiler unavailable: {e}", file=sys.stderr)
-
     t0 = time.perf_counter()
-    with prof:
+    with contextlib.ExitStack() as stack:
+        if args.profile:
+            try:  # best-effort: failure to START tracing must not kill the render
+                stack.enter_context(jax.profiler.trace(args.profile))
+            except Exception as e:
+                print(f"[Warn] jax.profiler unavailable: {e}", file=sys.stderr)
         for i in range(start_iter, start_iter + args.iters):
             f = frame(i)
             f.block_until_ready()

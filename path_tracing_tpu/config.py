@@ -42,9 +42,12 @@ class RenderConfig:
     # rows (dead / delta / non-depositable bounces — ~70% of the tensor in
     # input.txt) sort to the end, so slicing the argsort order compacts for
     # free and the HBM-heavy row-gather + field-major transpose run at the
-    # capped size (13x faster pack at 0.5).  Valid events past the cap are
-    # dropped and counted in the returned overflow (0 in practice).
-    ppm_event_cap_frac: float = 0.5
+    # capped size (13x faster pack at 0.5).  1.0 (default) keeps the gather
+    # EXACT for any scene; lower it only when the overflow counter confirms
+    # the scene's validity fraction leaves headroom — valid events past the
+    # cap are dropped (a spatially structured loss: the highest cell keys
+    # go dark) and counted in the returned overflow.
+    ppm_event_cap_frac: float = 1.0
     # 0 = connect every eye vertex to EVERY light vertex (reference
     # semantics, bdpt_cu.cu:384); N > 0 = unbiased stratified subsample of N
     # light vertices per eye vertex, scaled by n_valid/N — same expectation,

@@ -728,8 +728,12 @@ def render_bdpt(scene: Scene, cam: Camera, width: int, height: int, spp: int,
     lv = trace_light_paths(scene_used, cfg, num_paths, spl,
                            jax.random.fold_in(key, 0x0101))
 
-    if (_use_bdpt_megakernel() and cfg.bdpt_connection_samples == 0
+    if (_use_bdpt_megakernel() and not oracle
+            and cfg.bdpt_connection_samples == 0
             and not scene_used.has_textures and vmem_tris_ok(scene_used)):
+        # oracle mode is excluded: its contract is bit-identical renders on
+        # ANY backend, and the megakernel's pltpu PRNG stream differs from
+        # the XLA Threefry stream
         # persistent eye megakernel: the whole spp loop in one pallas_call
         from ..ops.pallas_bdpt_eye import bdpt_eye_pallas
         from ..ops.pallas_connect import pack_light_vertices

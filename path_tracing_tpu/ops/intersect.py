@@ -128,12 +128,13 @@ def _coherence_key(scene, ro, rd) -> jnp.ndarray:
     return (octant << 18) | morton
 
 
-def _sorted_call(scene, ro, rd, fn):
-    """Run ``fn(ro, rd) -> dict/array pytree of (B,) leaves`` on coherence-
-    sorted rays and unsort the results."""
+def _sorted_call(scene, ro, rd, fn, *extras):
+    """Run ``fn(ro, rd, *extras) -> pytree of (B,)-leading leaves`` on
+    coherence-sorted rays (extras sorted the same way) and unsort the
+    results."""
     b = ro.shape[0]
     order = jnp.argsort(_coherence_key(scene, ro, rd))
-    out = fn(ro[order], rd[order])
+    out = fn(ro[order], rd[order], *(e[order] for e in extras))
     inv = jnp.zeros((b,), order.dtype).at[order].set(
         jnp.arange(b, dtype=order.dtype))
     return jax.tree.map(lambda x: x[inv], out)
@@ -289,14 +290,11 @@ def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
         from .pallas_intersect import any_blocker_pallas
 
         if not vmem_tris_ok(scene):
-            md = dist - 1e-3
-            b = p1.shape[0]
-            order = jnp.argsort(_coherence_key(scene, p1, rd))
-            blocked_s = any_blocker_pallas(scene, p1[order], rd[order],
-                                           md[order], dielectrics_block)
-            inv = jnp.zeros((b,), order.dtype).at[order].set(
-                jnp.arange(b, dtype=order.dtype))
-            blocked = blocked_s[inv]
+            blocked = _sorted_call(
+                scene, p1, rd,
+                lambda a, b, m: any_blocker_pallas(scene, a, b, m,
+                                                   dielectrics_block),
+                dist - 1e-3)
         else:
             blocked = any_blocker_pallas(scene, p1, rd, dist - 1e-3,
                                          dielectrics_block)

@@ -43,7 +43,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.types import Scene
 from .math3 import EPSILON
 from .pallas_connect import connect_core
-from .pallas_intersect import LANE, TILE_ROWS, _ray_specs, _tile, pack_scene
+from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
+                               mega_rows, pack_scene)
 from .pallas_shade import (Mtl, V3, _u01, bsdf_sample_k, build_frame, dot3,
                            half_vector, nearest_hit_inline, normalize3,
                            pdf_local, roughness_to_alpha, to_local, valid3,
@@ -228,9 +229,7 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
     scal = jnp.stack([jnp.asarray(seed, jnp.int32),
                       jnp.asarray(n_valid, jnp.int32)])
 
-    import os
-
-    rows = int(os.environ.get("PT_TPU_MEGA_ROWS", "128"))
+    rows = mega_rows()
     pxt = _tile(px.astype(jnp.float32), rows)[0]
     pyt = _tile(py.astype(jnp.float32), rows)[0]
     rows_total = pxt.shape[0]

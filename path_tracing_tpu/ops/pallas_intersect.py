@@ -57,6 +57,14 @@ TRI_PER_ROW = 4
 STREAM_ROWS = 32   # rows per DMA chunk = 128 triangles
 
 
+def mega_rows() -> int:
+    """Ray-tile rows for the persistent megakernels (PT and BDPT eye share
+    the knob so A/B sweeps stay comparable)."""
+    import os
+
+    return int(os.environ.get("PT_TPU_MEGA_ROWS", "128"))
+
+
 def max_vmem_tris() -> int:
     """Above this the triangle table leaves VMEM and the streaming kernels
     take over (249k tris overflow the 128M VMEM budget; 131072 rows of 31
@@ -168,30 +176,40 @@ def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
 # kernels
 # ---------------------------------------------------------------------------
 
+def _mt_core(read, rox, roy, roz, rdx, rdy, rdz):
+    """Raw Moller-Trumbore evaluation against one table row (``read(col)``
+    abstracts VMEM-row vs streamed-scratch access).  Returns
+    (base_ok, u, v, t) with the shared determinant window / barycentric /
+    t > EPSILON gates; callers add their own distance/flag gates on top —
+    keeping ONE copy of the math guarantees shadow rays and primary rays
+    agree bit-for-bit."""
+    v0x, v0y, v0z = read(0), read(1), read(2)
+    e1x = read(3) - v0x; e1y = read(4) - v0y; e1z = read(5) - v0z
+    e2x = read(6) - v0x; e2y = read(7) - v0y; e2z = read(8) - v0z
+    hx = rdy * e2z - rdz * e2y
+    hy = rdz * e2x - rdx * e2z
+    hz = rdx * e2y - rdy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    parallel = (a > -1e-6) & (a < 1e-6)
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (rdx * qx + rdy * qy + rdz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > EPSILON))
+    return ok, u, v, t
+
+
 def _make_tri_test(rox, roy, roz, rdx, rdy, rdz, keep, with_uv):
-    """Shared Moller-Trumbore test body: ``read(col)`` abstracts the table
-    access (VMEM row vs streamed scratch slot) so the resident and streaming
-    kernels run bit-identical math.  ``extra_ok`` masks slot over-fetch."""
+    """Shared nearest-hit triangle test (attribute keep on top of
+    ``_mt_core``); ``extra_ok`` masks slot over-fetch in stream mode."""
 
     def tri_test(best, read, extra_ok=None):
-        v0x, v0y, v0z = read(0), read(1), read(2)
-        e1x = read(3) - v0x; e1y = read(4) - v0y; e1z = read(5) - v0z
-        e2x = read(6) - v0x; e2y = read(7) - v0y; e2z = read(8) - v0z
-        hx = rdy * e2z - rdz * e2y
-        hy = rdz * e2x - rdx * e2z
-        hz = rdx * e2y - rdy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        parallel = (a > -1e-6) & (a < 1e-6)
-        f = 1.0 / jnp.where(parallel, 1.0, a)
-        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (rdx * qx + rdy * qy + rdz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-              & (u + v <= 1.0) & (t > EPSILON))
+        ok, u, v, t = _mt_core(read, rox, roy, roz, rdx, rdy, rdz)
         if extra_ok is not None:
             ok &= extra_ok
         t = jnp.where(ok, t, INF)
@@ -430,26 +448,9 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
     invx, invy, invz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
 
     def tri_shadow(blocked, read, extra_ok=None):
-        v0x, v0y, v0z = read(0), read(1), read(2)
-        e1x = read(3) - v0x; e1y = read(4) - v0y; e1z = read(5) - v0z
-        e2x = read(6) - v0x; e2y = read(7) - v0y; e2z = read(8) - v0z
+        ok, _, _, t = _mt_core(read, rox, roy, roz, rdx, rdy, rdz)
         can_block = read(blocks_col + 5)  # tri flags live at cols 9/10
-        hx = rdy * e2z - rdz * e2y
-        hy = rdz * e2x - rdx * e2z
-        hz = rdx * e2y - rdy * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        parallel = (a > -1e-6) & (a < 1e-6)
-        f = 1.0 / jnp.where(parallel, 1.0, a)
-        sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (rdx * qx + rdy * qy + rdz * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-              & (u + v <= 1.0) & (t > EPSILON) & (t < md)
-              & (can_block > 0.0))
+        ok &= (t < md) & (can_block > 0.0)
         if extra_ok is not None:
             ok &= extra_ok
         return blocked | (ok & (t > MIN_D)).astype(jnp.int32)

@@ -260,8 +260,9 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # so truncating the order to a static cap compacts the tensor for free
     # (the argsort over all E keys is ~0.07 s; the row gather + transpose
     # below are the expensive part and now run at the capped size).
-    frac = float(getattr(cfg, "ppm_event_cap_frac", 1.0) or 1.0)
-    cap = min(E, int(-(-E * frac // EV_CHUNK)) * EV_CHUNK)
+    frac = getattr(cfg, "ppm_event_cap_frac", None)
+    frac = 1.0 if frac is None else min(max(float(frac), 0.0), 1.0)
+    cap = min(E, max(EV_CHUNK, int(-(-E * frac // EV_CHUNK)) * EV_CHUNK))
     eorder = jnp.argsort(ekey)[:cap]
     skey = ekey[eorder]
     n_valid_ev = jnp.sum(events.valid.astype(jnp.int32))

@@ -31,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.types import Scene
 from .math3 import EPSILON, PI
-from .pallas_intersect import LANE, TILE_ROWS, _ray_specs, _tile, pack_scene
+from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
+                               mega_rows, pack_scene)
 
 INF = 1e20
 
@@ -960,9 +961,7 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
     cam_row = cam_row.at[0, 9:12].set(cam.dy)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
-    import os
-
-    rows = int(os.environ.get("PT_TPU_MEGA_ROWS", "128"))
+    rows = mega_rows()
     pxt = _tile(px.astype(jnp.float32), rows)[0]
     pyt = _tile(py.astype(jnp.float32), rows)[0]
     rows_total = pxt.shape[0]

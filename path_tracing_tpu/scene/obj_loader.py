@@ -106,22 +106,25 @@ def _parse_mtl(path: str) -> Dict[str, MtlDef]:
 
 
 def _decode_texture(path: str) -> "np.ndarray | None":
-    """Image file -> (H, W, 3) float32 in [0, 1].  PIL when available
-    (jpg/bmp/...), our dependency-free PNG reader otherwise; None (flat
-    color fallback) when neither can decode it."""
+    """Image file -> (H, W, 3) float32 LINEAR RGB in [0, 1].  PIL when
+    available (jpg/bmp/...), our dependency-free PNG reader otherwise; None
+    (flat color fallback) when neither can decode it.  Texel bytes are
+    gamma-encoded (sRGB-ish); decode with the same 2.2 power the film
+    module uses on output so texture energy is linear in the radiance
+    math (not double-gamma'd)."""
+    raw = None
     try:
         from PIL import Image
 
-        img = np.asarray(Image.open(path).convert("RGB"), np.float32)
-        return img / 255.0
+        raw = np.asarray(Image.open(path).convert("RGB"), np.float32)
     except Exception:
-        pass
-    try:
-        from ..film import read_png
+        try:
+            from ..film import read_png
 
-        return np.asarray(read_png(path), np.float32) / 255.0
-    except Exception:
-        return None
+            raw = np.asarray(read_png(path), np.float32)
+        except Exception:
+            return None
+    return (raw / 255.0) ** 2.2
 
 
 def load_obj(path: str, default_mtl: List[float] | None = None) -> ParsedScene:
@@ -191,13 +194,13 @@ def load_obj(path: str, default_mtl: List[float] | None = None) -> ParsedScene:
                         out.tri_mtl.append(list(cur_mtl))
                         out.tri_group.append(group_id)
                         corners = (uvi[0], uvi[k], uvi[k + 1])
+                        in_range = all(0 <= c < len(texcoords)
+                                       for c in corners)
                         uv = []
                         for c in corners:
-                            uv.extend(texcoords[c] if 0 <= c < len(texcoords)
-                                      else [0.0, 0.0])
+                            uv.extend(texcoords[c] if in_range else [0.0, 0.0])
                         out.tri_uv.append(uv)
-                        out.tri_tex.append(
-                            cur_tex if all(c >= 0 for c in corners) else -1)
+                        out.tri_tex.append(cur_tex if in_range else -1)
             except (ValueError, IndexError):
                 continue
     return out

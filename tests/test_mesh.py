@@ -2,6 +2,7 @@
 import numpy as np
 import pytest
 
+from conftest import make_textured_quad_obj as _textured_quad_obj
 from path_tracing_tpu.ops.bvh import build_clusters_py
 from path_tracing_tpu.scene.obj_loader import load_any_scene, load_obj
 
@@ -125,31 +126,6 @@ def test_mesh_scene_renders():
                                   rd)
     assert float(h.hit.mean()) > 0.15
 
-
-def _write_checker_texture(path, n=8):
-    """4-quadrant texture: UL red / UR green / LL blue / LR white (image
-    row 0 is the TOP of the texture; uv v=1 maps there)."""
-    from path_tracing_tpu.film import write_png
-
-    img = np.zeros((n, n, 3), np.uint8)
-    img[: n // 2, : n // 2] = (255, 0, 0)
-    img[: n // 2, n // 2:] = (0, 255, 0)
-    img[n // 2:, : n // 2] = (0, 0, 255)
-    img[n // 2:, n // 2:] = (255, 255, 255)
-    write_png(str(path), img)
-
-
-def _textured_quad_obj(tmp_path):
-    """Unit quad in z=0, uv = xy, with a map_Kd checker texture."""
-    _write_checker_texture(tmp_path / "check.png")
-    (tmp_path / "quad.mtl").write_text(
-        "newmtl tex\nKd 1 1 1\nNs 2\nmap_Kd check.png\n")
-    (tmp_path / "quad.obj").write_text(
-        "mtllib quad.mtl\nusemtl tex\n"
-        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
-        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
-        "f 1/1 2/2 3/3 4/4\n")
-    return str(tmp_path / "quad.obj")
 
 
 def test_obj_texture_loading(tmp_path):

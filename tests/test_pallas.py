@@ -164,29 +164,16 @@ def test_bdpt_megakernel_statistical_equivalence_and_determinism():
         ma, mr)
 
 
-def test_nearest_hit_with_uv_textures():
+def test_nearest_hit_with_uv_textures(tmp_path):
     """Pallas nearest-hit with in-kernel UV interpolation matches the XLA
     textured path (same base_color modulation)."""
     import jax.numpy as jnp
 
+    from conftest import make_textured_quad_obj
     from path_tracing_tpu.ops import intersect as I
     from path_tracing_tpu.scene.obj_loader import load_obj
 
-    import tempfile, os as _os
-    d = tempfile.mkdtemp()
-    from path_tracing_tpu.film import write_png
-    img = np.zeros((8, 8, 3), np.uint8)
-    img[:4, :4] = (255, 0, 0); img[:4, 4:] = (0, 255, 0)
-    img[4:, :4] = (0, 0, 255); img[4:, 4:] = (255, 255, 255)
-    write_png(_os.path.join(d, "check.png"), img)
-    with open(_os.path.join(d, "q.mtl"), "w") as f:
-        f.write("newmtl tex\nKd 1 1 1\nNs 2\nmap_Kd check.png\n")
-    with open(_os.path.join(d, "q.obj"), "w") as f:
-        f.write("mtllib q.mtl\nusemtl tex\n"
-                "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
-                "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
-                "f 1/1 2/2 3/3 4/4\n")
-    p = load_obj(_os.path.join(d, "q.obj"))
+    p = load_obj(make_textured_quad_obj(tmp_path))
     scene = p.to_device()
     assert scene.has_textures
 
