@@ -177,17 +177,25 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
                             wh, wh_ok = half_vector(wo_l, wi_l)
                             brdf = eval_local(m, wo_l, wi_l, alpha,
                                               wh, wh_ok)
-                            okf = (ok & valid3(brdf)).astype(jnp.float32)
+                            okb = ok & valid3(brdf)
+                            okf = okb.astype(jnp.float32)
+                            # sanitize BEFORE the product: a NaN brdf on an
+                            # excluded pair (degenerate half vector, zeroed
+                            # pad rows...) would poison the whole row sum —
+                            # 0 * NaN = NaN
+                            bx = jnp.where(okb, brdf.x, 0.0)
+                            by = jnp.where(okb, brdf.y, 0.0)
+                            bz = jnp.where(okb, brdf.z, 0.0)
 
                             def rsum(x):
                                 return jnp.sum(x, axis=1, keepdims=True)
 
                             acc_vmem[sub, 0:1] += rsum(
-                                okf * efl.x * brdf.x) * tp.x
+                                okf * efl.x * bx) * tp.x
                             acc_vmem[sub, 1:2] += rsum(
-                                okf * efl.y * brdf.y) * tp.y
+                                okf * efl.y * by) * tp.y
                             acc_vmem[sub, 2:3] += rsum(
-                                okf * efl.z * brdf.z) * tp.z
+                                okf * efl.z * bz) * tp.z
                             acc_vmem[sub, 3:4] += rsum(okf)
                             return 0
 

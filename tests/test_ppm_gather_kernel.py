@@ -161,3 +161,38 @@ def test_gather_kernel_cell_cap_overflow(scene):
     covered = got_c > 0
     np.testing.assert_allclose(np.asarray(flux)[covered],
                                exp_flux[covered], rtol=2e-3, atol=1e-5)
+
+
+def test_gather_kernel_degenerate_event_does_not_poison(scene):
+    """An event with a degenerate wi (zero vector -> NaN half-vector/BRDF)
+    must be excluded WITHOUT poisoning the row sums of valid neighbors
+    (0 * NaN = NaN if the product runs before the mask)."""
+    cfg = RenderConfig(width=16, height=16)
+    lo = np.asarray(scene.scene_min)
+    hp_pos = (lo + 0.5 * (np.asarray(scene.scene_max) - lo))[None, :]
+    up = np.array([[0.0, 1.0, 0.0]], np.float32)
+    hp = HitPoints(
+        pos=jnp.asarray(hp_pos, jnp.float32), normal=jnp.asarray(up),
+        wo=jnp.asarray(up),
+        mtl=Material(base_color=jnp.full((1, 3), 0.5),
+                     roughness=jnp.full((1,), 0.8),
+                     metallic=jnp.zeros((1,)), eta=jnp.zeros((1,))),
+        throughput=jnp.ones((1, 3)), valid=jnp.ones((1,), bool))
+    # event 0: healthy; event 1: wi = 0 (NaN BRDF); both inside the radius
+    ev_pos = np.repeat(hp_pos, 2, axis=0) + np.array(
+        [[0.01, 0, 0], [-0.01, 0, 0]], np.float32)
+    ev = PhotonEvents(
+        pos=jnp.asarray(ev_pos, jnp.float32),
+        normal=jnp.asarray(np.repeat(up, 2, axis=0)),
+        wi=jnp.asarray([[0.6, 0.8, 0.0], [0.0, 0.0, 0.0]]),
+        flux=jnp.ones((2, 3)), valid=jnp.ones((2,), bool))
+    flux, count, ovf = gather_flux_pallas(scene, cfg, hp, ev,
+                                          max_cells=32, interpret=True)
+    flux = np.asarray(flux)
+    # the invariant: NO NaN escapes (the kernel zeroes invalid-BRDF pairs
+    # BEFORE the row-sum product) and the healthy deposit survives.  The
+    # degenerate pair itself may count as a 0-ish finite deposit (eval_local
+    # and bsdf_evaluate only diverge in this unreachable corner).
+    assert np.all(np.isfinite(flux)), flux
+    assert int(np.asarray(count)[0]) >= 1
+    assert float(flux[0].sum()) > 0.0
