@@ -82,7 +82,7 @@ def _pad_to(x, n, value=0):
 
 
 def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
-                   hp_vmem, ev_vmem, key_vmem, acc_vmem, sems):
+                   hp_vmem, ev_vmem, key_vmem, acc_vmem, accw_vmem, sems):
     hp_start = meta_ref[0, 0, 0]
     hp_cnt = meta_ref[0, 0, 1]
     r2 = r2_ref[0, 0]
@@ -119,6 +119,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
             start_pair(0, meta_ref[0, 0, 2])
             cp.wait()
             acc_vmem[...] = jnp.zeros_like(acc_vmem)
+            accw_vmem[...] = jnp.zeros_like(accw_vmem)
             nh = jnp.minimum(hp_cnt - hb * HP_CHUNK, HP_CHUNK)
             n_sub = (nh + SUB - 1) // SUB
 
@@ -187,16 +188,15 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
                             by = jnp.where(okb, brdf.y, 0.0)
                             bz = jnp.where(okb, brdf.z, 0.0)
 
-                            def rsum(x):
-                                return jnp.sum(x, axis=1, keepdims=True)
-
-                            acc_vmem[sub, 0:1] += rsum(
-                                okf * efl.x * bx) * tp.x
-                            acc_vmem[sub, 1:2] += rsum(
-                                okf * efl.y * by) * tp.y
-                            acc_vmem[sub, 2:3] += rsum(
-                                okf * efl.z * bz) * tp.z
-                            acc_vmem[sub, 3:4] += rsum(okf)
+                            # accumulate WIDE (row, lane) partials; the
+                            # lane reduction and throughput multiply are
+                            # deferred to once per hp block (per-pair-block
+                            # rsums + narrow column RMWs were a measured
+                            # third of the kernel)
+                            accw_vmem[0, sub, :] += okf * efl.x * bx
+                            accw_vmem[1, sub, :] += okf * efl.y * by
+                            accw_vmem[2, sub, :] += okf * efl.z * bz
+                            accw_vmem[3, sub, :] += okf
                             return 0
 
                         jax.lax.fori_loop(0, n_sub, hp_sub, 0)
@@ -229,6 +229,13 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
                         return 0
 
                     jax.lax.fori_loop(1, n_chunks, extra_chunk, 0)
+
+            # deferred lane reduction + throughput multiply, whole block
+            for c, tpc in ((0, 21), (1, 22), (2, 23)):
+                acc_vmem[:, c:c + 1] = (
+                    jnp.sum(accw_vmem[c], axis=1, keepdims=True)
+                    * hp_vmem[:, tpc:tpc + 1])
+            acc_vmem[:, 3:4] = jnp.sum(accw_vmem[3], axis=1, keepdims=True)
 
             cp = pltpu.make_async_copy(
                 acc_vmem, out_ref.at[pl.ds(base, HP_CHUNK)], sems.at[7])
@@ -371,6 +378,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
             pltpu.VMEM((3, 16, EV_CHUNK // 128, 128), jnp.float32),
             pltpu.VMEM((3, EV_CHUNK // 128, 128), jnp.int32),
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
+            pltpu.VMEM((4, HP_CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
