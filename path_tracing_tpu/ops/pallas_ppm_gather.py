@@ -81,8 +81,8 @@ def _pad_to(x, n, value=0):
         [x, jnp.full((pad,) + x.shape[1:], value, x.dtype)], 0)
 
 
-def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
-                   hp_vmem, ev_vmem, key_vmem, acc_vmem, accw_vmem, sems):
+def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
+                   hp_vmem, ev_vmem, acc_vmem, accw_vmem, sems):
     hp_start = meta_ref[0, 0, 0]
     hp_cnt = meta_ref[0, 0, 1]
     r2 = r2_ref[0, 0]
@@ -93,18 +93,11 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
             ev_ref.at[:, pl.ds(blk, EB), :], ev_vmem.at[slot],
             sems.at[1 + slot])
 
-    def key_dma(slot, blk):
-        return pltpu.make_async_copy(
-            ekey_ref.at[pl.ds(blk, EB), :], key_vmem.at[slot],
-            sems.at[4 + slot])
-
     def start_pair(slot, blk):
         ev_dma(slot, blk).start()
-        key_dma(slot, blk).start()
 
     def wait_pair(slot, blk):
         ev_dma(slot, blk).wait()
-        key_dma(slot, blk).wait()
 
     @pl.when(hp_cnt > 0)
     def _():
@@ -127,13 +120,18 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ekey_ref, ev_ref, out_ref,
                               nh=nh, n_sub=n_sub):
                 """Join EV_CHUNK events (VMEM slot) x this cell's hitpoints."""
                 evb = ev_vmem[buf_slot]                    # (16, EB, 128)
-                keyb = key_vmem[buf_slot]                  # (EB, 128)
                 rem = asize - k_base
                 for j in range(EB):
                     @pl.when(j * 128 < rem)
-                    def _(j=j, qlo=qlo, nh=nh, n_sub=n_sub, evb=evb,
-                          keyb=keyb):
-                        keys = keyb[j, :].reshape(1, 128)
+                    def _(j=j, qlo=qlo, nh=nh, n_sub=n_sub, evb=evb):
+                        # cell keys ride in the event table as two 15-bit
+                        # halves (exact as f32 below 2^23; a raw int32
+                        # bitcast through f32 would flush keys < 2^23 as
+                        # denormals) — reassemble in int32
+                        k_hi = evb[12, j, :].reshape(1, 128)
+                        k_lo = evb[13, j, :].reshape(1, 128)
+                        keys = (k_hi.astype(jnp.int32) * 32768
+                                + k_lo.astype(jnp.int32))
                         in_cell = (keys >= qlo) & (keys <= qlo + 2)
                         ef = [evb[f, j, :].reshape(1, 128)
                               for f in range(12)]
@@ -288,11 +286,15 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # would poison the row sums — zero them here (fused into the gather)
     ev_mat = jnp.where((skey < BIG)[:, None], ev_mat, 0.0)
     Ep = ((cap + EV_CHUNK - 1) // EV_CHUNK + 1) * EV_CHUNK
-    # keys travel as a separate int32 table: bitcasting them through an f32
-    # column silently corrupts keys < 2^23 (TPU flushes f32 denormals)
-    key_tab = _pad_to(skey, Ep, BIG).reshape(Ep // 128, 128)
+    # keys travel inside the event table as two 15-bit halves, each exact
+    # as f32 (a raw int32 bitcast through an f32 column silently corrupts
+    # keys < 2^23 — TPU flushes denormals); one DMA stream instead of two
+    skey_p = _pad_to(skey, Ep, BIG)
+    key_hi = (skey_p >> 15).astype(jnp.float32)[:, None]
+    key_lo = (skey_p & 0x7FFF).astype(jnp.float32)[:, None]
     ev_mat = jnp.concatenate(
-        [_pad_to(ev_mat, Ep), jnp.zeros((Ep, 4), jnp.float32)], axis=1)
+        [_pad_to(ev_mat, Ep), key_hi, key_lo,
+         jnp.zeros((Ep, 2), jnp.float32)], axis=1)
     ev_tab = ev_mat.T.reshape(16, Ep // 128, 128)
 
     # ---- hitpoints: precompute frame, sort, pack row-major -------------
@@ -343,7 +345,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # windows are 128-aligned anyway, so search the 64x smaller array of
     # per-block first keys instead of all E keys (the binary search's
     # random probes were a measurable slice of the pass)
-    bkeys = key_tab[:, 0]                                 # (Ep/128,)
+    bkeys = skey_p[::128]                                 # (Ep/128,)
     # side="left" - 1: a run of keys == qlo can span backward into the
     # previous block (whose first key is < qlo)
     astart = jnp.maximum(
@@ -369,20 +371,18 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
             pltpu.VMEM((3, 16, EV_CHUNK // 128, 128), jnp.float32),
-            pltpu.VMEM((3, EV_CHUNK // 128, 128), jnp.int32),
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
             pltpu.VMEM((4, HP_CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((8,)),
         ],
         interpret=interpret,
-    )(meta, r2.reshape(1, 1), hp_tab, key_tab, ev_tab)
+    )(meta, r2.reshape(1, 1), hp_tab, ev_tab)
 
     covered = (rank < cmax) & (shkey < BIG)               # sorted order
     flux_s = jnp.where(covered[:, None], out[:B, 0:3], 0.0)
