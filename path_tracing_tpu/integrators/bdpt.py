@@ -470,14 +470,44 @@ def _connect_sampled(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
     vidx = vidx.T                                                    # (B, M)
     scale = nv.astype(jnp.float32) / M
 
-    lvg = jax.tree.map(lambda x: x[vidx], lv_flat)                   # (B, M, ..)
-
     # hoisted eye frame
     et, eb = build_local_frame(ev_normal)
     wo_e_l = world_to_local(wo_e, et, eb, ev_normal)[:, None]
     wo_s_l = world_to_local(wo_s, et, eb, ev_normal)[:, None]
     alpha_e = roughness_to_alpha(ev_mtl.roughness)[:, None]
     ev_mtl_b = jax.tree.map(lambda x: x[:, None], ev_mtl)
+
+    # chunk the sample axis: the (B, M, ...) pair tensors and the B*M
+    # shadow rays of the one-shot form OOM HBM at 512^2 x M=64; lax.map
+    # serializes M/mc chunks of bounded footprint
+    mc = M
+    for cand in (8, 4, 2, 1):
+        if M % cand == 0:
+            mc = cand
+            break
+
+    def _chunk(vidx_c):
+        return _connect_sampled_chunk(
+            scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp, ev_mtl_b,
+            wo_e_l, wo_s_l, alpha_e, eye_f, et, eb, vidx_c)
+
+    vchunks = vidx.reshape(B, M // mc, mc).transpose(1, 0, 2)
+    total = jax.lax.map(_chunk, vchunks)                 # (M/mc, B, 3)
+    return jnp.sum(total, axis=0) * scale
+
+
+def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
+                           ev_mtl_b, wo_e_l, wo_s_l, alpha_e, eye_f,
+                           et, eb, vidx):
+    """One (B, mc) slice of the stratified connection sum (the body of
+    ``_connect_sampled``'s sample-axis loop)."""
+    from ..ops.bsdf import _eval_local, _half_vector, _pdf_local
+    from ..ops.frame import build_local_frame, world_to_local
+    from ..ops.microfacet import roughness_to_alpha
+
+    B, M = vidx.shape
+
+    lvg = jax.tree.map(lambda x: x[vidx], lv_flat)                   # (B, mc, ..)
 
     # light frames per sampled vertex
     lt, lb = build_local_frame(lvg.normal)
@@ -540,7 +570,7 @@ def _connect_sampled(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
                * (g_term * trans * mis_w)[..., None])
     contrib = jnp.where((gate & is_valid_color(contrib))[..., None],
                         clamp_radiance(contrib, cfg.clamp), 0.0)
-    return jnp.sum(contrib, axis=1) * scale
+    return jnp.sum(contrib, axis=1)
 
 
 def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,

@@ -116,3 +116,29 @@ def test_oracle_regression_fixture(setup):
         (np.clip(img, 0, 1) - np.clip(ref, 0, 1)) ** 2)))
     assert rmse < 0.02, rmse
     assert abs(img.mean() - ref.mean()) / ref.mean() < 0.05
+
+
+def test_connection_subsampling_unbiased():
+    """bdpt_connection_samples (stratified O(M) connections) has the same
+    expectation as the exact all-pairs sweep; with the SAME light subpaths
+    the channel means agree at the MC noise floor."""
+    p = load_scene(INPUT_TXT)
+    scene = p.to_device()
+    W = H = 32
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=3, light_depth=3,
+                       delta_budget=3)
+    key = jax.random.PRNGKey(21)
+    exact = np.asarray(render_bdpt(scene, cam, W, H, 8, 8, cfg, key))
+
+    cfg_s = cfg.with_(bdpt_connection_samples=6)
+    acc = np.zeros_like(exact)
+    n = 6
+    for i in range(n):
+        acc += np.asarray(render_bdpt(scene, cam, W, H, 8, 8, cfg_s,
+                                      jax.random.fold_in(key, 100 + i)))
+    sub = acc / n
+    me, ms = exact.mean(axis=0), sub.mean(axis=0)
+    assert np.all(np.isfinite(sub))
+    assert np.all(np.abs(me - ms) / np.maximum(np.abs(me), 1e-6) < 0.15), (
+        me, ms)
