@@ -6,12 +6,22 @@ Default (no args): the headline — Mpaths/sec/chip at 1080p unidirectional PT
   {"metric": ..., "value": N, "unit": "Mpaths/s", "vs_baseline": N}
 
 ``--config N`` runs one of the five BASELINE configs (each prints its own
-single JSON line):
+single JSON line).  Defaults are the HONEST BASELINE shapes (config 2 spp
+256, config 3 spp 1024, config 4 ten 1M-photon passes); ``--spp``/``--fast``
+shrink them for smoke runs:
   1  deterministic BDPT oracle, input.txt, 256x256, 16 spp (ground truth)
-  2  PT + NEE + MIS, mis_test.txt, 512x512, 64 spp
-  3  OBJ mesh + clusters, 1080p PT (sphere fixture unless --obj given)
-  4  PPM, input.txt, 512x512, 1 pass x 1M photons
+  2  PT + NEE + MIS, mis_test.txt, 512x512, 256 spp
+  3  OBJ mesh + clusters, 1080p PT, 1024 spp (sphere fixture unless --obj)
+  4  PPM, input.txt, 512x512, 10 passes x 1M photons
   5  BDPT, input.txt, 512x512 (wavefront BDPT at slice scale is future work)
+
+Robustness contract with the driver (VERDICT round 1 item 1b): this script
+ALWAYS prints exactly one JSON line.  On any error it retries once after
+``jax.clear_caches()``; if the retry also fails, the line carries an
+``"error"`` field.  A watchdog thread hard-exits (after printing the error
+line) if the whole run exceeds PT_TPU_BENCH_TIMEOUT seconds (default 2400)
+— a wedged tunneled TPU otherwise hangs forever inside a host read that no
+signal can interrupt.
 
 NOTE: ``block_until_ready`` does not actually block through this
 environment's tunneled TPU; every timed region ends with a scalar host read.
@@ -20,8 +30,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
+
+_RESULT_PRINTED = threading.Event()
+
+
+def _emit(rec: dict) -> None:
+    if not _RESULT_PRINTED.is_set():
+        _RESULT_PRINTED.set()
+        print(json.dumps(rec), flush=True)
 
 
 def _sync(x) -> float:
@@ -36,21 +56,8 @@ def _timeit(fn, iters=3):
     return (time.perf_counter() - t0) / iters
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="0",
-                    help="0 = headline 1080p PT; 1-5 = BASELINE configs; "
-                         "'rmse' = time-to-target-RMSE vs the oracle")
-    ap.add_argument("--obj", default="tests/fixtures/sphere.obj")
-    ap.add_argument("--spp", type=int, default=0)
-    ap.add_argument("--conn-samples", type=int, default=0,
-                    help="config 5: unbiased per-eye-vertex connection "
-                         "subsample (0 = exact all-pairs)")
-    ap.add_argument("--regen-rmse-target", action="store_true",
-                    help="rebuild the committed converged-oracle fixture "
-                         "used by --config rmse")
-    args = ap.parse_args()
-
+def run(args) -> dict:
+    """Run the selected config and return the result record."""
     import jax
 
     from path_tracing_tpu.runtime import setup_jax_cache
@@ -73,8 +80,6 @@ def main() -> int:
         # BDPT render to reach 8-bit RMSE < 13 against a converged
         # deterministic oracle (committed fixture; --regen-rmse-target
         # rebuilds it by averaging 256 independent oracle-mode passes).
-        import os
-
         import numpy as np
 
         from path_tracing_tpu.film import tonemap_u8
@@ -114,25 +119,24 @@ def main() -> int:
             if rmse < 13.0:
                 break
         dt = time.perf_counter() - t0
-        print(json.dumps({
+        return {
             "metric": f"time-to-RMSE<13 (8-bit) vs converged oracle, BDPT "
                       f"128^2 (reached {rmse:.1f} after {i} passes)",
             "value": round(dt, 2), "unit": "s",
-            "vs_baseline": round(dt / 60.0, 4)}))
-        return 0
+            "vs_baseline": round(dt / 60.0, 4)}
 
     c = int(args.config)
     if c in (0, 2, 3):
         from path_tracing_tpu.integrators.pt import render_pt
 
         if c == 3:
-            W, H, spp = 1920, 1080, args.spp or 4
+            W, H, spp = 1920, 1080, args.spp or 1024
             scene, cam, cfg = setup(args.obj, W, H, eye_depth=4,
                                     delta_budget=4)
-            name = (f"1080p PT over OBJ mesh ({scene.num_triangles} tris, "
-                    f"clustered), spp={spp}")
+            name = (f"config3 1080p PT over OBJ mesh ({scene.num_triangles} "
+                    f"tris, clustered), spp={spp}")
         elif c == 2:
-            W, H, spp = 512, 512, args.spp or 64
+            W, H, spp = 512, 512, args.spp or 256
             scene, cam, cfg = setup("/root/reference/mis_test.txt", W, H,
                                     eye_depth=4, delta_budget=4)
             name = f"config2 PT+NEE+MIS mis_test 512^2 spp={spp}"
@@ -142,12 +146,14 @@ def main() -> int:
                                     eye_depth=4, delta_budget=4)
             name = ("1080p unidirectional PT (NEE+MIS), mis_test.txt, "
                     f"spp={spp}, eye_depth=4")
+        # big shapes: one timed pass is plenty (the estimator is a spp loop)
+        iters = 1 if W * H * spp > 600_000_000 else 3
         dt = _timeit(lambda i: render_pt(scene, cam, W, H, spp, cfg,
-                                         jax.random.fold_in(key, i)))
+                                         jax.random.fold_in(key, i)),
+                     iters=iters)
         val = W * H * spp / dt / 1e6
-        print(json.dumps({"metric": name, "value": round(val, 3),
-                          "unit": "Mpaths/s",
-                          "vs_baseline": round(val / 100.0, 4)}))
+        return {"metric": name, "value": round(val, 3), "unit": "Mpaths/s",
+                "vs_baseline": round(val / 100.0, 4)}
     elif c == 1:
         from path_tracing_tpu.integrators.bdpt import render_oracle
 
@@ -157,34 +163,55 @@ def main() -> int:
         dt = _timeit(lambda i: render_oracle(scene, cam, W, H, 16, 8, cfg,
                                              seed=1337), iters=1)
         val = W * H * 16 / dt / 1e6
-        print(json.dumps({"metric": "config1 BDPT oracle input.txt 256^2 "
-                                    "spp=16 spl=8 (deterministic)",
-                          "value": round(val, 3), "unit": "Mpaths/s",
-                          "vs_baseline": round(val / 100.0, 4)}))
+        return {"metric": "config1 BDPT oracle input.txt 256^2 "
+                          "spp=16 spl=8 (deterministic)",
+                "value": round(val, 3), "unit": "Mpaths/s",
+                "vs_baseline": round(val / 100.0, 4)}
     elif c == 4:
-        from path_tracing_tpu.integrators.ppm import render_ppm
+        import numpy as np
+
+        from path_tracing_tpu.integrators.ppm import render_ppm_with_stats
 
         W = H = 512
         photons = 1_000_000
-        # event cap 0.5 is an explicit opt-in: input.txt's event tensor is
-        # ~30% valid, so the capped gather stays exact (overflow == 0)
+        passes = 1 if args.fast else 10  # BASELINE: 10 passes x 1M photons
+        # event cap 0.5 is an explicit opt-in; the overflow counter is
+        # checked after every pass so a drifted validity fraction fails
+        # loudly instead of silently biasing the render (ADVICE r1)
         scene, cam, cfg = setup("/root/reference/input.txt", W, H,
                                 eye_depth=4, light_depth=4, delta_budget=4,
                                 ppm_max_per_cell=128, ppm_cell_samples=32,
                                 ppm_event_cap_frac=0.5)
         spl = photons // max(scene.num_lights, 1)
-        dt = _timeit(lambda i: render_ppm(scene, cam, W, H, spl, cfg,
-                                          jax.random.fold_in(key, i)),
-                     iters=2)
-        val = photons / dt / 1e6
-        print(json.dumps({"metric": "config4 PPM input.txt 512^2, 1M "
-                                    "photons/pass",
-                          "value": round(val, 3), "unit": "Mphotons/s",
-                          "vs_baseline": round(val / 100.0, 4)}))
+
+        def one_pass(i):
+            img, _count, overflow = render_ppm_with_stats(
+                scene, cam, W, H, spl, cfg, jax.random.fold_in(key, i))
+            ov = int(overflow)
+            if ov != 0:
+                raise RuntimeError(
+                    f"PPM event cap overflowed ({ov} events dropped) — "
+                    f"capped gather is no longer exact at this scene/shape")
+            return img
+
+        _sync(one_pass(0))  # compile + warm + overflow check
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(passes):
+            img = one_pass(i + 1)
+            acc = img if acc is None else acc + img
+        _sync(acc)
+        dt = time.perf_counter() - t0
+        val = photons * passes / dt / 1e6
+        return {"metric": f"config4 PPM input.txt 512^2, {passes} pass(es) "
+                          f"x 1M photons, overflow=0",
+                "value": round(val, 3), "unit": "Mphotons/s",
+                "vs_baseline": round(val / 100.0, 4)}
     elif c == 5:
         from path_tracing_tpu.integrators.bdpt import render_bdpt
 
-        W = H = 512
+        W, H = (512, 512) if not args.res else tuple(
+            int(v) for v in args.res.split("x"))
         spp, spl = args.spp or 4, 8
         scene, cam, cfg = setup("/root/reference/input.txt", W, H,
                                 eye_depth=4, light_depth=4, delta_budget=4,
@@ -194,16 +221,63 @@ def main() -> int:
                      iters=2)
         val = W * H * spp / dt / 1e6
         cs = args.conn_samples
-        print(json.dumps({"metric": f"config5 BDPT input.txt 512^2 spp={spp} "
-                                    f"spl={spl}"
-                                    + (f" conn_samples={cs}" if cs else ""),
-                          "value": round(val, 3), "unit": "Mpaths/s",
-                          "vs_baseline": round(val / 100.0, 4)}))
-    else:
-        print(json.dumps({"metric": "unknown config", "value": 0,
-                          "unit": "", "vs_baseline": 0}))
-        return 1
-    return 0
+        return {"metric": f"config5 BDPT input.txt {W}x{H} spp={spp} "
+                          f"spl={spl}"
+                          + (f" conn_samples={cs}" if cs else ""),
+                "value": round(val, 3), "unit": "Mpaths/s",
+                "vs_baseline": round(val / 100.0, 4)}
+    raise ValueError(f"unknown config {args.config!r}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="0",
+                    help="0 = headline 1080p PT; 1-5 = BASELINE configs; "
+                         "'rmse' = time-to-target-RMSE vs the oracle")
+    ap.add_argument("--obj", default="tests/fixtures/sphere.obj")
+    ap.add_argument("--spp", type=int, default=0)
+    ap.add_argument("--res", default="",
+                    help="config 5: WxH override (e.g. 1920x1080)")
+    ap.add_argument("--fast", action="store_true",
+                    help="shrink honest BASELINE shapes for smoke runs")
+    ap.add_argument("--conn-samples", type=int, default=0,
+                    help="config 5: unbiased per-eye-vertex connection "
+                         "subsample (0 = exact all-pairs)")
+    ap.add_argument("--regen-rmse-target", action="store_true",
+                    help="rebuild the committed converged-oracle fixture "
+                         "used by --config rmse")
+    args = ap.parse_args()
+
+    budget = float(os.environ.get("PT_TPU_BENCH_TIMEOUT", "2400"))
+
+    def watchdog():
+        _emit({"metric": f"bench --config {args.config}", "value": 0,
+               "unit": "", "vs_baseline": 0,
+               "error": f"watchdog: exceeded {budget:.0f}s "
+                        f"(TPU hang / wedged chip?)"})
+        os._exit(3)
+
+    t = threading.Timer(budget, watchdog)
+    t.daemon = True
+    t.start()
+
+    err = None
+    for attempt in range(2):
+        try:
+            rec = run(args)
+            _emit(rec)
+            return 0
+        except Exception as e:  # noqa: BLE001 — the contract is one JSON line
+            err = f"{type(e).__name__}: {e}"
+            print(f"bench attempt {attempt} failed: {err}", file=sys.stderr)
+            try:
+                import jax
+                jax.clear_caches()
+            except Exception:
+                pass
+    _emit({"metric": f"bench --config {args.config}", "value": 0, "unit": "",
+           "vs_baseline": 0, "error": err})
+    return 1
 
 
 if __name__ == "__main__":

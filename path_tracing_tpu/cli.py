@@ -176,7 +176,13 @@ def main(argv=None) -> int:
         print(f"[Checkpoint] saved {args.checkpoint}")
 
     print(f"[Save] Writing to {args.output}...")
-    save_image(args.output, np.asarray(state.mean()), W, H)
+    # transfer the raw device sum and divide on host: `state.mean()` would
+    # be a fresh EAGER op, and eager dispatch through this environment's
+    # tunneled TPU needs a remote compile per op that can hang indefinitely
+    # (observed: a finished render wedging the chip at save time)
+    save_image(args.output,
+               np.asarray(state.radiance_sum)
+               / max(int(state.n_iters), 1), W, H)
     print("[Success] Image saved!")
     return 0
 

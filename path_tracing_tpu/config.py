@@ -73,9 +73,6 @@ class RenderConfig:
     # front-ends force fov=50 (quirk 7); None honors the scene file.
     force_fov: float | None = None
 
-    # execution
-    sample_chunk: int = 1       # paths per pixel traced per scan step
-
     @property
     def max_eye_iters(self) -> int:
         return self.eye_depth + self.delta_budget

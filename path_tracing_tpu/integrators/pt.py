@@ -104,11 +104,14 @@ def _light_emission_radiance(scene: Scene, hit_pos, depth, clamp_val):
     return emission, li, ok
 
 
-def _nee(scene: Scene, cfg: RenderConfig, hit, wo, u_pick, u1, u2):
+def _nee(scene: Scene, cfg: RenderConfig, hit, wo, throughput,
+         u_pick, u1, u2):
     """Next-event estimation at a non-delta vertex.  pt_cu.cu:125-201.
 
-    Returns the (unmasked) NEE radiance contribution per lane; callers gate
-    by eligibility.
+    Returns the (unmasked) NEE radiance contribution per lane — INCLUDING
+    the path ``throughput`` factor (``contrib = throughput * brdf * illum *
+    ...``, pt_cu.cu:142-143 and :193-195), so callers validity-check/clamp
+    the same quantity the reference does.  Callers gate by eligibility.
     """
     nl = scene.num_lights
     li = jnp.minimum((u_pick * nl).astype(jnp.int32), nl - 1)
@@ -148,7 +151,8 @@ def _nee(scene: Scene, cfg: RenderConfig, hit, wo, u_pick, u1, u2):
     brdf, pdf_b = bsdf_eval_pdf(hit.mtl, wo, wi, hit.normal)
 
     # parallel-light contribution (no pdf/MIS, pt_cu.cu:142-143)
-    contrib_par = brdf * l_illum * (tr * cos_surf * float(nl))[:, None]
+    contrib_par = (throughput * brdf * l_illum
+                   * (tr * cos_surf * float(nl))[:, None])
 
     # sphere-light contribution with area->solid-angle pdf + squared power
     # heuristic (pt_cu.cu:179-192)
@@ -158,7 +162,7 @@ def _nee(scene: Scene, cfg: RenderConfig, hit, wo, u_pick, u1, u2):
     p_l = pdf_light_dir * pdf_light_dir
     p_b = pdf_b * pdf_b
     mis_w = p_l / jnp.maximum(p_l + p_b, 1e-8)
-    contrib_sph = (brdf * l_illum
+    contrib_sph = (throughput * brdf * l_illum
                    * (tr * cos_surf / pdf_light_dir * mis_w)[:, None])
 
     gate_par = (cos_surf > 0.0) & (tr > 0.0)
@@ -197,7 +201,7 @@ def trace_paths(scene: Scene, cam: Camera, cfg: RenderConfig,
         wo = -state["rd"]
 
         # --- 1. BSDF ray hit a light ball (pt_cu.cu:59-121) ---
-        emission, _, _ = _light_emission_radiance(
+        emission, li, okl = _light_emission_radiance(
             scene, hit.pos, state["depth"], cfg.clamp)
         has_e = jnp.any(emission > 0.0, axis=-1)
         c_delta = state["throughput"] * emission
@@ -207,8 +211,6 @@ def trace_paths(scene: Scene, cam: Camera, cfg: RenderConfig,
             c_mis = jnp.zeros((B, 3))  # quirk 2: pdf_light_dir stays 0
         else:
             # fixed full MIS: light-direction pdf of the hit point
-            _, li, okl = _light_emission_radiance(
-                scene, hit.pos, state["depth"], cfg.clamp)
             r = scene.light_ball_r[li]
             area = 4.0 * PI * r * r
             cos_l = jnp.maximum(dot(hit.normal, wo), 1e-6)
@@ -232,7 +234,8 @@ def trace_paths(scene: Scene, cam: Camera, cfg: RenderConfig,
         elig = (act & ~hit.is_light & (hit.mtl.eta <= 0.0)
                 & ((hit.mtl.metallic < 0.99) | (hit.mtl.roughness > 0.01)))
         if scene.num_lights > 0:
-            nee = _nee(scene, cfg, hit, wo, u[0], u[1], u[2])
+            nee = _nee(scene, cfg, hit, wo, state["throughput"],
+                       u[0], u[1], u[2])
             nee = jnp.where(is_valid_color(nee)[:, None],
                             clamp_radiance(nee, cfg.clamp), 0.0)
             radiance = radiance + jnp.where(elig[:, None], nee, 0.0)
@@ -409,8 +412,8 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         act = alive & hit.hit
         wo = -rd
 
-        emission, _, _ = _light_emission_radiance(scene, hit.pos, depth,
-                                                  cfg.clamp)
+        emission, li, okl = _light_emission_radiance(scene, hit.pos, depth,
+                                                     cfg.clamp)
         has_e = jnp.any(emission > 0.0, axis=-1)
         c_delta = throughput * emission
         c_delta = jnp.where(is_valid_color(c_delta)[:, None],
@@ -418,8 +421,6 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         if cfg.pt_stub_mis_strategy_a:
             c_mis = jnp.zeros((B, 3))  # quirk 2
         else:
-            _, li, okl = _light_emission_radiance(scene, hit.pos, depth,
-                                                  cfg.clamp)
             r = scene.light_ball_r[li]
             area = 4.0 * PI * r * r
             cos_l = jnp.maximum(dot(hit.normal, wo), 1e-6)
@@ -439,7 +440,7 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         elig = (act & ~hit.is_light & (hit.mtl.eta <= 0.0)
                 & ((hit.mtl.metallic < 0.99) | (hit.mtl.roughness > 0.01)))
         if scene.num_lights > 0:
-            nee = _nee(scene, cfg, hit, wo, u[0], u[1], u[2])
+            nee = _nee(scene, cfg, hit, wo, throughput, u[0], u[1], u[2])
             nee = jnp.where(is_valid_color(nee)[:, None],
                             clamp_radiance(nee, cfg.clamp), 0.0)
             radiance = radiance + jnp.where(elig[:, None], nee, 0.0)

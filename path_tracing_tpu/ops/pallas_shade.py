@@ -675,14 +675,18 @@ def _shade_core(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep,
     tr = jnp.where(blocked, 0.0, 1.0)
 
     brdf, pdf_b = eval_pdf_world(m, wo, wi, n)
-    contrib_par = brdf.mul(l_illum).scale(tr * cos_surf * float(nl_lights))
+    # contrib = throughput * brdf * illum * ... (pt_cu.cu:142-143,193-195):
+    # the path throughput scales BOTH light kinds before validity/clamp
+    contrib_par = tp.mul(brdf).mul(l_illum).scale(
+        tr * cos_surf * float(nl_lights))
     area = 4.0 * PI * l_r * l_r
     pdf_area = 1.0 / (nl_lights * area)
     pdf_ld = pdf_area * dist2 / jnp.maximum(cos_light, 1e-6)
     p_l2 = pdf_ld * pdf_ld
     p_b2 = pdf_b * pdf_b
     mis = p_l2 / jnp.maximum(p_l2 + p_b2, 1e-8)
-    contrib_sph = brdf.mul(l_illum).scale(tr * cos_surf / pdf_ld * mis)
+    contrib_sph = tp.mul(brdf).mul(l_illum).scale(
+        tr * cos_surf / pdf_ld * mis)
     gate_par = (cos_surf > 0.0) & (tr > 0.0)
     gate_sph = ((cos_surf > 0.0) & (cos_light > 0.0) & inside & (tr > 0.0))
     nee = where3(l_par, where3(gate_par, contrib_par, V3(zero, zero, zero)),

@@ -9,8 +9,10 @@ the scaling design it lacks:
   tensor is ``all_gather``-ed over ICI so every shard connects its pixels
   against ALL light vertices — the only cross-chip traffic the algorithm
   needs.
-- **PPM** (see integrators/ppm.py): photons shard; per-shard flux scatters
-  merge with ``psum``.
+- **PPM**: photons shard and their event tensors NEVER cross chips; the
+  pixel-sized hitpoint table is all-gathered, each shard joins local events
+  against all hitpoints, and the (B, 3) flux merges with ``psum_scatter``
+  back to the pixel owners.
 
 Everything compiles and runs on a virtual CPU mesh
 (``--xla_force_host_platform_device_count=N``) for hardware-free CI.
@@ -102,27 +104,31 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
              out_specs=P("dp"), check_rep=False)
     def shard_fn(scene_s, cam_s, px_l, py_l, key):
         me = jax.lax.axis_index("dp")
-        direct, hp = ppm_eye_trace(scene_s, cam_s, cfg, px_l, py_l,
-                                   jax.random.fold_in(key, 1))
-        # every shard traces its photon slice; all-gather the hitpoints is
-        # NOT needed — instead each shard's photons must reach every pixel,
-        # so we gather local photons' events across the mesh (small relative
-        # to pixels) and gather flux locally, then the merge is implicit.
+        direct, hp_local = ppm_eye_trace(scene_s, cam_s, cfg, px_l, py_l,
+                                         jax.random.fold_in(key, 1))
+        # Photon events STAY on the chip that traced them (they are the big
+        # tensor: photons x light_iters rows).  Instead the small per-pixel
+        # hitpoint table is all-gathered (B rows total — pixel-sized), every
+        # shard joins its LOCAL events against all hitpoints, and the
+        # per-hitpoint flux (B, 3) is merged with a psum_scatter back to the
+        # pixel owner — a true reduction over ICI, the TPU equivalent of the
+        # reference's global atomicAdd flux buffer (ppm_cu.cu:253-254).
         ev_local = ppm_photon_trace(
             scene_s, cfg, num_photons // n, spl,
             jax.random.fold_in(jax.random.fold_in(key, 2), me))
-        ev = jax.tree.map(
+        hp_all = jax.tree.map(
             lambda x: jax.lax.all_gather(x, "dp", axis=0, tiled=True),
-            ev_local)
-        flux, count, _ = gather_flux(scene_s, cfg, hp, ev)
-        # psum a global scalar so convergence stats see ALL photons (and to
-        # exercise the reduction over ICI)
-        total_count = jax.lax.psum(jnp.sum(count), "dp")
+            hp_local)
+        flux_part, count_part, _ = gather_flux(scene_s, cfg, hp_all, ev_local)
+        flux = jax.lax.psum_scatter(flux_part, "dp", scatter_dimension=0,
+                                    tiled=True)
+        count = jax.lax.psum_scatter(count_part, "dp", scatter_dimension=0,
+                                     tiled=True)
         radiance = flux / max(PI * cfg.ppm_radius * cfg.ppm_radius, 1e-6)
         radiance = jnp.where(
-            (hp.valid & is_valid_color(radiance))[:, None],
+            (hp_local.valid & is_valid_color(radiance))[:, None],
             clamp_radiance(radiance, cfg.clamp), 0.0)
-        return direct + radiance + 0.0 * total_count
+        return direct + radiance + 0.0 * jnp.sum(count)
 
     return shard_fn(scene, cam, px, py, key)
 

@@ -1,5 +1,10 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4:
-the JAX analog of a fake backend)."""
+the JAX analog of a fake backend).
+
+Agreement tests run at MATCHED sample counts: the sharded and single-device
+renderers estimate the same integral, so their image means must agree to a
+few percent of Monte-Carlo noise (round-1 verdict: 50% tolerances made the
+tests vacuous)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,34 +33,52 @@ def setup():
 
 def test_pt_sharded_runs_and_matches_statistics(setup):
     scene, cam, cfg, mesh = setup
-    img = np.asarray(render_pt_sharded(scene, cam, W, H, 4, cfg,
+    spp = 128
+    img = np.asarray(render_pt_sharded(scene, cam, W, H, spp, cfg,
                                        jax.random.PRNGKey(0), mesh))
     assert img.shape == (W * H, 3) and np.all(np.isfinite(img))
     # depth-2 PT at tiny spp lights roughly a third of the box
     assert float(np.mean(img.sum(-1) > 1e-4)) > 0.25
-    # statistical agreement with the single-device renderer
+    # agreement with the single-device renderer at the SAME spp
     from path_tracing_tpu.integrators.pt import render_pt
 
-    ref = np.asarray(render_pt(scene, cam, W, H, 8, cfg,
+    ref = np.asarray(render_pt(scene, cam, W, H, spp, cfg,
                                jax.random.PRNGKey(1)))
-
     a = np.clip(img, 0, 1).mean()
     b = np.clip(ref, 0, 1).mean()
-    assert abs(a - b) / max(b, 1e-6) < 0.5, (a, b)
+    assert abs(a - b) / max(b, 1e-6) < 0.05, (a, b)
 
 
 def test_bdpt_sharded_all_gather(setup):
     scene, cam, cfg, mesh = setup
-    img = np.asarray(render_bdpt_sharded(scene, cam, W, H, 1, 2, cfg,
+    spp, spl = 4, 16
+    img = np.asarray(render_bdpt_sharded(scene, cam, W, H, spp, spl, cfg,
                                          jax.random.PRNGKey(0), mesh,
                                          chunk=16))
     assert img.shape == (W * H, 3) and np.all(np.isfinite(img))
     assert float(np.mean(img.sum(-1) > 1e-4)) > 0.8
+    from path_tracing_tpu.integrators.bdpt import render_bdpt
+
+    ref = np.asarray(render_bdpt(scene, cam, W, H, spp, spl, cfg,
+                                 jax.random.PRNGKey(1)))
+    a = np.clip(img, 0, 1).mean()
+    b = np.clip(ref, 0, 1).mean()
+    assert abs(a - b) / max(b, 1e-6) < 0.05, (a, b)
 
 
 def test_ppm_sharded_psum(setup):
     scene, cam, cfg, mesh = setup
-    img = np.asarray(render_ppm_sharded(scene, cam, W, H, 64, cfg,
+    spl = 4096
+    img = np.asarray(render_ppm_sharded(scene, cam, W, H, spl, cfg,
                                         jax.random.PRNGKey(0), mesh))
     assert img.shape == (W * H, 3) and np.all(np.isfinite(img))
     assert float(img.sum()) > 0.0
+    # matched-count agreement: the sharded path traces the same number of
+    # photons (rounded up to the mesh) as the single-device renderer
+    from path_tracing_tpu.integrators.ppm import render_ppm
+
+    ref = np.asarray(render_ppm(scene, cam, W, H, spl, cfg,
+                                jax.random.PRNGKey(1)))
+    a = np.clip(img, 0, 1).mean()
+    b = np.clip(ref, 0, 1).mean()
+    assert abs(a - b) / max(b, 1e-6) < 0.05, (a, b)
