@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "sanitizer SURVEY.md §5 calls for; the release "
                          "path relies on is_valid_color rejection like the "
                          "reference)")
+    ap.add_argument("--live", default=None, metavar="PATH",
+                    help="progressive viewing: after every iteration write "
+                         "the current accumulated image to PATH (atomically "
+                         "replaced — point an image viewer at it).  If PATH "
+                         "contains '{i}' it is formatted with the iteration "
+                         "number instead, keeping per-pass history.  The "
+                         "headless equivalent of the reference GUI's live "
+                         "window (main.cpp:399-500)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the render loop to "
                          "DIR (view with TensorBoard/XProf) — the "
@@ -165,6 +173,14 @@ def main(argv=None) -> int:
             state = state.add(f)
             dt = time.perf_counter() - t0
             print(f"[Render] iter {i + 1}: {dt * 1000:.1f} ms cumulative")
+            if args.live:
+                live = (args.live.format(i=i + 1) if "{i}" in args.live
+                        else args.live)
+                tmp = live + ".tmp"
+                save_image(tmp, np.asarray(state.radiance_sum)
+                           / max(int(state.n_iters), 1), W, H)
+                os.replace(tmp, live)
+                print(f"[Live] wrote {live}")
     total = time.perf_counter() - t0
     paths = W * H * args.spp * args.iters
     print(f"[Render] Finished in {total * 1000:.1f} ms "

@@ -14,9 +14,10 @@ capability the TPU-native way:
   convention as tinyobj/OpenGL: ``v`` points up, texel centers at
   half-integer coordinates.
 
-Textured scenes route intersection through the XLA path (the Pallas
-kernels resolve hit materials in-register where per-lane dynamic gathers
-don't exist; ``Scene.has_textures`` gates them off).
+Textured scenes KEEP the Pallas nearest-hit kernel (``with_uv`` in-kernel
+UV interpolation in ops/pallas_intersect.py) and only the fused-shade /
+megakernel tiers gate off on ``Scene.has_textures`` — those resolve hit
+materials in-register, where per-lane atlas gathers don't exist in Mosaic.
 """
 from __future__ import annotations
 

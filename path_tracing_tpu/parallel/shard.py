@@ -30,7 +30,10 @@ try:  # jax >= 0.8 promotes shard_map out of experimental (and renames
     # check_rep -> check_vma)
     from jax import shard_map as _shard_map
 
-    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=False):
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        # default True to match upstream check_rep/check_vma semantics
+        # (ADVICE r1: a call site omitting it must not silently lose
+        # replication checking)
         return _shard_map(f, mesh=mesh, in_specs=in_specs,
                           out_specs=out_specs, check_vma=check_rep)
 except ImportError:  # pragma: no cover - older jax
