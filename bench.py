@@ -215,15 +215,17 @@ def run(args) -> dict:
         spp, spl = args.spp or 4, 8
         scene, cam, cfg = setup("/root/reference/input.txt", W, H,
                                 eye_depth=4, light_depth=4, delta_budget=4,
-                                bdpt_connection_samples=args.conn_samples)
+                                bdpt_connection_samples=args.conn_samples,
+                                bdpt_resample_vertices=args.resample)
         dt = _timeit(lambda i: render_bdpt(scene, cam, W, H, spp, spl, cfg,
                                            jax.random.fold_in(key, i)),
                      iters=2)
         val = W * H * spp / dt / 1e6
-        cs = args.conn_samples
+        cs, rs = args.conn_samples, args.resample
         return {"metric": f"config5 BDPT input.txt {W}x{H} spp={spp} "
                           f"spl={spl}"
-                          + (f" conn_samples={cs}" if cs else ""),
+                          + (f" conn_samples={cs}" if cs else "")
+                          + (f" resample_K={rs}" if rs else ""),
                 "value": round(val, 3), "unit": "Mpaths/s",
                 "vs_baseline": round(val / 100.0, 4)}
     raise ValueError(f"unknown config {args.config!r}")
@@ -243,6 +245,10 @@ def main() -> int:
     ap.add_argument("--conn-samples", type=int, default=0,
                     help="config 5: unbiased per-eye-vertex connection "
                          "subsample (0 = exact all-pairs)")
+    ap.add_argument("--resample", type=int, default=0,
+                    help="config 5: importance-cull the light-vertex table "
+                         "to K rows by unbiased RIS resampling (0 = full "
+                         "table)")
     ap.add_argument("--regen-rmse-target", action="store_true",
                     help="rebuild the committed converged-oracle fixture "
                          "used by --config rmse")

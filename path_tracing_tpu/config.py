@@ -53,6 +53,12 @@ class RenderConfig:
     # light vertices per eye vertex, scaled by n_valid/N — same expectation,
     # O(N) instead of O(V) per connection
     bdpt_connection_samples: int = 0
+    # 0 = keep the full compacted light-vertex table; K > 0 = importance-cull
+    # it to K rows by contribution-proportional resampling (RIS weights baked
+    # into the resampled throughputs — unbiased; integrators/bdpt.py::
+    # resample_light_vertices).  The O(V)-per-eye-vertex sweep becomes O(K);
+    # worth it once V >> K (large spl / deep light paths)
+    bdpt_resample_vertices: int = 0
     # 0 = fixed-radius PPM (the reference never shrinks, quirk 13);
     # alpha in (0,1) = progressive radius: r_i^2 = r^2 * prod (i+alpha)/(i+1)
     # (Hachisuka-style), pass index supplied by the caller

@@ -313,6 +313,44 @@ def compact_flat(lv_flat: LightVertices):
         jnp.sum(lv_flat.valid.astype(jnp.int32))
 
 
+def resample_light_vertices(lv_flat: LightVertices, n_valid, K: int, key):
+    """Importance-cull the compacted vertex table to ``K`` rows by
+    contribution-proportional resampling (unbiased).
+
+    Draw ``K`` iid rows with probability ``p_i = 0.5/n_valid + 0.5 *
+    lum(throughput_i)/sum lum`` (defensive uniform mixture keeps every
+    potentially contributing vertex in the support) and bake the RIS weight
+    ``1/(K * p_i)`` into the resampled throughput — connection contributions
+    are linear in it, so every downstream consumer (XLA sweep, fused
+    connection kernel, eye megakernel) is automatically an unbiased
+    estimator of the exact O(V) sweep at O(K) cost.  This is the
+    scaling answer to the reference's all-pairs loop (bdpt_cu.cu:384-457)
+    once V >> K; ``cfg.bdpt_resample_vertices`` opts in.
+
+    Returns (resampled flat LightVertices, K).
+    """
+    V = lv_flat.pos.shape[0]
+    nv = jnp.maximum(n_valid, 1)
+    in_prefix = jnp.arange(V) < n_valid
+    lum = jnp.sum(lv_flat.throughput
+                  * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1)
+    w = jnp.where(in_prefix & lv_flat.valid & (lum > 0.0)
+                  & jnp.isfinite(lum), lum, 0.0)
+    wsum = jnp.sum(w)
+    p = jnp.where(in_prefix, 0.5 / nv, 0.0) \
+        + jnp.where(wsum > 0.0, 0.5 * w / jnp.maximum(wsum, 1e-30),
+                    jnp.where(in_prefix, 0.5 / nv, 0.0))
+    cdf = jnp.cumsum(p)
+    # stratified uniforms lower resampling variance at identical expectation
+    u = (jnp.arange(K) + jax.random.uniform(key, (K,))) / K
+    idx = jnp.clip(jnp.searchsorted(cdf, u * cdf[-1], side="right"), 0, V - 1)
+    out = jax.tree.map(lambda x: x[idx], lv_flat)
+    scale = 1.0 / (K * jnp.maximum(p[idx], 1e-30))
+    out = dataclasses.replace(
+        out, throughput=out.throughput * scale[:, None])
+    return out, jnp.asarray(K, jnp.int32)
+
+
 def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
              n_valid, ev_pos, ev_normal, ev_tp, ev_mtl, wo_e, wo_s, eye_f,
              chunk: int):
@@ -592,6 +630,10 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     B = px.shape[0]
     lv_flat, n_valid = compact_flat(lv.flat())
+    if cfg.bdpt_resample_vertices > 0:
+        lv_flat, n_valid = resample_light_vertices(
+            lv_flat, n_valid, cfg.bdpt_resample_vertices,
+            jax.random.fold_in(key, 0x5E5A))
     fused_connect = (_use_fused_connect()
                      and cfg.bdpt_connection_samples == 0
                      and not scene.has_textures
@@ -769,6 +811,10 @@ def render_bdpt(scene: Scene, cam: Camera, width: int, height: int, spp: int,
         from ..ops.pallas_connect import pack_light_vertices
 
         lv_flat, n_valid = compact_flat(lv.flat())
+        if cfg.bdpt_resample_vertices > 0:
+            lv_flat, n_valid = resample_light_vertices(
+                lv_flat, n_valid, cfg.bdpt_resample_vertices,
+                jax.random.fold_in(key, 0x5E5A))
         lv_tab = pack_light_vertices(lv_flat)
         seed = jax.random.randint(
             jax.random.fold_in(key, 0x0202), (), 0,
