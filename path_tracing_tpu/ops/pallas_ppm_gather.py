@@ -51,7 +51,8 @@ from ..config import RenderConfig
 from ..scene.types import Scene
 from .frame import build_local_frame, world_to_local
 from .microfacet import roughness_to_alpha
-from .pallas_shade import Mtl, V3, eval_local, half_vector, valid3
+from .pallas_shade import (V3, fr_dielectric, fr_schlick, tr_d, tr_lambda,
+                           valid3, where3)
 
 G = 1024                 # cells per axis in the packed key domain
 BIG = G * G * G          # sentinel key for invalid rows (fits int32)
@@ -152,10 +153,12 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                             ht = V3(col(6), col(7), col(8))
                             hb_ = V3(col(9), col(10), col(11))
                             wo_l = V3(col(12), col(13), col(14))
-                            m = Mtl(V3(col(15), col(16), col(17)),
-                                    col(18), col(19), col(20))
-                            tp = V3(col(21), col(22), col(23))
+                            rough, metal, eta = col(18), col(19), col(20)
                             alpha = col(24)
+                            lam_wo = col(25)
+                            fs_pre = V3(col(26), col(27), col(28))
+                            simple = col(29)
+                            dif = V3(col(30), col(31), col(32))
 
                             dx = hpx.x - ep.x              # (SUB, 128)
                             dy = hpx.y - ep.y
@@ -173,28 +176,94 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                                 ewi.x * hb_.x + ewi.y * hb_.y
                                 + ewi.z * hb_.z,
                                 ewi.x * hn.x + ewi.y * hn.y + ewi.z * hn.z)
-                            wh, wh_ok = half_vector(wo_l, wi_l)
-                            brdf = eval_local(m, wo_l, wi_l, alpha,
-                                              wh, wh_ok)
-                            okb = ok & valid3(brdf)
-                            okf = okb.astype(jnp.float32)
-                            # sanitize BEFORE the product: a NaN brdf on an
-                            # excluded pair (degenerate half vector, zeroed
-                            # pad rows...) would poison the whole row sum —
-                            # 0 * NaN = NaN
-                            bx = jnp.where(okb, brdf.x, 0.0)
-                            by = jnp.where(okb, brdf.y, 0.0)
-                            bz = jnp.where(okb, brdf.z, 0.0)
 
-                            # accumulate WIDE (row, lane) partials; the
-                            # lane reduction and throughput multiply are
-                            # deferred to once per hp block (per-pair-block
-                            # rsums + narrow column RMWs were a measured
-                            # third of the kernel)
-                            accw_vmem[0, sub, :] += okf * efl.x * bx
-                            accw_vmem[1, sub, :] += okf * efl.y * by
-                            accw_vmem[2, sub, :] += okf * efl.z * bz
-                            accw_vmem[3, sub, :] += okf
+                            # ---- shared pair terms (eval_local with the
+                            # per-hp factors hoisted to pack time) ----
+                            s3 = V3(wo_l.x + wi_l.x, wo_l.y + wi_l.y,
+                                    wo_l.z + wi_l.z)
+                            l2 = s3.x * s3.x + s3.y * s3.y + s3.z * s3.z
+                            wh_ok = l2 >= 1e-12
+                            inv = jax.lax.rsqrt(jnp.maximum(l2, 1e-40))
+                            wh = V3(s3.x * inv, s3.y * inv, s3.z * inv)
+                            wh = where3(wh.z < 0.0, V3(-wh.x, -wh.y, -wh.z),
+                                        wh)
+                            zero_cos = (wo_l.z == 0.0) | (wi_l.z == 0.0)
+                            prod_z = wo_l.z * wi_l.z
+                            same = prod_z > 0.0
+                            d = tr_d(wh, alpha)
+                            # tr_lambda(wi) without the sqrt(s2):
+                            # (alpha*|tan|)^2 == alpha^2*s2/(z+1e-7)^2
+                            c2w = wi_l.z * wi_l.z
+                            s2w = jnp.maximum(0.0, 1.0 - c2w)
+                            den = wi_l.z + 1e-7
+                            a2t2 = alpha * alpha * s2w / (den * den)
+                            lam_wi = jnp.where(
+                                den == 0.0, 0.0,
+                                (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0)
+                            g = 1.0 / (1.0 + lam_wo + lam_wi)
+                            denom = jnp.maximum(
+                                4.0 * jnp.abs(wo_l.z) * jnp.abs(wi_l.z),
+                                1e-4)
+                            sg = d * g / denom
+                            zv = jnp.zeros_like(sg)
+                            dif_g = where3(prod_z < 0.0, V3(zv, zv, zv),
+                                           V3(dif.x + zv, dif.y + zv,
+                                              dif.z + zv))
+                            ci = (wo_l.x * wh.x + wo_l.y * wh.y
+                                  + wo_l.z * wh.z)
+
+                            def accum(brdf, extra_drop):
+                                okb = ok & valid3(brdf) & ~extra_drop
+                                okf = okb.astype(jnp.float32)
+                                # sanitize BEFORE the product: a NaN brdf
+                                # on an excluded pair would poison the row
+                                # sum — 0 * NaN = NaN
+                                bx = jnp.where(okb, brdf.x, 0.0)
+                                by = jnp.where(okb, brdf.y, 0.0)
+                                bz = jnp.where(okb, brdf.z, 0.0)
+                                # accumulate WIDE (row, lane) partials; the
+                                # lane reduction and throughput multiply
+                                # are deferred to once per hp block
+                                accw_vmem[0, sub, :] += okf * efl.x * bx
+                                accw_vmem[1, sub, :] += okf * efl.y * by
+                                accw_vmem[2, sub, :] += okf * efl.z * bz
+                                accw_vmem[3, sub, :] += okf
+
+                            # fast path: every live row eta==0 & metal<=0
+                            # (fr_dielectric==1 identically; see pack-time
+                            # comment).  Cell-sorted hitpoints are spatially
+                            # coherent, so blocks are material-uniform in
+                            # practice
+                            all_simple = jnp.all((simple > 0.5)
+                                                 | (rows >= nh))
+
+                            @pl.when(all_simple)
+                            def _():
+                                ci_cl = jnp.clip(ci, -1.0, 1.0)
+                                # fr_dielectric's NaN edges for eta=0
+                                nan_edge = (ci_cl >= 1.0) | (ci_cl == 0.0)
+                                outv = where3(
+                                    same, V3(dif_g.x + sg, dif_g.y + sg,
+                                             dif_g.z + sg), dif_g)
+                                kill = zero_cos | ~wh_ok
+                                brdf = where3(kill, V3(zv, zv, zv), outv)
+                                accum(brdf, same & nan_edge)
+
+                            @pl.when(~all_simple)
+                            def _():
+                                smooth_diel = (eta > 0.0) & (rough < 0.001)
+                                fr = fr_dielectric(ci, jnp.ones_like(eta),
+                                                   eta)
+                                f = where3(metal > 0.0, fs_pre,
+                                           V3(fr, fr, fr))
+                                spec = V3(f.x * sg, f.y * sg, f.z * sg)
+                                outv = where3(
+                                    same, V3(dif_g.x + spec.x,
+                                             dif_g.y + spec.y,
+                                             dif_g.z + spec.z), dif_g)
+                                kill = zero_cos | smooth_diel | ~wh_ok
+                                brdf = where3(kill, V3(zv, zv, zv), outv)
+                                accum(brdf, jnp.zeros_like(same))
                             return 0
 
                         jax.lax.fori_loop(0, n_sub, hp_sub, 0)
@@ -303,6 +372,23 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     tf, bf = build_local_frame(hp.normal)
     wo_l = world_to_local(hp.wo, tf, bf, hp.normal)
     alpha = roughness_to_alpha(hp.mtl.roughness)
+    # per-hitpoint eval terms hoisted out of the pair loop (cols 25-32):
+    # tr_lambda(wo), the schlick fresnel, the "simple material" flag, and
+    # the diffuse albedo depend only on hitpoint fields — the kernel would
+    # otherwise recompute them per (hitpoint, event) pair (measured as part
+    # of the eval third of the kernel)
+    wo_l_v = V3(wo_l[:, 0], wo_l[:, 1], wo_l[:, 2])
+    lam_wo = tr_lambda(wo_l_v, alpha)
+    fs_pre = fr_schlick(jnp.abs(wo_l[:, 2]),
+                        V3(hp.mtl.base_color[:, 0],
+                           hp.mtl.base_color[:, 1],
+                           hp.mtl.base_color[:, 2]))
+    # eta==0 & metal<=0 rows take the kernel's fast eval path: for eta=0
+    # the reference's fr_dielectric is identically 1 (TIR branch) except
+    # the ci>=1 / ci==0 NaN edges, which the kernel gates explicitly
+    simple = ((hp.mtl.eta == 0.0)
+              & (hp.mtl.metallic <= 0.0)).astype(jnp.float32)
+    kd = (1.0 - hp.mtl.metallic) / jnp.pi
     hp_cols = [hp.pos[:, 0], hp.pos[:, 1], hp.pos[:, 2],
                hp.normal[:, 0], hp.normal[:, 1], hp.normal[:, 2],
                tf[:, 0], tf[:, 1], tf[:, 2],
@@ -312,7 +398,10 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
                hp.mtl.base_color[:, 2],
                hp.mtl.roughness, hp.mtl.metallic, hp.mtl.eta,
                hp.throughput[:, 0], hp.throughput[:, 1],
-               hp.throughput[:, 2], alpha]
+               hp.throughput[:, 2], alpha,
+               lam_wo, fs_pre.x, fs_pre.y, fs_pre.z, simple,
+               hp.mtl.base_color[:, 0] * kd, hp.mtl.base_color[:, 1] * kd,
+               hp.mtl.base_color[:, 2] * kd]
     sperm = jnp.argsort(hkey).astype(jnp.int32)
     shkey = hkey[sperm]
     hp_mat = jnp.stack(hp_cols, axis=1)[sperm]             # (B, 25)
