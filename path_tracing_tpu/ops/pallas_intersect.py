@@ -54,7 +54,15 @@ TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
 # in STREAM_ROWS chunks.
 TRI_SLOT = 32
 TRI_PER_ROW = 4
-STREAM_ROWS = 32   # rows per DMA chunk = 128 triangles
+STREAM_ROWS = 64   # rows per DMA chunk = 256 triangles (one leaf-256
+#                    cluster per DMA — halves the per-cluster DMA count)
+
+# 2-level cluster culling: the median-split builder emits clusters in DFS
+# order, so SUPER consecutive clusters form a spatially tight run; testing
+# their union AABB first skips SUPER child tests at once.  Results are
+# bit-identical (culling never changes the nearest hit / blocker verdict).
+SUPER = 16
+SUPER_MIN_CLUSTERS = 64   # below this the flat loop is already cheap
 
 
 def mega_rows() -> int:
@@ -172,6 +180,36 @@ def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
     return sph, tri, cl, ns, nl, nt
 
 
+def super_table(cl_tab: jnp.ndarray):
+    """(cl_tab padded to a SUPER multiple, sup_tab (NS, 8), use_super).
+
+    Super rows are ``[union_min3, union_max3, 0, child_tri_count]`` over
+    SUPER consecutive cluster rows; count-0 (padded) children contribute
+    sentinel bounds that never pass the slab test.  ``use_super`` is static
+    (shape-derived) so small scenes keep the flat loop."""
+    mc = cl_tab.shape[0]
+    use_super = mc >= SUPER_MIN_CLUSTERS
+    if not use_super:
+        return cl_tab, jnp.zeros((SUB, 8), jnp.float32), False
+    pad = (-mc) % SUPER
+    if pad:
+        cl_tab = jnp.concatenate(
+            [cl_tab, jnp.zeros((pad, 8), cl_tab.dtype)], 0)
+    g = cl_tab.shape[0] // SUPER
+    valid = cl_tab[:, 7:8] > 0
+    mins = jnp.where(valid, cl_tab[:, 0:3], 1e30)
+    maxs = jnp.where(valid, cl_tab[:, 3:6], -1e30)
+    smin = mins.reshape(g, SUPER, 3).min(axis=1)
+    smax = maxs.reshape(g, SUPER, 3).max(axis=1)
+    scnt = cl_tab[:, 7].reshape(g, SUPER).sum(axis=1, keepdims=True)
+    sup = jnp.concatenate(
+        [smin, smax, jnp.zeros((g, 1), cl_tab.dtype), scnt], axis=1)
+    gp = (-g) % SUB
+    if gp:
+        sup = jnp.concatenate([sup, jnp.zeros((gp, 8), sup.dtype)], 0)
+    return cl_tab, sup, True
+
+
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
@@ -232,11 +270,11 @@ def _make_tri_test(rox, roy, roz, rdx, rdy, rdz, keep, with_uv):
     return tri_test
 
 
-def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
-                    t_out, nx_out, ny_out, nz_out,
+def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
+                    dz, t_out, nx_out, ny_out, nz_out,
                     bcr_out, bcg_out, bcb_out, rough_out, metal_out, eta_out,
                     flags_out, *rest, ns, nl, nt, with_uv=False,
-                    stream=False):
+                    stream=False, use_super=False):
     """Nearest hit + in-kernel attribute resolution.
 
     Carrying the winning primitive's normal/material through the loop
@@ -328,20 +366,23 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
 
     n_clusters = cl_ref.shape[0]
 
-    def cluster_body(c, best):
-        t0x = (cl_ref[c, 0] - rox) * invx
-        t1x = (cl_ref[c, 3] - rox) * invx
-        t0y = (cl_ref[c, 1] - roy) * invy
-        t1y = (cl_ref[c, 4] - roy) * invy
-        t0z = (cl_ref[c, 2] - roz) * invz
-        t1z = (cl_ref[c, 5] - roz) * invz
+    def aabb_hit(ref, c, tlimit):
+        t0x = (ref[c, 0] - rox) * invx
+        t1x = (ref[c, 3] - rox) * invx
+        t0y = (ref[c, 1] - roy) * invy
+        t1y = (ref[c, 4] - roy) * invy
+        t0z = (ref[c, 2] - roz) * invz
+        t1z = (ref[c, 5] - roz) * invz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        could_hit = (tn <= tf) & (tn < best["t"])
+        return (tn <= tf) & (tn < tlimit)
+
+    def cluster_body(c, best):
+        could_hit = aabb_hit(cl_ref, c, best["t"])
         start = cl_ref[c, 6].astype(jnp.int32)
         count = cl_ref[c, 7].astype(jnp.int32)
 
@@ -382,7 +423,21 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
         return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                             lambda b: b, best)
 
-    best = jax.lax.fori_loop(0, n_clusters, cluster_body, best)
+    if use_super:
+        def super_body(s, best):
+            could = aabb_hit(sup_ref, s, best["t"])
+            cnt = sup_ref[s, 7].astype(jnp.int32)
+
+            def descend(b):
+                return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
+                                         cluster_body, b)
+
+            return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+                                lambda b: b, best)
+
+        best = jax.lax.fori_loop(0, n_clusters // SUPER, super_body, best)
+    else:
+        best = jax.lax.fori_loop(0, n_clusters, cluster_body, best)
 
     # flip the normal toward the ray (geometric.cuh:350,365,383)
     ndotd = best["nx"] * rdx + best["ny"] * rdy + best["nz"] * rdz
@@ -406,9 +461,9 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz,
         tex_out[...] = best["tex"]
 
 
-def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
-                    blocked_out, *scratch, ns, nl, nt, blocks_col,
-                    stream=False):
+def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
+                    dz, maxd, blocked_out, *scratch, ns, nl, nt, blocks_col,
+                    stream=False, use_super=False):
     """any-hit in (1e-3, maxd) honoring the per-prim blocks flag.
 
     Light balls are excluded by their blocks flag being 0.  ``stream`` DMAs
@@ -458,20 +513,23 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
     def tri_body(i, blocked):
         return tri_shadow(blocked, lambda col: tri_ref[i, col])
 
-    def cluster_body(c, blocked):
-        t0x = (cl_ref[c, 0] - rox) * invx
-        t1x = (cl_ref[c, 3] - rox) * invx
-        t0y = (cl_ref[c, 1] - roy) * invy
-        t1y = (cl_ref[c, 4] - roy) * invy
-        t0z = (cl_ref[c, 2] - roz) * invz
-        t1z = (cl_ref[c, 5] - roz) * invz
+    def aabb_hit(ref, c, blocked):
+        t0x = (ref[c, 0] - rox) * invx
+        t1x = (ref[c, 3] - rox) * invx
+        t0y = (ref[c, 1] - roy) * invy
+        t1y = (ref[c, 4] - roy) * invy
+        t0z = (ref[c, 2] - roz) * invz
+        t1z = (ref[c, 5] - roz) * invz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        could_hit = (tn <= tf) & (tn < md) & (blocked == 0)
+        return (tn <= tf) & (tn < md) & (blocked == 0)
+
+    def cluster_body(c, blocked):
+        could_hit = aabb_hit(cl_ref, c, blocked)
         start = cl_ref[c, 6].astype(jnp.int32)
         count = cl_ref[c, 7].astype(jnp.int32)
 
@@ -513,7 +571,23 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, ox, oy, oz, dx, dy, dz, maxd,
         return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                             lambda b: b, blocked)
 
-    blocked = jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, blocked)
+    if use_super:
+        def super_body(s, blocked):
+            could = aabb_hit(sup_ref, s, blocked)
+            cnt = sup_ref[s, 7].astype(jnp.int32)
+
+            def descend(b):
+                return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
+                                         cluster_body, b)
+
+            return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+                                lambda b: b, blocked)
+
+        blocked = jax.lax.fori_loop(0, cl_ref.shape[0] // SUPER, super_body,
+                                    blocked)
+    else:
+        blocked = jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body,
+                                    blocked)
     blocked_out[...] = blocked
 
 
@@ -559,6 +633,7 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     stream = _stream_mode(scene.num_triangles, force_stream)
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(
         scene, with_uv=with_uv, stream=stream)
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
     tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
@@ -566,7 +641,8 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     grid = rows_total // TILE_ROWS
 
     kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt,
-                               with_uv=with_uv, stream=stream)
+                               with_uv=with_uv, stream=stream,
+                               use_super=use_super)
     shapes = [jnp.float32] * 10 + [jnp.int32]
     if with_uv:
         shapes += [jnp.float32] * 3
@@ -582,6 +658,8 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
             tri_spec,
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             *_ray_specs(6),
         ],
         out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
@@ -591,7 +669,7 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
                    for dt in shapes],
         scratch_shapes=_stream_extras() if stream else [],
         interpret=interpret,
-    )(sph_tab, tri_tab, cl_tab, *tiled)
+    )(sph_tab, tri_tab, cl_tab, sup_tab, *tiled)
     names = ["t", "nx", "ny", "nz", "bcr", "bcg", "bcb", "rough", "metal",
              "eta", "flag"]
     if with_uv:
@@ -605,6 +683,7 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
     """Returns blocked (B,) bool for shadow rays p1 + t*rd, t in (1e-3, max_d)."""
     stream = _stream_mode(scene.num_triangles, force_stream)
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, stream=stream)
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = p1.shape[0]
     comps = [p1[:, 0], p1[:, 1], p1[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
              max_d]
@@ -614,7 +693,8 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
 
     kernel = functools.partial(
         _blocker_kernel, ns=ns, nl=nl, nt=nt,
-        blocks_col=4 if dielectrics_block else 5, stream=stream)
+        blocks_col=4 if dielectrics_block else 5, stream=stream,
+        use_super=use_super)
     tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream
                 else pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
                                   memory_space=pltpu.VMEM))
@@ -627,6 +707,8 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
             tri_spec,
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             *_ray_specs(7),
         ],
         out_specs=pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
@@ -634,5 +716,5 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
         scratch_shapes=_stream_extras() if stream else [],
         interpret=interpret,
-    )(sph_tab, tri_tab, cl_tab, *tiled)
+    )(sph_tab, tri_tab, cl_tab, sup_tab, *tiled)
     return blocked.reshape(-1)[:B] != 0
