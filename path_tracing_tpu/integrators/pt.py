@@ -353,8 +353,15 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
     fused = (_use_fused_shade() and not scene.has_textures
              and vmem_tris_ok(scene))
-    if fused:
-        from ..ops.pallas_shade import shade_step_pallas
+    # textured scenes keep the fused shade too: the hit comes from the
+    # with_uv nearest kernel, the atlas texel is ONE batched XLA gather
+    # between the kernels (Mosaic has no per-lane gather), and the shade
+    # kernel consumes the texel-modulated base color (BASELINE config 3)
+    fused_tex = (_use_fused_shade() and scene.has_textures
+                 and vmem_tris_ok(scene))
+    if fused or fused_tex:
+        from ..ops.pallas_shade import (shade_step_pallas,
+                                        shade_step_tex_pallas)
 
         light_tab = _light_table(scene)
 
@@ -382,12 +389,29 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         sample = state["sample"] + regen.astype(jnp.int32)
         alive = state["alive"] | regen
 
-        if fused:
-            out = shade_step_pallas(
-                scene, light_tab, ro, rd, throughput, eta, depth, alive,
-                last_is_delta, last_pdf, u,
-                clamp_val=cfg.clamp, stub_mis=cfg.pt_stub_mis_strategy_a,
-                dielectrics_block=cfg.shadow_dielectrics_block)
+        if fused or fused_tex:
+            if fused:
+                out = shade_step_pallas(
+                    scene, light_tab, ro, rd, throughput, eta, depth, alive,
+                    last_is_delta, last_pdf, u,
+                    clamp_val=cfg.clamp, stub_mis=cfg.pt_stub_mis_strategy_a,
+                    dielectrics_block=cfg.shadow_dielectrics_block)
+            else:
+                from ..ops.pallas_intersect import nearest_hit_pallas
+                from ..ops.texture import sample_bilinear
+
+                h = nearest_hit_pallas(scene, ro, rd, with_uv=True)
+                tex_id = h["tex"].astype(jnp.int32)
+                texel = sample_bilinear(
+                    scene.tex_atlas, scene.tex_size, tex_id,
+                    jnp.stack([h["iu"], h["iv"]], axis=-1))
+                bc = jnp.stack([h["bcr"], h["bcg"], h["bcb"]], axis=-1)
+                bc_mod = jnp.where((tex_id >= 0)[:, None], bc * texel, bc)
+                out = shade_step_tex_pallas(
+                    scene, light_tab, h, bc_mod, ro, rd, throughput, eta,
+                    depth, alive, last_is_delta, last_pdf, u,
+                    clamp_val=cfg.clamp, stub_mis=cfg.pt_stub_mis_strategy_a,
+                    dielectrics_block=cfg.shadow_dielectrics_block)
             radiance = radiance + out["radiance"]
             alive_out = out["alive"] & (
                 out["last_is_delta"] | (out["depth"] < cfg.eye_depth))

@@ -381,6 +381,53 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                          jnp.maximum(t0z, t1z))
         return (tn <= tf) & (tn < tlimit)
 
+    if stream:
+        def cl_dma(slot, c):
+            """First-chunk DMA for cluster ``c`` into a static slot."""
+            blk0 = cl_ref[c, 6].astype(jnp.int32) // TRI_PER_ROW
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(blk0, STREAM_ROWS)], tri_vmem.at[slot],
+                dma_sem.at[slot])
+
+        def process_cluster(c, slot, best):
+            """Sweep cluster ``c``; chunk 0 is already in ``slot``.  Rare
+            extra chunks (a cluster straddling STREAM_ROWS) drain
+            synchronously through slot 2."""
+            start = cl_ref[c, 6].astype(jnp.int32)
+            count = cl_ref[c, 7].astype(jnp.int32)
+            blk0 = start // TRI_PER_ROW
+            nblk = ((start + count + TRI_PER_ROW - 1) // TRI_PER_ROW) - blk0
+            n_chunks = (nblk + STREAM_ROWS - 1) // STREAM_ROWS
+
+            def chunk_from(sl, ch, best):
+                c0 = blk0 + ch * STREAM_ROWS
+                rows = jnp.minimum(nblk - ch * STREAM_ROWS, STREAM_ROWS)
+
+                def row_body(r, best):
+                    for k in range(TRI_PER_ROW):  # static lane offsets
+                        idx = (c0 + r) * TRI_PER_ROW + k
+                        valid = (idx >= start) & (idx < start + count)
+                        best = tri_test(
+                            best,
+                            lambda col, r=r, k=k, sl=sl:
+                                tri_vmem[sl, r, k * TRI_SLOT + col],
+                            extra_ok=valid)
+                    return best
+
+                return jax.lax.fori_loop(0, rows, row_body, best)
+
+            best = chunk_from(slot, 0, best)
+
+            def extra(ch, best):
+                cp = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(blk0 + ch * STREAM_ROWS, STREAM_ROWS)],
+                    tri_vmem.at[2], dma_sem.at[2])
+                cp.start()
+                cp.wait()
+                return chunk_from(2, ch, best)
+
+            return jax.lax.fori_loop(1, n_chunks, extra, best)
+
     def cluster_body(c, best):
         could_hit = aabb_hit(cl_ref, c, best["t"])
         start = cl_ref[c, 6].astype(jnp.int32)
@@ -390,35 +437,11 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
             def run(best):
                 return jax.lax.fori_loop(start, start + count, tri_body, best)
         else:
-            blk0 = start // TRI_PER_ROW
-            nblk = ((start + count + TRI_PER_ROW - 1) // TRI_PER_ROW) - blk0
-
             def run(best):
-                n_chunks = (nblk + STREAM_ROWS - 1) // STREAM_ROWS
-
-                def chunk(ch, best):
-                    c0 = blk0 + ch * STREAM_ROWS
-                    cp = pltpu.make_async_copy(
-                        tri_ref.at[pl.ds(c0, STREAM_ROWS)], tri_vmem,
-                        dma_sem)
-                    cp.start()
-                    cp.wait()
-                    rows = jnp.minimum(nblk - ch * STREAM_ROWS, STREAM_ROWS)
-
-                    def row_body(r, best):
-                        for k in range(TRI_PER_ROW):  # static lane offsets
-                            idx = (c0 + r) * TRI_PER_ROW + k
-                            valid = (idx >= start) & (idx < start + count)
-                            best = tri_test(
-                                best,
-                                lambda col, r=r, k=k:
-                                    tri_vmem[r, k * TRI_SLOT + col],
-                                extra_ok=valid)
-                        return best
-
-                    return jax.lax.fori_loop(0, rows, row_body, best)
-
-                return jax.lax.fori_loop(0, n_chunks, chunk, best)
+                cp = cl_dma(2, c)
+                cp.start()
+                cp.wait()
+                return process_cluster(c, 2, best)
 
         return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                             lambda b: b, best)
@@ -428,9 +451,52 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
             could = aabb_hit(sup_ref, s, best["t"])
             cnt = sup_ref[s, 7].astype(jnp.int32)
 
-            def descend(b):
-                return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
-                                         cluster_body, b)
+            if not stream:
+                def descend(b):
+                    return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
+                                             cluster_body, b)
+            else:
+                # double-buffered children: cluster k+1's rows stream in
+                # while cluster k is swept (a descended super's children
+                # are spatially adjacent, so prefetching unconditionally
+                # rarely wastes a transfer).  Slots must be compile-time,
+                # so parity picks the slot via cond
+                def descend(b):
+                    base = s * SUPER
+                    cl_dma(0, base).start()
+
+                    def child(k, best):
+                        c = base + k
+                        par = k % 2
+                        have_next = k + 1 < SUPER
+
+                        @pl.when(have_next & (par == 0))
+                        def _():
+                            cl_dma(1, c + 1).start()
+
+                        @pl.when(have_next & (par == 1))
+                        def _():
+                            cl_dma(0, c + 1).start()
+
+                        @pl.when(par == 0)
+                        def _():
+                            cl_dma(0, c).wait()
+
+                        @pl.when(par == 1)
+                        def _():
+                            cl_dma(1, c).wait()
+
+                        could_c = aabb_hit(cl_ref, c, best["t"])
+                        count = cl_ref[c, 7].astype(jnp.int32)
+                        return jax.lax.cond(
+                            jnp.any(could_c) & (count > 0),
+                            lambda bb: jax.lax.cond(
+                                par == 0,
+                                lambda b2: process_cluster(c, 0, b2),
+                                lambda b2: process_cluster(c, 1, b2), bb),
+                            lambda bb: bb, best)
+
+                    return jax.lax.fori_loop(0, SUPER, child, b)
 
             return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
                                 lambda b: b, best)
@@ -528,6 +594,49 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                          jnp.maximum(t0z, t1z))
         return (tn <= tf) & (tn < md) & (blocked == 0)
 
+    if stream:
+        def cl_dma(slot, c):
+            blk0 = cl_ref[c, 6].astype(jnp.int32) // TRI_PER_ROW
+            return pltpu.make_async_copy(
+                tri_ref.at[pl.ds(blk0, STREAM_ROWS)], tri_vmem.at[slot],
+                dma_sem.at[slot])
+
+        def process_cluster(c, slot, blocked):
+            start = cl_ref[c, 6].astype(jnp.int32)
+            count = cl_ref[c, 7].astype(jnp.int32)
+            blk0 = start // TRI_PER_ROW
+            nblk = ((start + count + TRI_PER_ROW - 1) // TRI_PER_ROW) - blk0
+            n_chunks = (nblk + STREAM_ROWS - 1) // STREAM_ROWS
+
+            def chunk_from(sl, ch, blocked):
+                c0 = blk0 + ch * STREAM_ROWS
+                rows = jnp.minimum(nblk - ch * STREAM_ROWS, STREAM_ROWS)
+
+                def row_body(r, blocked):
+                    for k in range(TRI_PER_ROW):
+                        idx = (c0 + r) * TRI_PER_ROW + k
+                        valid = (idx >= start) & (idx < start + count)
+                        blocked = tri_shadow(
+                            blocked,
+                            lambda col, r=r, k=k, sl=sl:
+                                tri_vmem[sl, r, k * TRI_SLOT + col],
+                            extra_ok=valid)
+                    return blocked
+
+                return jax.lax.fori_loop(0, rows, row_body, blocked)
+
+            blocked = chunk_from(slot, 0, blocked)
+
+            def extra(ch, blocked):
+                cp = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(blk0 + ch * STREAM_ROWS, STREAM_ROWS)],
+                    tri_vmem.at[2], dma_sem.at[2])
+                cp.start()
+                cp.wait()
+                return chunk_from(2, ch, blocked)
+
+            return jax.lax.fori_loop(1, n_chunks, extra, blocked)
+
     def cluster_body(c, blocked):
         could_hit = aabb_hit(cl_ref, c, blocked)
         start = cl_ref[c, 6].astype(jnp.int32)
@@ -538,35 +647,11 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                 return jax.lax.fori_loop(start, start + count, tri_body,
                                          blocked)
         else:
-            blk0 = start // TRI_PER_ROW
-            nblk = ((start + count + TRI_PER_ROW - 1) // TRI_PER_ROW) - blk0
-
             def run(blocked):
-                n_chunks = (nblk + STREAM_ROWS - 1) // STREAM_ROWS
-
-                def chunk(ch, blocked):
-                    c0 = blk0 + ch * STREAM_ROWS
-                    cp = pltpu.make_async_copy(
-                        tri_ref.at[pl.ds(c0, STREAM_ROWS)], tri_vmem,
-                        dma_sem)
-                    cp.start()
-                    cp.wait()
-                    rows = jnp.minimum(nblk - ch * STREAM_ROWS, STREAM_ROWS)
-
-                    def row_body(r, blocked):
-                        for k in range(TRI_PER_ROW):
-                            idx = (c0 + r) * TRI_PER_ROW + k
-                            valid = (idx >= start) & (idx < start + count)
-                            blocked = tri_shadow(
-                                blocked,
-                                lambda col, r=r, k=k:
-                                    tri_vmem[r, k * TRI_SLOT + col],
-                                extra_ok=valid)
-                        return blocked
-
-                    return jax.lax.fori_loop(0, rows, row_body, blocked)
-
-                return jax.lax.fori_loop(0, n_chunks, chunk, blocked)
+                cp = cl_dma(2, c)
+                cp.start()
+                cp.wait()
+                return process_cluster(c, 2, blocked)
 
         return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                             lambda b: b, blocked)
@@ -576,9 +661,47 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
             could = aabb_hit(sup_ref, s, blocked)
             cnt = sup_ref[s, 7].astype(jnp.int32)
 
-            def descend(b):
-                return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
-                                         cluster_body, b)
+            if not stream:
+                def descend(b):
+                    return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
+                                             cluster_body, b)
+            else:
+                def descend(b):
+                    base = s * SUPER
+                    cl_dma(0, base).start()
+
+                    def child(k, blocked):
+                        c = base + k
+                        par = k % 2
+                        have_next = k + 1 < SUPER
+
+                        @pl.when(have_next & (par == 0))
+                        def _():
+                            cl_dma(1, c + 1).start()
+
+                        @pl.when(have_next & (par == 1))
+                        def _():
+                            cl_dma(0, c + 1).start()
+
+                        @pl.when(par == 0)
+                        def _():
+                            cl_dma(0, c).wait()
+
+                        @pl.when(par == 1)
+                        def _():
+                            cl_dma(1, c).wait()
+
+                        could_c = aabb_hit(cl_ref, c, blocked)
+                        count = cl_ref[c, 7].astype(jnp.int32)
+                        return jax.lax.cond(
+                            jnp.any(could_c) & (count > 0),
+                            lambda bb: jax.lax.cond(
+                                par == 0,
+                                lambda b2: process_cluster(c, 0, b2),
+                                lambda b2: process_cluster(c, 1, b2), bb),
+                            lambda bb: bb, blocked)
+
+                    return jax.lax.fori_loop(0, SUPER, child, b)
 
             return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
                                 lambda b: b, blocked)
@@ -614,9 +737,12 @@ def _stream_mode(nt: int, force_stream: bool) -> bool:
 
 
 def _stream_extras():
-    """tri scratch + DMA semaphore for the streaming kernels."""
-    return [pltpu.VMEM((STREAM_ROWS, TRI_PER_ROW * TRI_SLOT), jnp.float32),
-            pltpu.SemaphoreType.DMA]
+    """tri scratch + DMA semaphores for the streaming kernels: slots 0/1
+    double-buffer across a super's children, slot 2 serves the flat path
+    and straddling extra chunks."""
+    return [pltpu.VMEM((3, STREAM_ROWS, TRI_PER_ROW * TRI_SLOT),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((3,))]
 
 
 def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,

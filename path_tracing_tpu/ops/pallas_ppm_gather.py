@@ -119,12 +119,55 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
 
             def compute_chunk(buf_slot, k_base, asize, qlo,
                               nh=nh, n_sub=n_sub):
-                """Join EV_CHUNK events (VMEM slot) x this cell's hitpoints."""
+                """Join EV_CHUNK events (VMEM slot) x this cell's hitpoints.
+
+                Loop order: hitpoint sub-block OUTER, event block inner —
+                the (SUB,1) hitpoint-column loads and the material-branch
+                decision hoist out of the event loop, and the frame
+                rotation + normal dot run as one (4*SUB,8)x(8,128) MXU
+                matmul per (sub-block, event block) instead of ~20 VPU
+                broadcast ops."""
                 evb = ev_vmem[buf_slot]                    # (16, EB, 128)
                 rem = asize - k_base
-                for j in range(EB):
-                    @pl.when(j * 128 < rem)
-                    def _(j=j, qlo=qlo, nh=nh, n_sub=n_sub, evb=evb):
+
+                def hp_sub(sidx, _):
+                    r0 = pl.multiple_of(sidx * SUB, SUB)
+                    sub = pl.ds(r0, SUB)
+
+                    def col(f):
+                        return hp_vmem[sub, f:f + 1]  # (SUB, 1)
+
+                    hpx = V3(col(0), col(1), col(2))
+                    wo_l = V3(col(12), col(13), col(14))
+                    rough, metal, eta = col(18), col(19), col(20)
+                    alpha = col(24)
+                    lam_wo = col(25)
+                    fs_pre = V3(col(26), col(27), col(28))
+                    simple = col(29)
+                    dif = V3(col(30), col(31), col(32))
+                    # one MXU operand per sub-block: row blocks
+                    # [tangent | bitangent | normal | normal-vs-en]
+                    # contracted against [ewi; en] (K padded 6 -> 8)
+                    zp5 = jnp.zeros((SUB, 5), jnp.float32)
+                    a_rot = jnp.concatenate([
+                        jnp.concatenate([hp_vmem[sub, 6:9], zp5], 1),
+                        jnp.concatenate([hp_vmem[sub, 9:12], zp5], 1),
+                        jnp.concatenate([hp_vmem[sub, 3:6], zp5], 1),
+                        jnp.concatenate(
+                            [jnp.zeros((SUB, 3), jnp.float32),
+                             hp_vmem[sub, 3:6],
+                             jnp.zeros((SUB, 2), jnp.float32)], 1),
+                    ], 0)                                  # (4*SUB, 8)
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, (SUB, 1), 0) + r0
+                    live = rows < nh
+                    # fast path: every live row eta==0 & metal<=0
+                    # (fr_dielectric==1 identically; see pack-time
+                    # comment).  Cell-sorted hitpoints are spatially
+                    # coherent, so blocks are material-uniform in practice
+                    all_simple = jnp.all((simple > 0.5) | ~live)
+
+                    def pair_block(j, simple_path):
                         # cell keys ride in the event table as two 15-bit
                         # halves (exact as f32 below 2^23; a raw int32
                         # bitcast through f32 would flush keys < 2^23 as
@@ -134,139 +177,122 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                         keys = (k_hi.astype(jnp.int32) * 32768
                                 + k_lo.astype(jnp.int32))
                         in_cell = (keys >= qlo) & (keys <= qlo + 2)
-                        ef = [evb[f, j, :].reshape(1, 128)
-                              for f in range(12)]
-                        ep = V3(ef[0], ef[1], ef[2])
-                        en = V3(ef[3], ef[4], ef[5])
-                        ewi = V3(ef[6], ef[7], ef[8])
-                        efl = V3(ef[9], ef[10], ef[11])
+                        ep = V3(evb[0, j, :].reshape(1, 128),
+                                evb[1, j, :].reshape(1, 128),
+                                evb[2, j, :].reshape(1, 128))
+                        efl = V3(evb[9, j, :].reshape(1, 128),
+                                 evb[10, j, :].reshape(1, 128),
+                                 evb[11, j, :].reshape(1, 128))
+                        b8 = jnp.concatenate(
+                            [evb[6:9, j, :], evb[3:6, j, :],
+                             jnp.zeros((2, 128), jnp.float32)], 0)
+                        rot = jax.lax.dot_general(
+                            a_rot, b8, (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                        wi_l = V3(rot[0:SUB], rot[SUB:2 * SUB],
+                                  rot[2 * SUB:3 * SUB])
+                        ndot = rot[3 * SUB:4 * SUB]
 
-                        def hp_sub(sidx, _):
-                            r0 = pl.multiple_of(sidx * SUB, SUB)
-                            sub = pl.ds(r0, SUB)
+                        dx = hpx.x - ep.x              # (SUB, 128)
+                        dy = hpx.y - ep.y
+                        dz = hpx.z - ep.z
+                        dist2 = dx * dx + dy * dy + dz * dz
+                        ok = (in_cell & (dist2 < r2)
+                              & (ndot > 0.01) & live)
 
-                            def col(f):
-                                return hp_vmem[sub, f:f + 1]  # (SUB, 1)
+                        # ---- shared pair terms (eval_local with the
+                        # per-hp factors hoisted to pack time) ----
+                        s3 = V3(wo_l.x + wi_l.x, wo_l.y + wi_l.y,
+                                wo_l.z + wi_l.z)
+                        l2 = s3.x * s3.x + s3.y * s3.y + s3.z * s3.z
+                        wh_ok = l2 >= 1e-12
+                        inv = jax.lax.rsqrt(jnp.maximum(l2, 1e-40))
+                        wh = V3(s3.x * inv, s3.y * inv, s3.z * inv)
+                        wh = where3(wh.z < 0.0, V3(-wh.x, -wh.y, -wh.z),
+                                    wh)
+                        zero_cos = (wo_l.z == 0.0) | (wi_l.z == 0.0)
+                        prod_z = wo_l.z * wi_l.z
+                        same = prod_z > 0.0
+                        d = tr_d(wh, alpha)
+                        # tr_lambda(wi) without the sqrt(s2):
+                        # (alpha*|tan|)^2 == alpha^2*s2/(z+1e-7)^2
+                        c2w = wi_l.z * wi_l.z
+                        s2w = jnp.maximum(0.0, 1.0 - c2w)
+                        den = wi_l.z + 1e-7
+                        a2t2 = alpha * alpha * s2w / (den * den)
+                        lam_wi = jnp.where(
+                            den == 0.0, 0.0,
+                            (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0)
+                        g = 1.0 / (1.0 + lam_wo + lam_wi)
+                        denom = jnp.maximum(
+                            4.0 * jnp.abs(wo_l.z) * jnp.abs(wi_l.z),
+                            1e-4)
+                        sg = d * g / denom
+                        zv = jnp.zeros_like(sg)
+                        dif_g = where3(prod_z < 0.0, V3(zv, zv, zv),
+                                       V3(dif.x + zv, dif.y + zv,
+                                          dif.z + zv))
+                        ci = (wo_l.x * wh.x + wo_l.y * wh.y
+                              + wo_l.z * wh.z)
 
-                            hpx = V3(col(0), col(1), col(2))
-                            hn = V3(col(3), col(4), col(5))
-                            ht = V3(col(6), col(7), col(8))
-                            hb_ = V3(col(9), col(10), col(11))
-                            wo_l = V3(col(12), col(13), col(14))
-                            rough, metal, eta = col(18), col(19), col(20)
-                            alpha = col(24)
-                            lam_wo = col(25)
-                            fs_pre = V3(col(26), col(27), col(28))
-                            simple = col(29)
-                            dif = V3(col(30), col(31), col(32))
+                        if simple_path:
+                            ci_cl = jnp.clip(ci, -1.0, 1.0)
+                            # fr_dielectric's NaN edges for eta=0
+                            nan_edge = (ci_cl >= 1.0) | (ci_cl == 0.0)
+                            outv = where3(
+                                same, V3(dif_g.x + sg, dif_g.y + sg,
+                                         dif_g.z + sg), dif_g)
+                            kill = zero_cos | ~wh_ok
+                            brdf = where3(kill, V3(zv, zv, zv), outv)
+                            extra_drop = same & nan_edge
+                        else:
+                            smooth_diel = (eta > 0.0) & (rough < 0.001)
+                            fr = fr_dielectric(ci, jnp.ones_like(eta),
+                                               eta)
+                            f = where3(metal > 0.0, fs_pre,
+                                       V3(fr, fr, fr))
+                            spec = V3(f.x * sg, f.y * sg, f.z * sg)
+                            outv = where3(
+                                same, V3(dif_g.x + spec.x,
+                                         dif_g.y + spec.y,
+                                         dif_g.z + spec.z), dif_g)
+                            kill = zero_cos | smooth_diel | ~wh_ok
+                            brdf = where3(kill, V3(zv, zv, zv), outv)
+                            extra_drop = jnp.zeros_like(same)
 
-                            dx = hpx.x - ep.x              # (SUB, 128)
-                            dy = hpx.y - ep.y
-                            dz = hpx.z - ep.z
-                            dist2 = dx * dx + dy * dy + dz * dz
-                            ndot = (hn.x * en.x + hn.y * en.y
-                                    + hn.z * en.z)
-                            rows = jax.lax.broadcasted_iota(
-                                jnp.int32, (SUB, 1), 0) + r0
-                            ok = (in_cell & (dist2 < r2)
-                                  & (ndot > 0.01) & (rows < nh))
+                        okb = ok & valid3(brdf) & ~extra_drop
+                        okf = okb.astype(jnp.float32)
+                        # sanitize BEFORE the product: a NaN brdf on an
+                        # excluded pair would poison the row sum —
+                        # 0 * NaN = NaN
+                        bx = jnp.where(okb, brdf.x, 0.0)
+                        by = jnp.where(okb, brdf.y, 0.0)
+                        bz = jnp.where(okb, brdf.z, 0.0)
+                        # accumulate WIDE (row, lane) partials; the lane
+                        # reduction and throughput multiply are deferred
+                        # to once per hp block
+                        accw_vmem[0, sub, :] += okf * efl.x * bx
+                        accw_vmem[1, sub, :] += okf * efl.y * by
+                        accw_vmem[2, sub, :] += okf * efl.z * bz
+                        accw_vmem[3, sub, :] += okf
 
-                            wi_l = V3(
-                                ewi.x * ht.x + ewi.y * ht.y + ewi.z * ht.z,
-                                ewi.x * hb_.x + ewi.y * hb_.y
-                                + ewi.z * hb_.z,
-                                ewi.x * hn.x + ewi.y * hn.y + ewi.z * hn.z)
+                    @pl.when(all_simple)
+                    def _():
+                        for j in range(EB):
+                            @pl.when(j * 128 < rem)
+                            def _(j=j):
+                                pair_block(j, True)
 
-                            # ---- shared pair terms (eval_local with the
-                            # per-hp factors hoisted to pack time) ----
-                            s3 = V3(wo_l.x + wi_l.x, wo_l.y + wi_l.y,
-                                    wo_l.z + wi_l.z)
-                            l2 = s3.x * s3.x + s3.y * s3.y + s3.z * s3.z
-                            wh_ok = l2 >= 1e-12
-                            inv = jax.lax.rsqrt(jnp.maximum(l2, 1e-40))
-                            wh = V3(s3.x * inv, s3.y * inv, s3.z * inv)
-                            wh = where3(wh.z < 0.0, V3(-wh.x, -wh.y, -wh.z),
-                                        wh)
-                            zero_cos = (wo_l.z == 0.0) | (wi_l.z == 0.0)
-                            prod_z = wo_l.z * wi_l.z
-                            same = prod_z > 0.0
-                            d = tr_d(wh, alpha)
-                            # tr_lambda(wi) without the sqrt(s2):
-                            # (alpha*|tan|)^2 == alpha^2*s2/(z+1e-7)^2
-                            c2w = wi_l.z * wi_l.z
-                            s2w = jnp.maximum(0.0, 1.0 - c2w)
-                            den = wi_l.z + 1e-7
-                            a2t2 = alpha * alpha * s2w / (den * den)
-                            lam_wi = jnp.where(
-                                den == 0.0, 0.0,
-                                (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0)
-                            g = 1.0 / (1.0 + lam_wo + lam_wi)
-                            denom = jnp.maximum(
-                                4.0 * jnp.abs(wo_l.z) * jnp.abs(wi_l.z),
-                                1e-4)
-                            sg = d * g / denom
-                            zv = jnp.zeros_like(sg)
-                            dif_g = where3(prod_z < 0.0, V3(zv, zv, zv),
-                                           V3(dif.x + zv, dif.y + zv,
-                                              dif.z + zv))
-                            ci = (wo_l.x * wh.x + wo_l.y * wh.y
-                                  + wo_l.z * wh.z)
+                    @pl.when(~all_simple)
+                    def _():
+                        for j in range(EB):
+                            @pl.when(j * 128 < rem)
+                            def _(j=j):
+                                pair_block(j, False)
+                    return 0
 
-                            def accum(brdf, extra_drop):
-                                okb = ok & valid3(brdf) & ~extra_drop
-                                okf = okb.astype(jnp.float32)
-                                # sanitize BEFORE the product: a NaN brdf
-                                # on an excluded pair would poison the row
-                                # sum — 0 * NaN = NaN
-                                bx = jnp.where(okb, brdf.x, 0.0)
-                                by = jnp.where(okb, brdf.y, 0.0)
-                                bz = jnp.where(okb, brdf.z, 0.0)
-                                # accumulate WIDE (row, lane) partials; the
-                                # lane reduction and throughput multiply
-                                # are deferred to once per hp block
-                                accw_vmem[0, sub, :] += okf * efl.x * bx
-                                accw_vmem[1, sub, :] += okf * efl.y * by
-                                accw_vmem[2, sub, :] += okf * efl.z * bz
-                                accw_vmem[3, sub, :] += okf
-
-                            # fast path: every live row eta==0 & metal<=0
-                            # (fr_dielectric==1 identically; see pack-time
-                            # comment).  Cell-sorted hitpoints are spatially
-                            # coherent, so blocks are material-uniform in
-                            # practice
-                            all_simple = jnp.all((simple > 0.5)
-                                                 | (rows >= nh))
-
-                            @pl.when(all_simple)
-                            def _():
-                                ci_cl = jnp.clip(ci, -1.0, 1.0)
-                                # fr_dielectric's NaN edges for eta=0
-                                nan_edge = (ci_cl >= 1.0) | (ci_cl == 0.0)
-                                outv = where3(
-                                    same, V3(dif_g.x + sg, dif_g.y + sg,
-                                             dif_g.z + sg), dif_g)
-                                kill = zero_cos | ~wh_ok
-                                brdf = where3(kill, V3(zv, zv, zv), outv)
-                                accum(brdf, same & nan_edge)
-
-                            @pl.when(~all_simple)
-                            def _():
-                                smooth_diel = (eta > 0.0) & (rough < 0.001)
-                                fr = fr_dielectric(ci, jnp.ones_like(eta),
-                                                   eta)
-                                f = where3(metal > 0.0, fs_pre,
-                                           V3(fr, fr, fr))
-                                spec = V3(f.x * sg, f.y * sg, f.z * sg)
-                                outv = where3(
-                                    same, V3(dif_g.x + spec.x,
-                                             dif_g.y + spec.y,
-                                             dif_g.z + spec.z), dif_g)
-                                kill = zero_cos | smooth_diel | ~wh_ok
-                                brdf = where3(kill, V3(zv, zv, zv), outv)
-                                accum(brdf, jnp.zeros_like(same))
-                            return 0
-
-                        jax.lax.fori_loop(0, n_sub, hp_sub, 0)
+                jax.lax.fori_loop(0, n_sub, hp_sub, 0)
 
             # static offset loop: VMEM slot indices must be compile-time
             # (dynamic-slot full-buffer reads miscompile on Mosaic)

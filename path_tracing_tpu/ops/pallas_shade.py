@@ -538,6 +538,22 @@ def _shade_core(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep,
     # in-kernel nearest hit: no HBM round trip for the hit attributes
     t_hit, n, m, flag = nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro, rd,
                                            ns=ns, nl=nl_lights, nt=nt)
+    return _shade_from_hit(
+        sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep, act,
+        last_delta, last_pdf, uu, t_hit, n, m, flag,
+        ns=ns, nl_lights=nl_lights, nt=nt, clamp_val=clamp_val,
+        stub_mis=stub_mis, blocks_col=blocks_col)
+
+
+def _shade_from_hit(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta,
+                    dep, act, last_delta, last_pdf, uu, t_hit, n, m, flag,
+                    *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+    """The post-intersection body of ``_shade_core``: light-ball emission,
+    NEE with the in-kernel shadow sweep, BSDF sample.  Split out so the
+    textured per-bounce kernel can inject EXTERNAL hit attributes (the hit
+    comes from the ``with_uv`` nearest kernel and the atlas texel — fetched
+    by a batched XLA gather between the kernels, since Mosaic has no
+    per-lane gather — is pre-multiplied into ``m.bc``)."""
     pos = ro + rd.scale(t_hit)
     hit_ok = flag > 0
     is_light = flag == 2
@@ -808,6 +824,133 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
     )(sph_tab, tri_tab, cl_tab, light_tab, *tiled)
 
     # NOTE: output order must match _shade_kernel's signature
+    names = ["rad_x", "rad_y", "rad_z", "ox", "oy", "oz", "dx", "dy", "dz",
+             "tx", "ty", "tz", "eta", "depth", "alive", "delta", "last_pdf"]
+    flat = {nm: o.reshape(-1)[:B] for nm, o in zip(names, outs)}
+    return dict(
+        radiance=jnp.stack([flat["rad_x"], flat["rad_y"], flat["rad_z"]], -1),
+        ro=jnp.stack([flat["ox"], flat["oy"], flat["oz"]], -1),
+        rd=jnp.stack([flat["dx"], flat["dy"], flat["dz"]], -1),
+        tp=jnp.stack([flat["tx"], flat["ty"], flat["tz"]], -1),
+        eta=flat["eta"],
+        depth=flat["depth"],
+        alive=flat["alive"] != 0,
+        last_is_delta=flat["delta"] != 0,
+        last_pdf=flat["last_pdf"],
+    )
+
+
+def _shade_tex_kernel(sph_ref, tri_ref, cl_ref, light_ref,
+                      # ray
+                      ox, oy, oz, dx, dy, dz,
+                      # path state
+                      tpx, tpy, tpz, etas, depth, act_in, last_delta_in,
+                      last_pdf_in,
+                      # uniforms
+                      u0, u1, u2, u3, u4, u5,
+                      # external hit attributes (from the with_uv nearest
+                      # kernel; base color already texel-modulated)
+                      ht, hnx, hny, hnz, hbcr, hbcg, hbcb, hrough, hmetal,
+                      hmeta, hflag,
+                      # outputs
+                      rad_x, rad_y, rad_z, nox, noy, noz, ndx, ndy, ndz,
+                      ntx, nty, ntz, neta, ndepth, nalive, ndelta, npdf,
+                      *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+    ro = V3(ox[...], oy[...], oz[...])
+    rd = V3(dx[...], dy[...], dz[...])
+    tp = V3(tpx[...], tpy[...], tpz[...])
+    eta = etas[...]
+    dep = depth[...]
+    act = act_in[...] != 0
+    last_delta = last_delta_in[...] != 0
+    last_pdf = last_pdf_in[...]
+    uu = [u0[...], u1[...], u2[...], u3[...], u4[...], u5[...]]
+    t_hit = ht[...]
+    n = V3(hnx[...], hny[...], hnz[...])
+    m = Mtl(V3(hbcr[...], hbcg[...], hbcb[...]), hrough[...], hmetal[...],
+            hmeta[...])
+    flag = hflag[...]
+
+    (radiance, new_ro, wi_b, new_tp, new_eta, new_dep, alive, is_delta,
+     pdf, upd) = _shade_from_hit(
+        sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep, act,
+        last_delta, last_pdf, uu, t_hit, n, m, flag, ns=ns,
+        nl_lights=nl_lights, nt=nt, clamp_val=clamp_val, stub_mis=stub_mis,
+        blocks_col=blocks_col)
+
+    rad_x[...] = radiance.x
+    rad_y[...] = radiance.y
+    rad_z[...] = radiance.z
+    nox[...] = jnp.where(upd, new_ro.x, ro.x)
+    noy[...] = jnp.where(upd, new_ro.y, ro.y)
+    noz[...] = jnp.where(upd, new_ro.z, ro.z)
+    ndx[...] = jnp.where(upd, wi_b.x, rd.x)
+    ndy[...] = jnp.where(upd, wi_b.y, rd.y)
+    ndz[...] = jnp.where(upd, wi_b.z, rd.z)
+    ntx[...] = jnp.where(upd, new_tp.x, tp.x)
+    nty[...] = jnp.where(upd, new_tp.y, tp.y)
+    ntz[...] = jnp.where(upd, new_tp.z, tp.z)
+    neta[...] = jnp.where(upd, new_eta, eta)
+    ndepth[...] = jnp.where(upd, new_dep, dep)
+    nalive[...] = jnp.where(upd, alive.astype(jnp.int32),
+                            upd.astype(jnp.int32))
+    ndelta[...] = jnp.where(upd, is_delta.astype(jnp.int32),
+                            last_delta.astype(jnp.int32))
+    npdf[...] = jnp.where(upd & ~is_delta, pdf, last_pdf)
+
+
+def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
+                          eta, depth, act, last_delta, last_pdf, u, *,
+                          clamp_val, stub_mis, dielectrics_block):
+    """Textured per-bounce fused shade: like ``shade_step_pallas`` but the
+    nearest hit comes from the ``with_uv`` Pallas kernel and the atlas texel
+    (a batched XLA gather between the two kernels — Mosaic has no per-lane
+    gather) arrives pre-multiplied into ``bc_mod``.  Closes most of the
+    fused-tier gap for textured scenes (BASELINE config 3): only the hit
+    attributes round-trip HBM, not the whole shade pipeline.
+
+    ``hit`` is the dict from ``nearest_hit_pallas(..., with_uv=True)``."""
+    B = ro.shape[0]
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+
+    comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+             tp[:, 0], tp[:, 1], tp[:, 2], eta, depth,
+             act.astype(jnp.int32), last_delta.astype(jnp.int32), last_pdf,
+             u[0], u[1], u[2], u[3], u[4], u[5],
+             hit["t"], hit["nx"], hit["ny"], hit["nz"],
+             bc_mod[:, 0], bc_mod[:, 1], bc_mod[:, 2],
+             hit["rough"], hit["metal"], hit["eta"],
+             hit["flag"]]
+    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    rows_total = tiled[0].shape[0]
+    grid = rows_total // TILE_ROWS
+
+    kernel = functools.partial(
+        _shade_tex_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=clamp_val,
+        stub_mis=stub_mis, blocks_col=4 if dielectrics_block else 5)
+    out_dtypes = ([jnp.float32] * 13
+                  + [jnp.int32, jnp.int32, jnp.int32, jnp.float32])
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(light_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            *_ray_specs(len(comps)),
+        ],
+        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in out_dtypes],
+        out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
+                   for dt in out_dtypes],
+    )(sph_tab, tri_tab, cl_tab, light_tab, *tiled)
+
     names = ["rad_x", "rad_y", "rad_z", "ox", "oy", "oz", "dx", "dy", "dz",
              "tx", "ty", "tz", "eta", "depth", "alive", "delta", "last_pdf"]
     flat = {nm: o.reshape(-1)[:B] for nm, o in zip(names, outs)}

@@ -199,6 +199,43 @@ def test_nearest_hit_with_uv_textures(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_textured_fused_shade_matches_xla_path(tmp_path):
+    """The textured fused tier (with_uv nearest kernel -> XLA texel gather
+    -> shade_step_tex_pallas) statistically matches the pure-XLA wavefront
+    on a textured scene (same estimator, same Threefry stream)."""
+    import jax.numpy as jnp
+
+    from conftest import make_textured_quad_obj
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.pt import render_pt
+    from path_tracing_tpu.scene.camera import make_camera
+    from path_tracing_tpu.scene.obj_loader import load_any_scene
+
+    # load_any_scene: default framing + overhead spot light (a bare
+    # load_obj scene has no lights and no camera -> degenerate render)
+    p = load_any_scene(make_textured_quad_obj(tmp_path))
+    scene = p.to_device()
+    assert scene.has_textures
+    W = H = 64
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=3, delta_budget=3)
+    key = jax.random.PRNGKey(5)
+
+    os.environ["PT_TPU_NO_FUSED_SHADE"] = "1"
+    jax.clear_caches()
+    try:
+        ref = np.asarray(render_pt(scene, cam, W, H, 32, cfg, key))
+    finally:
+        del os.environ["PT_TPU_NO_FUSED_SHADE"]
+        jax.clear_caches()
+    a = np.asarray(render_pt(scene, cam, W, H, 32, cfg, key))
+    assert np.all(np.isfinite(a))
+    ma, mr = a.mean(axis=0), ref.mean(axis=0)
+    # same RNG stream, same estimator — tight agreement expected
+    assert np.all(np.abs(ma - mr) / np.maximum(np.abs(mr), 1e-6) < 0.02), (
+        ma, mr)
+
+
 def test_streaming_kernels_match_vmem_on_tpu():
     """HBM-streaming nearest-hit (force_stream) is bit-identical to the
     VMEM-table kernel on real hardware (the CPU suite only covers
