@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "number instead, keeping per-pass history.  The "
                          "headless equivalent of the reference GUI's live "
                          "window (main.cpp:399-500)")
+    ap.add_argument("--retries", type=int, default=1,
+                    help="per-iteration retry budget for transient device "
+                         "faults: on an exception the accumulated state is "
+                         "checkpointed (if --checkpoint is set), jax caches "
+                         "are cleared and the iteration re-runs "
+                         "(runtime/resilience.py; the reference loses the "
+                         "whole render on any CUDA fault).  0 disables")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the render loop to "
                          "DIR (view with TensorBoard/XProf) — the "
@@ -167,8 +174,8 @@ def main(argv=None) -> int:
                 stack.enter_context(jax.profiler.trace(args.profile))
             except Exception as e:
                 print(f"[Warn] jax.profiler unavailable: {e}", file=sys.stderr)
-        for i in range(start_iter, start_iter + args.iters):
-            f = frame(i)
+        def on_frame(i, f):
+            nonlocal state
             f.block_until_ready()
             state = state.add(f)
             dt = time.perf_counter() - t0
@@ -181,6 +188,19 @@ def main(argv=None) -> int:
                            / max(int(state.n_iters), 1), W, H)
                 os.replace(tmp, live)
                 print(f"[Live] wrote {live}")
+
+        from .runtime.resilience import RenderSupervisor
+
+        def salvage_checkpoint():
+            if args.checkpoint:
+                save_checkpoint(args.checkpoint, state,
+                                {"mode": mode, "width": W, "height": H})
+
+        RenderSupervisor(
+            max_retries=max(args.retries, 0), backoff_s=2.0,
+            checkpoint=salvage_checkpoint,
+            log=lambda m: print(m, file=sys.stderr),
+        ).run(frame, start_iter, args.iters, on_frame)
     total = time.perf_counter() - t0
     paths = W * H * args.spp * args.iters
     print(f"[Render] Finished in {total * 1000:.1f} ms "
