@@ -397,10 +397,17 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
                     clamp_val=cfg.clamp, stub_mis=cfg.pt_stub_mis_strategy_a,
                     dielectrics_block=cfg.shadow_dielectrics_block)
             else:
+                from ..ops.intersect import _sorted_call, should_sort_rays
                 from ..ops.pallas_intersect import nearest_hit_pallas
                 from ..ops.texture import sample_bilinear
 
-                h = nearest_hit_pallas(scene, ro, rd, with_uv=True)
+                if should_sort_rays(scene):
+                    h = _sorted_call(
+                        scene, ro, rd,
+                        lambda a, b: nearest_hit_pallas(scene, a, b,
+                                                        with_uv=True))
+                else:
+                    h = nearest_hit_pallas(scene, ro, rd, with_uv=True)
                 tex_id = h["tex"].astype(jnp.int32)
                 texel = sample_bilinear(
                     scene.tex_atlas, scene.tex_size, tex_id,

@@ -128,6 +128,21 @@ def _coherence_key(scene, ro, rd) -> jnp.ndarray:
     return (octant << 18) | morton
 
 
+def should_sort_rays(scene) -> bool:
+    """Coherence-sort rays only for HBM-streamed meshes (trace-time
+    static).  Measured A/B on a VMEM-resident 81920-tri mesh at 1080p:
+    sorting LOSES (0.887 vs 1.011 Mpaths/s) — the VMEM sweep is cheap
+    enough that the argsort+two-gathers overhead outweighs the improved
+    tile culling.  For streamed meshes the sort is a big win (+29%): an
+    incoherent tile re-streams the whole triangle table over DMA.
+    PT_TPU_SORT_TRIS overrides the cutover (tri count above which
+    VMEM-resident meshes also sort; default never)."""
+    import os
+
+    thresh = int(os.environ.get("PT_TPU_SORT_TRIS", str(1 << 30)))
+    return (not vmem_tris_ok(scene)) or scene.num_triangles >= thresh
+
+
 def _sorted_call(scene, ro, rd, fn, *extras):
     """Run ``fn(ro, rd, *extras) -> pytree of (B,)-leading leaves`` on
     coherence-sorted rays (extras sorted the same way) and unsort the
@@ -169,10 +184,10 @@ def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
     if use_pallas():
         from .pallas_intersect import nearest_hit_pallas
 
-        if not vmem_tris_ok(scene):
-            # streamed-scale mesh: restore tile coherence (the sort+two
-            # gathers cost far less than streaming the triangle table for
-            # every incoherent tile)
+        if should_sort_rays(scene):
+            # big mesh: restore tile coherence (the sort+two gathers cost
+            # far less than sweeping the triangle table for every
+            # incoherent tile)
             h = _sorted_call(
                 scene, ro, rd,
                 lambda a, b: nearest_hit_pallas(
@@ -289,7 +304,7 @@ def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
     if use_pallas():
         from .pallas_intersect import any_blocker_pallas
 
-        if not vmem_tris_ok(scene):
+        if should_sort_rays(scene):
             blocked = _sorted_call(
                 scene, p1, rd,
                 lambda a, b, m: any_blocker_pallas(scene, a, b, m,

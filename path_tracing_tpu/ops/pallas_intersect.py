@@ -73,6 +73,21 @@ def mega_rows() -> int:
     return int(os.environ.get("PT_TPU_MEGA_ROWS", "128"))
 
 
+def tile_rows(stream: bool) -> int:
+    """Ray-tile rows for the standalone nearest/blocker kernels.  Measured
+    on the 249k-tri streamed mesh at 1080p (sorted secondary rays): 32 rows
+    766 ms, 64 rows 855 ms, 128 rows 1190 ms — unlike the megakernel
+    (VMEM tables, where 128 beat 32 by 1.5x), the streamed sweep is
+    dominated by tile-level culling selectivity, and a wider tile's union
+    frustum passes more clusters than the amortized scalar/DMA overhead
+    saves.  32 stays the default; the env knobs exist for re-sweeps."""
+    import os
+
+    if stream:
+        return int(os.environ.get("PT_TPU_STREAM_TILE_ROWS", "32"))
+    return int(os.environ.get("PT_TPU_TILE_ROWS", str(TILE_ROWS)))
+
+
 def max_vmem_tris() -> int:
     """Above this the triangle table leaves VMEM and the streaming kernels
     take over (249k tris overflow the 128M VMEM budget; 131072 rows of 31
@@ -181,16 +196,24 @@ def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
 
 
 def super_table(cl_tab: jnp.ndarray):
-    """(cl_tab padded to a SUPER multiple, sup_tab (NS, 8), use_super).
+    """(cl_tab padded to a SUPER multiple, sup_tab (NS, 16), use_super).
 
-    Super rows are ``[union_min3, union_max3, 0, child_tri_count]`` over
-    SUPER consecutive cluster rows; count-0 (padded) children contribute
-    sentinel bounds that never pass the slab test.  ``use_super`` is static
-    (shape-derived) so small scenes keep the flat loop."""
+    Super rows are ``[union_min3, union_max3, 0, child_tri_count,
+    order_oct0..order_oct7]`` over SUPER consecutive cluster rows; count-0
+    (padded) children contribute sentinel bounds that never pass the slab
+    test.  Columns 8..15 hold eight front-to-back traversal permutations
+    of the super indices, one per ray-direction octant (sorted by the
+    centroid's projection on (+-1,+-1,+-1); empty supers sort last).  The
+    kernels pick the tile's order from its lane-0 direction — visiting
+    near supers first shrinks the per-lane ``best.t`` early so the
+    ``tn < tlimit`` slab cull rejects the far ones (traversal order never
+    changes which hit wins: ``keep`` takes strictly-closer only).
+    ``use_super`` is static (shape-derived) so small scenes keep the flat
+    loop."""
     mc = cl_tab.shape[0]
     use_super = mc >= SUPER_MIN_CLUSTERS
     if not use_super:
-        return cl_tab, jnp.zeros((SUB, 8), jnp.float32), False
+        return cl_tab, jnp.zeros((SUB, 16), jnp.float32), False
     pad = (-mc) % SUPER
     if pad:
         cl_tab = jnp.concatenate(
@@ -207,6 +230,17 @@ def super_table(cl_tab: jnp.ndarray):
     gp = (-g) % SUB
     if gp:
         sup = jnp.concatenate([sup, jnp.zeros((gp, 8), sup.dtype)], 0)
+    # per-octant front-to-back orders (f32 columns; exact below 2^23)
+    ctr = (sup[:, 0:3] + sup[:, 3:6]) * 0.5
+    alive = sup[:, 7] > 0
+    orders = []
+    for o in range(8):
+        d = jnp.array([1.0 if o & 1 else -1.0,
+                       1.0 if o & 2 else -1.0,
+                       1.0 if o & 4 else -1.0], sup.dtype)
+        proj = jnp.where(alive, ctr @ d, jnp.float32(3e30))
+        orders.append(jnp.argsort(proj).astype(sup.dtype))
+    sup = jnp.concatenate([sup, jnp.stack(orders, axis=1)], axis=1)
     return cl_tab, sup, True
 
 
@@ -447,7 +481,22 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                             lambda b: b, best)
 
     if use_super:
-        def super_body(s, best):
+        # tile octant from the lane-0 ray (tiles are octant-sorted by
+        # _sorted_call; a mixed boundary tile just gets a suboptimal ORDER,
+        # never a wrong result)
+        o_idx = ((dx[0, 0] >= 0.0).astype(jnp.int32)
+                 + (dy[0, 0] >= 0.0).astype(jnp.int32) * 2
+                 + (dz[0, 0] >= 0.0).astype(jnp.int32) * 4)
+
+        def perm(si):
+            """si-th super in this tile's front-to-back octant order."""
+            v = sup_ref[si, 8]
+            for o in range(1, 8):
+                v = jnp.where(o_idx == o, sup_ref[si, 8 + o], v)
+            return v.astype(jnp.int32)
+
+        def super_body(si, best):
+            s = perm(si)
             could = aabb_hit(sup_ref, s, best["t"])
             cnt = sup_ref[s, 7].astype(jnp.int32)
 
@@ -657,7 +706,22 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                             lambda b: b, blocked)
 
     if use_super:
-        def super_body(s, blocked):
+        # near-first traversal (same order machinery as _nearest_kernel):
+        # any-hit has no shrinking t, but blockers near the origin are the
+        # common case and a fully-blocked tile skips every later super via
+        # the ``blocked == 0`` term of the slab cull
+        o_idx = ((dx[0, 0] >= 0.0).astype(jnp.int32)
+                 + (dy[0, 0] >= 0.0).astype(jnp.int32) * 2
+                 + (dz[0, 0] >= 0.0).astype(jnp.int32) * 4)
+
+        def perm(si):
+            v = sup_ref[si, 8]
+            for o in range(1, 8):
+                v = jnp.where(o_idx == o, sup_ref[si, 8 + o], v)
+            return v.astype(jnp.int32)
+
+        def super_body(si, blocked):
+            s = perm(si)
             could = aabb_hit(sup_ref, s, blocked)
             cnt = sup_ref[s, 7].astype(jnp.int32)
 
@@ -761,10 +825,11 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
         scene, with_uv=with_uv, stream=stream)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
+    rows = tile_rows(stream)
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
-    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
-    grid = rows_total // TILE_ROWS
+    grid = rows_total // rows
 
     kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt,
                                with_uv=with_uv, stream=stream,
@@ -786,9 +851,9 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            *_ray_specs(6),
+            *_ray_specs(6, rows),
         ],
-        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
                    for _ in shapes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
@@ -811,11 +876,12 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, stream=stream)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = p1.shape[0]
+    rows = tile_rows(stream)
     comps = [p1[:, 0], p1[:, 1], p1[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
              max_d]
-    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
-    grid = rows_total // TILE_ROWS
+    grid = rows_total // rows
 
     kernel = functools.partial(
         _blocker_kernel, ns=ns, nl=nl, nt=nt,
@@ -835,9 +901,9 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            *_ray_specs(7),
+            *_ray_specs(7, rows),
         ],
-        out_specs=pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
         scratch_shapes=_stream_extras() if stream else [],

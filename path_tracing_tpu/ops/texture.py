@@ -15,9 +15,13 @@ capability the TPU-native way:
   half-integer coordinates.
 
 Textured scenes KEEP the Pallas nearest-hit kernel (``with_uv`` in-kernel
-UV interpolation in ops/pallas_intersect.py) and only the fused-shade /
-megakernel tiers gate off on ``Scene.has_textures`` — those resolve hit
-materials in-register, where per-lane atlas gathers don't exist in Mosaic.
+UV interpolation in ops/pallas_intersect.py) and since round 2 also the
+fused shade tier: the wavefront inserts ONE batched atlas gather between
+the nearest kernel and ``shade_step_tex_pallas`` (integrators/pt.py),
+which consumes the texel-premodulated base color.  Only the persistent
+megakernel still gates off on ``Scene.has_textures`` — it never leaves
+the kernel between bounces, and per-lane atlas gathers don't exist in
+Mosaic.
 """
 from __future__ import annotations
 
