@@ -46,16 +46,23 @@ LANE = 128
 SUB = 8          # f32 sublane
 TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
 
-# HBM-streamed triangle tables (meshes too large for a VMEM-resident table):
-# 4 triangles per 128-lane row in 32-lane slots (31 cols used).  Two Mosaic
-# constraints shape this: DMA slices must span whole 128-lane tiles, and
-# dynamic-sublane scalar loads only take static lane indices inside the
-# FIRST 128-lane tile — 4 x 32 satisfies both.  Rows are DMA'd per cluster
-# in STREAM_ROWS chunks.
-TRI_SLOT = 32
-TRI_PER_ROW = 4
-STREAM_ROWS = 64   # rows per DMA chunk = 256 triangles (one leaf-256
-#                    cluster per DMA — halves the per-cluster DMA count)
+# HBM-streamed triangle tables (meshes too large for a VMEM-resident table)
+# are packed as MXU blocks of determinant-form Moller-Trumbore constants:
+# with m = ro x rd,
+#   a  = -rd.n      ua =  m.e2 + rd.c2      (c2 = v0 x e2)
+#   ta =  n.ro - d0 va = -m.e1 - rd.c1      (c1 = v0 x e1, d0 = n.v0)
+# so all four are linear in the per-ray K=16 vector [m, rd, ro, 1, pad6].
+# A 32-triangle block is ONE (16,128) x (16,128) dot_general per ray row
+# (lanes = [ua|va|ta|a] x 32 tris) instead of ~58 VPU ops per triangle —
+# measured 1.3x on the raw sweep BEFORE dropping the per-triangle
+# attribute selects (the winner's normal/material/uv resolve moved to one
+# XLA row-gather per wavefront outside the kernel, which costs ~the same
+# as one texture fetch).  f32 exactness requires Precision.HIGHEST (the
+# default TPU f32 matmul runs bf16 passes and breaks the t agreement).
+TB = 32            # triangles per MXU block
+BLK_ROWS = 16      # K rows per block in the A table
+STREAM_ROWS = 128  # rows per DMA chunk = 8 blocks = 256 triangles
+MT_PRECISION = jax.lax.Precision.HIGHEST
 
 # 2-level cluster culling: the median-split builder emits clusters in DFS
 # order, so SUPER consecutive clusters form a spatially tight run; testing
@@ -101,7 +108,7 @@ def max_vmem_tris() -> int:
 # scene packing
 # ---------------------------------------------------------------------------
 
-def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
+def pack_scene(scene: Scene, with_uv: bool = False):
     """Traceable packing of the primitive tables (runs under jit; XLA hoists
     it out of scan bodies as loop-invariant).  Returns (sph_tab (Ms,8),
     tri_tab (Mt,16), ns, nl, nt); sphere rows are [spheres..., light balls...].
@@ -110,11 +117,7 @@ def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
     id (col 30) so the nearest-hit kernel can interpolate texture coordinates
     in-register (textured OBJ scenes, ops/texture.py).
 
-    ``stream`` packs the triangle table for the HBM-streaming kernels
-    instead: ``(NB, 128)`` rows of 4 x 32-lane triangle slots (cols 0-30 as
-    above, always incl. UVs), DMA'd per cluster at render time — lifts the
-    VMEM ceiling (~131k tris) to HBM scale.  Cluster start/count stay exact
-    as f32 below 2^24 triangles.
+    Meshes beyond the VMEM ceiling use ``pack_scene_stream`` instead.
     """
     ns, nl, nt = scene.num_spheres, scene.num_lights, scene.num_triangles
     s_rows = ns + nl
@@ -165,7 +168,7 @@ def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
         (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None],
         jnp.zeros((nt, 1)), tn, jnp.zeros((nt, 1)),
         mtl_cols(scene.tri_mtl, nt, False), jnp.zeros((nt, 1))]
-    if with_uv or stream:
+    if with_uv:
         uv6 = (scene.tri_uv if scene.tri_uv.shape[0] == nt
                else jnp.zeros((nt, 6)))
         tex = (scene.tri_tex.astype(jnp.float32)[:, None]
@@ -173,17 +176,7 @@ def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
                else jnp.full((nt, 1), -1.0))
         tri_cols += [uv6, tex]
     tri_rows = jnp.concatenate(tri_cols, axis=1)
-    if stream:
-        # (NB, 128) HBM slot rows, padded by a full DMA chunk so fixed-size
-        # windows never run off the end
-        nb = (nt + TRI_PER_ROW - 1) // TRI_PER_ROW + STREAM_ROWS
-        flat = jnp.concatenate(
-            [tri_rows, jnp.zeros((nt, TRI_SLOT - tri_rows.shape[1]))], axis=1)
-        flat = jnp.concatenate(
-            [flat, jnp.zeros((nb * TRI_PER_ROW - nt, TRI_SLOT))], axis=0)
-        tri = flat.reshape(nb, TRI_PER_ROW * TRI_SLOT)
-    else:
-        tri = rowpad(tri_rows, mt)
+    tri = rowpad(tri_rows, mt)
 
     # cluster table rows: [min3, max3, start, count] (start/count as f32;
     # exact below 2^24).  Single all-covering cluster when unset.
@@ -193,6 +186,101 @@ def pack_scene(scene: Scene, with_uv: bool = False, stream: bool = False):
     mc = max(SUB, ((cl.shape[0] + SUB - 1) // SUB) * SUB)
     cl = rowpad(cl, mc)  # padded rows have count=0 -> skipped
     return sph, tri, cl, ns, nl, nt
+
+
+def pack_scene_stream(scene: Scene, dielectrics_block: bool | None = None):
+    """Packing for the HBM-streaming kernels (meshes beyond the VMEM
+    ceiling).  Returns (sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl,
+    nt):
+
+    - ``a_tab`` (rows, 128): per-32-triangle MXU blocks of determinant-form
+      Moller-Trumbore constants (see module docstring).  Sublanes = the
+      K=16 contraction slots ``[m, rd, ro, 1, pad]``; lanes =
+      ``[ua | va | ta | a]`` x 32 triangles.  Each cluster's triangles are
+      re-scattered to a 32-aligned ``padded_start`` so a cluster is a whole
+      number of blocks; padding rows are all-zero (a == 0 -> parallel ->
+      never hit).
+    - ``attr_tab`` (Tp, 16): winner attributes in PADDED index space
+      ``[n^(3), base_color(3), rough, metal, eta, uv6(6), tex]`` — the
+      kernel returns (t, idx) and ONE XLA row-gather resolves these
+      outside (costs ~a texture fetch; the in-kernel per-triangle
+      attribute selects it replaces cost ~25% of the sweep).
+    - ``vert_tab`` (Tp, 9): raw v0,v1,v2 in padded space, used by the
+      with_uv wrappers to recompute the winner's barycentrics in XLA
+      (cheaper than extracting per-block winner u,v inside the kernel).
+    - ``cl_tab`` rows: [min3, max3, padded_start, count] (f32; exact below
+      2^24 triangles).
+
+    ``dielectrics_block`` (for the blocker): bakes the per-triangle
+    can-block flag by zeroing the ``a`` lanes of non-blocking triangles
+    (True = every surface blocks, the CPU-oracle rule; False = dielectrics
+    pass, the GPU rule — geometric.cuh:293-325 with Ks=0).
+    """
+    sph, _, _, ns, nl, nt = pack_scene(scene)
+
+    starts = scene.tri_cluster_range[:, 0].astype(jnp.int32)
+    counts = scene.tri_cluster_range[:, 1].astype(jnp.int32)
+    mc0 = starts.shape[0]
+    nblk_c = (counts + TB - 1) // TB
+    padded_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk_c * TB)[:-1]])
+    # static padded size: every cluster wastes < TB rows
+    Tp = ((nt + TB * mc0 + TB - 1) // TB) * TB
+
+    # per-triangle destination in padded space
+    i = jnp.arange(nt, dtype=jnp.int32)
+    cid = jnp.searchsorted(starts, i, side="right").astype(jnp.int32) - 1
+    dest = padded_start[cid] + (i - starts[cid])
+
+    v0, v1, v2 = scene.tri_v0, scene.tri_v1, scene.tri_v2
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = jnp.cross(e1, e2)
+    c1 = jnp.cross(v0, e1)
+    c2 = jnp.cross(v0, e2)
+    d0 = jnp.sum(n * v0, axis=-1, keepdims=True)
+    if dielectrics_block is None:
+        can_block = jnp.ones((nt, 1))
+    elif dielectrics_block:
+        can_block = jnp.ones((nt, 1))           # cpu rule: everything blocks
+    else:
+        can_block = (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None]
+    z6, z10 = jnp.zeros((nt, 6)), jnp.zeros((nt, 10))
+    C_tri = jnp.stack([
+        jnp.concatenate([e2, c2, z10], 1),                       # ua
+        jnp.concatenate([-e1, -c1, z10], 1),                     # va
+        jnp.concatenate([z6, n, -d0, z6], 1),                    # ta
+        jnp.concatenate([jnp.zeros((nt, 3)), -n * can_block, z10], 1),  # a
+    ], axis=1)                                                   # (nt,4,16)
+    C = jnp.zeros((Tp, 4, BLK_ROWS)).at[dest].set(C_tri)
+    a_tab = C.reshape(Tp // TB, TB, 4, BLK_ROWS).transpose(0, 3, 2, 1) \
+        .reshape(Tp // TB * BLK_ROWS, 128)
+    # pad by a full DMA window so fixed-size cluster fetches never run off
+    a_tab = jnp.concatenate(
+        [a_tab, jnp.zeros((STREAM_ROWS, 128), a_tab.dtype)], 0)
+
+    nn = n / jnp.maximum(
+        jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)), 1e-20)
+    m = scene.tri_mtl
+    uv6 = (scene.tri_uv if scene.tri_uv.shape[0] == nt
+           else jnp.zeros((nt, 6)))
+    tex = (scene.tri_tex.astype(jnp.float32)[:, None]
+           if scene.tri_tex.shape[0] == nt else jnp.full((nt, 1), -1.0))
+    attr_rows = jnp.concatenate(
+        [nn, m.base_color, m.roughness[:, None], m.metallic[:, None],
+         m.eta[:, None], uv6, tex], axis=1)                      # (nt,16)
+    attr_tab = jnp.zeros((Tp, 16)).at[dest].set(attr_rows)
+    vert_tab = jnp.zeros((Tp, 9)).at[dest].set(
+        jnp.concatenate([v0, v1, v2], axis=1))
+
+    cl = jnp.concatenate([
+        scene.tri_cluster_aabb,
+        padded_start.astype(jnp.float32)[:, None],
+        counts.astype(jnp.float32)[:, None]], axis=1)
+    mc = max(SUB, ((mc0 + SUB - 1) // SUB) * SUB)
+    cl = jnp.concatenate(
+        [cl, jnp.zeros((mc - mc0, 8), cl.dtype)], 0)
+    return sph, a_tab, attr_tab, vert_tab, cl, ns, nl, nt
 
 
 def super_table(cl_tab: jnp.ndarray):
@@ -308,28 +396,20 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                     dz, t_out, nx_out, ny_out, nz_out,
                     bcr_out, bcg_out, bcb_out, rough_out, metal_out, eta_out,
                     flags_out, *rest, ns, nl, nt, with_uv=False,
-                    stream=False, use_super=False):
-    """Nearest hit + in-kernel attribute resolution.
+                    use_super=False):
+    """Nearest hit + in-kernel attribute resolution (VMEM-resident tables;
+    big meshes go through ``_nearest_stream_kernel``).
 
     Carrying the winning primitive's normal/material through the loop
     avoids (B,) HBM gathers afterwards (they cost more than the whole
-    intersection sweep).  flags_out: 0 = miss, 1 = surface, 2 = light ball.
-    ``with_uv`` additionally interpolates the winning triangle's vertex UVs
-    from its Moller-Trumbore barycentrics and carries the texture id
-    (outputs iu, iv, tex appended) — the texture FETCH stays outside (per-
-    lane atlas gathers don't exist in Mosaic; the host does one batched
-    XLA gather instead, ops/texture.py).
-
-    ``stream``: ``tri_ref`` lives in HBM packed as (NB, 128) rows of 4
-    triangle slots; each non-culled cluster's rows are DMA'd into the
-    ``tri_vmem`` scratch in STREAM_ROWS chunks and the 4 slots per row
-    unroll with static lane offsets.  Lifts the VMEM ceiling to HBM scale.
+    intersection sweep at VMEM scene sizes).  flags_out: 0 = miss,
+    1 = surface, 2 = light ball.  ``with_uv`` additionally interpolates the
+    winning triangle's vertex UVs from its Moller-Trumbore barycentrics and
+    carries the texture id (outputs iu, iv, tex appended) — the texture
+    FETCH stays outside (per-lane atlas gathers don't exist in Mosaic; the
+    host does one batched XLA gather instead, ops/texture.py).
     """
-    if stream:
-        uv_outs = rest[:-2]
-        tri_vmem, dma_sem = rest[-2:]
-    else:
-        uv_outs = rest
+    uv_outs = rest
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
 
@@ -415,67 +495,13 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                          jnp.maximum(t0z, t1z))
         return (tn <= tf) & (tn < tlimit)
 
-    if stream:
-        def cl_dma(slot, c):
-            """First-chunk DMA for cluster ``c`` into a static slot."""
-            blk0 = cl_ref[c, 6].astype(jnp.int32) // TRI_PER_ROW
-            return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(blk0, STREAM_ROWS)], tri_vmem.at[slot],
-                dma_sem.at[slot])
-
-        def process_cluster(c, slot, best):
-            """Sweep cluster ``c``; chunk 0 is already in ``slot``.  Rare
-            extra chunks (a cluster straddling STREAM_ROWS) drain
-            synchronously through slot 2."""
-            start = cl_ref[c, 6].astype(jnp.int32)
-            count = cl_ref[c, 7].astype(jnp.int32)
-            blk0 = start // TRI_PER_ROW
-            nblk = ((start + count + TRI_PER_ROW - 1) // TRI_PER_ROW) - blk0
-            n_chunks = (nblk + STREAM_ROWS - 1) // STREAM_ROWS
-
-            def chunk_from(sl, ch, best):
-                c0 = blk0 + ch * STREAM_ROWS
-                rows = jnp.minimum(nblk - ch * STREAM_ROWS, STREAM_ROWS)
-
-                def row_body(r, best):
-                    for k in range(TRI_PER_ROW):  # static lane offsets
-                        idx = (c0 + r) * TRI_PER_ROW + k
-                        valid = (idx >= start) & (idx < start + count)
-                        best = tri_test(
-                            best,
-                            lambda col, r=r, k=k, sl=sl:
-                                tri_vmem[sl, r, k * TRI_SLOT + col],
-                            extra_ok=valid)
-                    return best
-
-                return jax.lax.fori_loop(0, rows, row_body, best)
-
-            best = chunk_from(slot, 0, best)
-
-            def extra(ch, best):
-                cp = pltpu.make_async_copy(
-                    tri_ref.at[pl.ds(blk0 + ch * STREAM_ROWS, STREAM_ROWS)],
-                    tri_vmem.at[2], dma_sem.at[2])
-                cp.start()
-                cp.wait()
-                return chunk_from(2, ch, best)
-
-            return jax.lax.fori_loop(1, n_chunks, extra, best)
-
     def cluster_body(c, best):
         could_hit = aabb_hit(cl_ref, c, best["t"])
         start = cl_ref[c, 6].astype(jnp.int32)
         count = cl_ref[c, 7].astype(jnp.int32)
 
-        if not stream:
-            def run(best):
-                return jax.lax.fori_loop(start, start + count, tri_body, best)
-        else:
-            def run(best):
-                cp = cl_dma(2, c)
-                cp.start()
-                cp.wait()
-                return process_cluster(c, 2, best)
+        def run(best):
+            return jax.lax.fori_loop(start, start + count, tri_body, best)
 
         return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                             lambda b: b, best)
@@ -500,52 +526,9 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
             could = aabb_hit(sup_ref, s, best["t"])
             cnt = sup_ref[s, 7].astype(jnp.int32)
 
-            if not stream:
-                def descend(b):
-                    return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
-                                             cluster_body, b)
-            else:
-                # double-buffered children: cluster k+1's rows stream in
-                # while cluster k is swept (a descended super's children
-                # are spatially adjacent, so prefetching unconditionally
-                # rarely wastes a transfer).  Slots must be compile-time,
-                # so parity picks the slot via cond
-                def descend(b):
-                    base = s * SUPER
-                    cl_dma(0, base).start()
-
-                    def child(k, best):
-                        c = base + k
-                        par = k % 2
-                        have_next = k + 1 < SUPER
-
-                        @pl.when(have_next & (par == 0))
-                        def _():
-                            cl_dma(1, c + 1).start()
-
-                        @pl.when(have_next & (par == 1))
-                        def _():
-                            cl_dma(0, c + 1).start()
-
-                        @pl.when(par == 0)
-                        def _():
-                            cl_dma(0, c).wait()
-
-                        @pl.when(par == 1)
-                        def _():
-                            cl_dma(1, c).wait()
-
-                        could_c = aabb_hit(cl_ref, c, best["t"])
-                        count = cl_ref[c, 7].astype(jnp.int32)
-                        return jax.lax.cond(
-                            jnp.any(could_c) & (count > 0),
-                            lambda bb: jax.lax.cond(
-                                par == 0,
-                                lambda b2: process_cluster(c, 0, b2),
-                                lambda b2: process_cluster(c, 1, b2), bb),
-                            lambda bb: bb, best)
-
-                    return jax.lax.fori_loop(0, SUPER, child, b)
+            def descend(b):
+                return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
+                                         cluster_body, b)
 
             return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
                                 lambda b: b, best)
@@ -577,14 +560,12 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
 
 
 def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
-                    dz, maxd, blocked_out, *scratch, ns, nl, nt, blocks_col,
-                    stream=False, use_super=False):
-    """any-hit in (1e-3, maxd) honoring the per-prim blocks flag.
-
-    Light balls are excluded by their blocks flag being 0.  ``stream`` DMAs
-    cluster windows of the HBM slot table like ``_nearest_kernel``."""
-    if stream:
-        tri_vmem, dma_sem = scratch
+                    dz, maxd, blocked_out, *, ns, nl, nt, blocks_col,
+                    use_super=False):
+    """any-hit in (1e-3, maxd) honoring the per-prim blocks flag
+    (VMEM-resident tables; big meshes go through
+    ``_blocker_stream_kernel``).  Light balls are excluded by their blocks
+    flag being 0."""
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     md = maxd[...]
@@ -643,64 +624,14 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                          jnp.maximum(t0z, t1z))
         return (tn <= tf) & (tn < md) & (blocked == 0)
 
-    if stream:
-        def cl_dma(slot, c):
-            blk0 = cl_ref[c, 6].astype(jnp.int32) // TRI_PER_ROW
-            return pltpu.make_async_copy(
-                tri_ref.at[pl.ds(blk0, STREAM_ROWS)], tri_vmem.at[slot],
-                dma_sem.at[slot])
-
-        def process_cluster(c, slot, blocked):
-            start = cl_ref[c, 6].astype(jnp.int32)
-            count = cl_ref[c, 7].astype(jnp.int32)
-            blk0 = start // TRI_PER_ROW
-            nblk = ((start + count + TRI_PER_ROW - 1) // TRI_PER_ROW) - blk0
-            n_chunks = (nblk + STREAM_ROWS - 1) // STREAM_ROWS
-
-            def chunk_from(sl, ch, blocked):
-                c0 = blk0 + ch * STREAM_ROWS
-                rows = jnp.minimum(nblk - ch * STREAM_ROWS, STREAM_ROWS)
-
-                def row_body(r, blocked):
-                    for k in range(TRI_PER_ROW):
-                        idx = (c0 + r) * TRI_PER_ROW + k
-                        valid = (idx >= start) & (idx < start + count)
-                        blocked = tri_shadow(
-                            blocked,
-                            lambda col, r=r, k=k, sl=sl:
-                                tri_vmem[sl, r, k * TRI_SLOT + col],
-                            extra_ok=valid)
-                    return blocked
-
-                return jax.lax.fori_loop(0, rows, row_body, blocked)
-
-            blocked = chunk_from(slot, 0, blocked)
-
-            def extra(ch, blocked):
-                cp = pltpu.make_async_copy(
-                    tri_ref.at[pl.ds(blk0 + ch * STREAM_ROWS, STREAM_ROWS)],
-                    tri_vmem.at[2], dma_sem.at[2])
-                cp.start()
-                cp.wait()
-                return chunk_from(2, ch, blocked)
-
-            return jax.lax.fori_loop(1, n_chunks, extra, blocked)
-
     def cluster_body(c, blocked):
         could_hit = aabb_hit(cl_ref, c, blocked)
         start = cl_ref[c, 6].astype(jnp.int32)
         count = cl_ref[c, 7].astype(jnp.int32)
 
-        if not stream:
-            def run(blocked):
-                return jax.lax.fori_loop(start, start + count, tri_body,
-                                         blocked)
-        else:
-            def run(blocked):
-                cp = cl_dma(2, c)
-                cp.start()
-                cp.wait()
-                return process_cluster(c, 2, blocked)
+        def run(blocked):
+            return jax.lax.fori_loop(start, start + count, tri_body,
+                                     blocked)
 
         return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                             lambda b: b, blocked)
@@ -725,47 +656,9 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
             could = aabb_hit(sup_ref, s, blocked)
             cnt = sup_ref[s, 7].astype(jnp.int32)
 
-            if not stream:
-                def descend(b):
-                    return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
-                                             cluster_body, b)
-            else:
-                def descend(b):
-                    base = s * SUPER
-                    cl_dma(0, base).start()
-
-                    def child(k, blocked):
-                        c = base + k
-                        par = k % 2
-                        have_next = k + 1 < SUPER
-
-                        @pl.when(have_next & (par == 0))
-                        def _():
-                            cl_dma(1, c + 1).start()
-
-                        @pl.when(have_next & (par == 1))
-                        def _():
-                            cl_dma(0, c + 1).start()
-
-                        @pl.when(par == 0)
-                        def _():
-                            cl_dma(0, c).wait()
-
-                        @pl.when(par == 1)
-                        def _():
-                            cl_dma(1, c).wait()
-
-                        could_c = aabb_hit(cl_ref, c, blocked)
-                        count = cl_ref[c, 7].astype(jnp.int32)
-                        return jax.lax.cond(
-                            jnp.any(could_c) & (count > 0),
-                            lambda bb: jax.lax.cond(
-                                par == 0,
-                                lambda b2: process_cluster(c, 0, b2),
-                                lambda b2: process_cluster(c, 1, b2), bb),
-                            lambda bb: bb, blocked)
-
-                    return jax.lax.fori_loop(0, SUPER, child, b)
+            def descend(b):
+                return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
+                                         cluster_body, b)
 
             return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
                                 lambda b: b, blocked)
@@ -800,13 +693,493 @@ def _stream_mode(nt: int, force_stream: bool) -> bool:
     return force_stream or nt > max_vmem_tris()
 
 
-def _stream_extras():
-    """tri scratch + DMA semaphores for the streaming kernels: slots 0/1
-    double-buffer across a super's children, slot 2 serves the flat path
-    and straddling extra chunks."""
-    return [pltpu.VMEM((3, STREAM_ROWS, TRI_PER_ROW * TRI_SLOT),
-                       jnp.float32),
+def _stream_scratch():
+    """A-block scratch + DMA semaphores for the streaming kernels: slots
+    0/1 double-buffer across a super's children, slot 2 serves the flat
+    path and straddling extra chunks."""
+    return [pltpu.VMEM((3, STREAM_ROWS, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((3,))]
+
+
+def _bop_table(tox, toy, toz, tdx, tdy, tdz):
+    """Per-ray MXU operands for the determinant-form sweep: for ray row r,
+    rows [16r, 16r+16) hold the K=16 vector [m, rd, ro, 1, pad6] per lane
+    (m = ro x rd).  Built in XLA (fused; ~64 B/ray extra HBM read, noise
+    next to the sweep) so the kernel runs straight (16,128)x(16,128)
+    dot_generals per triangle block."""
+    mx = toy * tdz - toz * tdy
+    my = toz * tdx - tox * tdz
+    mz = tox * tdy - toy * tdx
+    one = jnp.ones_like(tox)
+    zero = jnp.zeros_like(tox)
+    rows = jnp.stack(
+        [mx, my, mz, tdx, tdy, tdz, tox, toy, toz, one] + [zero] * 6,
+        axis=1)                                        # (R, 16, 128)
+    return rows.reshape(-1, LANE)
+
+
+def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
+                     process_block, use_super, o_idx):
+    """Shared cluster walk for the streaming kernels: 2-level culling +
+    per-cluster DMA of (STREAM_ROWS, 128) A-block windows, double-buffered
+    across a descended super's children (slots 0/1; slot 2 serves the flat
+    path and rare straddling chunks).  ``could_hit(ref, c)`` reads the
+    kernel's live state from its output refs; ``process_block(a_blk, base,
+    z)`` sweeps one (BLK_ROWS, 128) block whose first padded triangle index
+    is ``base``.  Over-fetch past a cluster's last block needs no masking:
+    intra-block padding rows are all-zero (a == 0 -> parallel -> never hit)
+    and trailing blocks hold the NEXT cluster's real triangles, whose extra
+    tests are idempotent for both nearest-hit and any-hit."""
+    BPC = STREAM_ROWS // BLK_ROWS   # blocks per DMA chunk
+
+    def cl_dma(slot, c):
+        row0 = (cl_ref[c, 6].astype(jnp.int32) // TB) * BLK_ROWS
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds(row0, STREAM_ROWS)], tri_vmem.at[slot],
+            dma_sem.at[slot])
+
+    def process_cluster(c, slot, z):
+        pstart = cl_ref[c, 6].astype(jnp.int32)
+        count = cl_ref[c, 7].astype(jnp.int32)
+        nblk = (count + TB - 1) // TB
+        n_chunks = (nblk + BPC - 1) // BPC
+
+        def chunk_from(sl, ch, z):
+            nb = jnp.minimum(nblk - ch * BPC, BPC)
+
+            def blk_body(b, z):
+                a_blk = tri_vmem[
+                    sl, pl.ds(pl.multiple_of(b * BLK_ROWS, BLK_ROWS),
+                              BLK_ROWS), :]
+                return process_block(a_blk, pstart + (ch * BPC + b) * TB, z)
+
+            return jax.lax.fori_loop(0, nb, blk_body, z)
+
+        z = chunk_from(slot, 0, z)
+
+        def extra(ch, z):
+            row0 = (pstart // TB) * BLK_ROWS + ch * STREAM_ROWS
+            cp = pltpu.make_async_copy(
+                a_hbm.at[pl.ds(row0, STREAM_ROWS)], tri_vmem.at[2],
+                dma_sem.at[2])
+            cp.start()
+            cp.wait()
+            return chunk_from(2, ch, z)
+
+        return jax.lax.fori_loop(1, n_chunks, extra, z)
+
+    def cluster_body(c, z):
+        could = could_hit(cl_ref, c)
+        count = cl_ref[c, 7].astype(jnp.int32)
+
+        def run(z):
+            cp = cl_dma(2, c)
+            cp.start()
+            cp.wait()
+            return process_cluster(c, 2, z)
+
+        return jax.lax.cond(jnp.any(could) & (count > 0), run,
+                            lambda z: z, z)
+
+    if use_super:
+        def perm(si):
+            """si-th super in this tile's front-to-back octant order."""
+            v = sup_ref[si, 8]
+            for o in range(1, 8):
+                v = jnp.where(o_idx == o, sup_ref[si, 8 + o], v)
+            return v.astype(jnp.int32)
+
+        def super_body(si, z):
+            s = perm(si)
+            could = could_hit(sup_ref, s)
+            cnt = sup_ref[s, 7].astype(jnp.int32)
+
+            def descend(z):
+                # double-buffered children: cluster k+1's window streams
+                # in while cluster k is swept (a descended super's
+                # children are spatially adjacent, so unconditional
+                # prefetch rarely wastes a transfer).  Slots must be
+                # compile-time, so parity picks the slot via cond.
+                base = s * SUPER
+                cl_dma(0, base).start()
+
+                def child(k, z):
+                    c = base + k
+                    par = k % 2
+                    have_next = k + 1 < SUPER
+
+                    @pl.when(have_next & (par == 0))
+                    def _():
+                        cl_dma(1, c + 1).start()
+
+                    @pl.when(have_next & (par == 1))
+                    def _():
+                        cl_dma(0, c + 1).start()
+
+                    @pl.when(par == 0)
+                    def _():
+                        cl_dma(0, c).wait()
+
+                    @pl.when(par == 1)
+                    def _():
+                        cl_dma(1, c).wait()
+
+                    could_c = could_hit(cl_ref, c)
+                    count = cl_ref[c, 7].astype(jnp.int32)
+                    return jax.lax.cond(
+                        jnp.any(could_c) & (count > 0),
+                        lambda zz: jax.lax.cond(
+                            par == 0,
+                            lambda z2: process_cluster(c, 0, z2),
+                            lambda z2: process_cluster(c, 1, z2), zz),
+                        lambda zz: zz, z)
+
+                return jax.lax.fori_loop(0, SUPER, child, z)
+
+            return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+                                lambda z: z, z)
+
+        jax.lax.fori_loop(0, cl_ref.shape[0] // SUPER, super_body,
+                          jnp.int32(0))
+    else:
+        jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, jnp.int32(0))
+
+
+def _safe_inv3(rdx, rdy, rdz):
+    def safe_inv(d):
+        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
+                               jnp.where(d >= 0.0, 1e-12, -1e-12), d)
+
+    return safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+
+
+def _tile_octant(dx, dy, dz):
+    """Tile octant from the lane-0 ray (tiles are octant-sorted by
+    _sorted_call; a mixed boundary tile just gets a suboptimal ORDER,
+    never a wrong result)."""
+    return ((dx[0, 0] >= 0.0).astype(jnp.int32)
+            + (dy[0, 0] >= 0.0).astype(jnp.int32) * 2
+            + (dz[0, 0] >= 0.0).astype(jnp.int32) * 4)
+
+
+def _mxu_block_eval(a_blk, bop, t_gate_lo):
+    """One (16,128)x(16,128) determinant-form sweep of 32 triangles against
+    one 128-lane ray row.  Returns scaled-free (ok, t) as (TB, 128)."""
+    out = jax.lax.dot_general(
+        a_blk, bop, (((0,), (0,)), ((), ())),
+        precision=MT_PRECISION, preferred_element_type=jnp.float32)
+    ua = out[0:TB]
+    va = out[TB:2 * TB]
+    ta = out[2 * TB:3 * TB]
+    aq = out[3 * TB:4 * TB]
+    parallel = (aq > -1e-6) & (aq < 1e-6)
+    f = 1.0 / jnp.where(parallel, 1.0, aq)
+    u = ua * f
+    v = va * f
+    t = ta * f
+    ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > t_gate_lo))
+    return ok, t
+
+
+def _nearest_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
+                           ox, oy, oz, dx, dy, dz,
+                           t_out, idx_out, kind_out, tri_vmem, dma_sem,
+                           *, ns, nl, use_super):
+    """Nearest hit for HBM-streamed meshes: triangles sweep as
+    determinant-form MXU blocks (``pack_scene_stream``) and the kernel
+    returns only (t, index, kind); winner attributes resolve OUTSIDE via
+    one XLA row-gather (the in-kernel per-triangle attribute selects they
+    replace cost ~25% of the old sweep).  kind: 0 miss, 1 sphere,
+    2 light ball, 3 triangle; idx is the sphere row or PADDED triangle
+    index.  State lives in the output refs (read-modify-write), so the
+    traversal loops carry nothing."""
+    rows = ox.shape[0]
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+
+    t_out[...] = jnp.full(rox.shape, INF, jnp.float32)
+    idx_out[...] = jnp.full(rox.shape, -1, jnp.int32)
+    kind_out[...] = jnp.zeros(rox.shape, jnp.int32)
+
+    # spheres then light balls (geometric.cuh:240-259, order = tie-break)
+    def sph_body(i, z):
+        cx = sph_ref[i, 0]; cy = sph_ref[i, 1]; cz = sph_ref[i, 2]
+        r = sph_ref[i, 3]
+        ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        h = b * b - c
+        sh = jnp.sqrt(jnp.maximum(h, 0.0))
+        t1 = -b - sh
+        t2 = -b + sh
+        ok = (h >= 0.0) & (r > 0.0)
+        v1 = ok & (t1 > EPSILON)
+        v2 = ok & (t2 > EPSILON)
+        t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
+        bt = t_out[...]
+        closer = t < bt
+        t_out[...] = jnp.where(closer, t, bt)
+        idx_out[...] = jnp.where(closer, i, idx_out[...])
+        kind = jnp.where(sph_ref[i, 14] > 0.0, 2, 1)
+        kind_out[...] = jnp.where(closer, kind, kind_out[...])
+        return z
+
+    jax.lax.fori_loop(0, ns + nl, sph_body, jnp.int32(0))
+
+    invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
+
+    def could_hit(ref, c):
+        tlim = t_out[...]
+        t0x = (ref[c, 0] - rox) * invx
+        t1x = (ref[c, 3] - rox) * invx
+        t0y = (ref[c, 1] - roy) * invy
+        t1y = (ref[c, 4] - roy) * invy
+        t0z = (ref[c, 2] - roz) * invz
+        t1z = (ref[c, 5] - roz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return (tn <= tf) & (tn < tlim)
+
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (TB, LANE), 0)
+
+    def process_block(a_blk, base, z):
+        def row_body(r, z):
+            bop = bop_ref[pl.ds(pl.multiple_of(r * BLK_ROWS, BLK_ROWS),
+                                BLK_ROWS), :]
+            ok, t = _mxu_block_eval(a_blk, bop, EPSILON)
+            t = jnp.where(ok, t, INF)
+            tmin = jnp.min(t, axis=0, keepdims=True)
+            li = jnp.min(jnp.where(t == tmin, iota_t, jnp.int32(1 << 30)),
+                         axis=0, keepdims=True)
+            bt = t_out[pl.ds(r, 1), :]
+            closer = tmin < bt
+            t_out[pl.ds(r, 1), :] = jnp.where(closer, tmin, bt)
+            idx_out[pl.ds(r, 1), :] = jnp.where(closer, li + base,
+                                                idx_out[pl.ds(r, 1), :])
+            kind_out[pl.ds(r, 1), :] = jnp.where(closer, 3,
+                                                 kind_out[pl.ds(r, 1), :])
+            return z
+
+        return jax.lax.fori_loop(0, rows, row_body, z)
+
+    _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
+                     process_block, use_super, _tile_octant(dx, dy, dz))
+
+
+def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
+                           ox, oy, oz, dx, dy, dz, maxd,
+                           blocked_out, tri_vmem, dma_sem,
+                           *, ns, nl, blocks_col, use_super):
+    """any-hit in (1e-3, maxd) for HBM-streamed meshes.  The per-triangle
+    can-block flag is BAKED into the A table (``pack_scene_stream``
+    zeroes the ``a`` lanes of non-blocking triangles -> parallel -> never
+    hit), so the sweep needs no flag reads at all; sphere/light-ball flags
+    stay per-row as in the VMEM kernel."""
+    rows = ox.shape[0]
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    md = maxd[...]
+    MIN_D = 1e-3
+
+    blocked_out[...] = jnp.zeros(rox.shape, jnp.int32)
+
+    def sph_body(i, z):
+        cx = sph_ref[i, 0]; cy = sph_ref[i, 1]; cz = sph_ref[i, 2]
+        r = sph_ref[i, 3]
+        can_block = sph_ref[i, blocks_col]
+        ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        h = b * b - c
+        sh = jnp.sqrt(jnp.maximum(h, 0.0))
+        t1 = -b - sh
+        t2 = -b + sh
+        ok = (h >= 0.0) & (r > 0.0) & (can_block > 0.0)
+        v1 = ok & (t1 > EPSILON) & (t1 < md)
+        v2 = ok & (t2 > EPSILON) & (t2 < md)
+        t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
+        blocked_out[...] = (blocked_out[...]
+                            | ((t < INF) & (t > MIN_D)).astype(jnp.int32))
+        return z
+
+    jax.lax.fori_loop(0, ns + nl, sph_body, jnp.int32(0))
+
+    invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
+
+    def could_hit(ref, c):
+        blocked = blocked_out[...]
+        t0x = (ref[c, 0] - rox) * invx
+        t1x = (ref[c, 3] - rox) * invx
+        t0y = (ref[c, 1] - roy) * invy
+        t1y = (ref[c, 4] - roy) * invy
+        t0z = (ref[c, 2] - roz) * invz
+        t1z = (ref[c, 5] - roz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return (tn <= tf) & (tn < md) & (blocked == 0)
+
+    def process_block(a_blk, base, z):
+        def row_body(r, z):
+            bop = bop_ref[pl.ds(pl.multiple_of(r * BLK_ROWS, BLK_ROWS),
+                                BLK_ROWS), :]
+            ok, t = _mxu_block_eval(a_blk, bop, MIN_D)
+            mdr = maxd[pl.ds(r, 1), :]
+            any_hit = jnp.max((ok & (t < mdr)).astype(jnp.int32), axis=0,
+                              keepdims=True)
+            blocked_out[pl.ds(r, 1), :] = (blocked_out[pl.ds(r, 1), :]
+                                           | any_hit)
+            return z
+
+        return jax.lax.fori_loop(0, rows, row_body, z)
+
+    _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
+                     process_block, use_super, _tile_octant(dx, dy, dz))
+
+
+def _whole(tab):
+    return pl.BlockSpec(tab.shape, lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab, vert_tab,
+                          with_uv):
+    """XLA-side winner attribute resolution for the streaming nearest-hit:
+    one row-gather each from the sphere / padded-triangle tables, sphere
+    normals from the hit point, normals flipped toward the ray
+    (geometric.cuh:350,365,383), and (with_uv) the winner's barycentrics
+    recomputed in classic Moller-Trumbore form for UV interpolation."""
+    hit = kind > 0
+    is_tri = kind == 3
+    is_sph = hit & ~is_tri
+    ti = jnp.where(is_tri, jnp.clip(idx, 0, attr_tab.shape[0] - 1), 0)
+    arow = attr_tab[ti]                                   # (B,16)
+    si = jnp.where(is_sph, jnp.clip(idx, 0, sph_tab.shape[0] - 1), 0)
+    srow = sph_tab[si]                                    # (B,16)
+
+    tc = jnp.where(hit, t, 0.0)[:, None]
+    sn = (ro + rd * tc - srow[:, 0:3]) / jnp.maximum(srow[:, 3:4], 1e-20)
+    n = jnp.where(is_tri[:, None], arow[:, 0:3], sn)
+    ndotd = jnp.sum(n * rd, axis=-1)
+    n = n * jnp.where(ndotd > 0.0, -1.0, 1.0)[:, None]
+    n = n * hit[:, None]
+
+    m = hit.astype(jnp.float32)
+    out = dict(
+        t=t,
+        nx=n[:, 0], ny=n[:, 1], nz=n[:, 2],
+        bcr=m * jnp.where(is_tri, arow[:, 3], srow[:, 8]),
+        bcg=m * jnp.where(is_tri, arow[:, 4], srow[:, 9]),
+        bcb=m * jnp.where(is_tri, arow[:, 5], srow[:, 10]),
+        rough=m * jnp.where(is_tri, arow[:, 6], srow[:, 11]),
+        metal=m * jnp.where(is_tri, arow[:, 7], srow[:, 12]),
+        eta=m * jnp.where(is_tri, arow[:, 8], srow[:, 13]),
+        flag=jnp.where(is_tri, 1, kind),
+    )
+    if with_uv:
+        vr = vert_tab[ti]                                 # (B,9)
+        v0 = vr[:, 0:3]
+        e1 = vr[:, 3:6] - v0
+        e2 = vr[:, 6:9] - v0
+        h = jnp.cross(rd, e2)
+        a = jnp.sum(e1 * h, axis=-1)
+        f = 1.0 / jnp.where(jnp.abs(a) < 1e-12, 1.0, a)
+        s = ro - v0
+        u = f * jnp.sum(s * h, axis=-1)
+        q = jnp.cross(s, e1)
+        v = f * jnp.sum(rd * q, axis=-1)
+        w0 = 1.0 - u - v
+        iu = w0 * arow[:, 9] + u * arow[:, 11] + v * arow[:, 13]
+        iv = w0 * arow[:, 10] + u * arow[:, 12] + v * arow[:, 14]
+        out["iu"] = jnp.where(is_tri, iu, 0.0)
+        out["iv"] = jnp.where(is_tri, iv, 0.0)
+        out["tex"] = jnp.where(is_tri, arow[:, 15], -1.0)
+    return out
+
+
+def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
+    sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt = (
+        pack_scene_stream(scene))
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
+    B = ro.shape[0]
+    rows = tile_rows(True)
+    comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
+    tiled = [_tile(c, rows)[0] for c in comps]
+    rows_total = tiled[0].shape[0]
+    grid = rows_total // rows
+    bop = _bop_table(*tiled)
+
+    kernel = functools.partial(_nearest_stream_kernel, ns=ns, nl=nl,
+                               use_super=use_super)
+    shapes = [jnp.float32, jnp.int32, jnp.int32]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            _whole(sph_tab),
+            pl.BlockSpec(memory_space=pl.ANY),
+            _whole(cl_tab),
+            _whole(sup_tab),
+            pl.BlockSpec((rows * BLK_ROWS, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_ray_specs(6, rows),
+        ],
+        out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+                   for _ in shapes],
+        out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
+                   for dt in shapes],
+        scratch_shapes=_stream_scratch(),
+        interpret=interpret,
+    )(sph_tab, a_tab, cl_tab, sup_tab, bop, *tiled)
+    t, idx, kind = (o.reshape(-1)[:B] for o in outs)
+    return _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab,
+                                 vert_tab, with_uv)
+
+
+def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
+    sph_tab, a_tab, _, _, cl_tab, ns, nl, nt = pack_scene_stream(
+        scene, dielectrics_block=dielectrics_block)
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
+    B = p1.shape[0]
+    rows = tile_rows(True)
+    comps = [p1[:, 0], p1[:, 1], p1[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
+             max_d]
+    tiled = [_tile(c, rows)[0] for c in comps]
+    rows_total = tiled[0].shape[0]
+    grid = rows_total // rows
+    bop = _bop_table(*tiled[:6])
+
+    kernel = functools.partial(
+        _blocker_stream_kernel, ns=ns, nl=nl,
+        blocks_col=4 if dielectrics_block else 5, use_super=use_super)
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            _whole(sph_tab),
+            pl.BlockSpec(memory_space=pl.ANY),
+            _whole(cl_tab),
+            _whole(sup_tab),
+            pl.BlockSpec((rows * BLK_ROWS, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *_ray_specs(7, rows),
+        ],
+        out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
+        scratch_shapes=_stream_scratch(),
+        interpret=interpret,
+    )(sph_tab, a_tab, cl_tab, sup_tab, bop, *tiled)
+    return blocked.reshape(-1)[:B] != 0
 
 
 def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
@@ -819,38 +1192,31 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     untextured) for textured mesh scenes.
 
     Meshes beyond ``max_vmem_tris()`` automatically switch to the
-    HBM-streaming kernel (``force_stream`` pins it for tests)."""
-    stream = _stream_mode(scene.num_triangles, force_stream)
-    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(
-        scene, with_uv=with_uv, stream=stream)
+    HBM-streaming MXU kernel (``force_stream`` pins it for tests)."""
+    if _stream_mode(scene.num_triangles, force_stream):
+        return _nearest_hit_stream(scene, ro, rd, with_uv, interpret)
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, with_uv=with_uv)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
-    rows = tile_rows(stream)
+    rows = tile_rows(False)
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
     tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
 
     kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt,
-                               with_uv=with_uv, stream=stream,
-                               use_super=use_super)
+                               with_uv=with_uv, use_super=use_super)
     shapes = [jnp.float32] * 10 + [jnp.int32]
     if with_uv:
         shapes += [jnp.float32] * 3
-    tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream
-                else pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
-                                  memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            tri_spec,
-            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            _whole(sph_tab),
+            _whole(tri_tab),
+            _whole(cl_tab),
+            _whole(sup_tab),
             *_ray_specs(6, rows),
         ],
         out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
@@ -858,7 +1224,6 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
                    for _ in shapes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in shapes],
-        scratch_shapes=_stream_extras() if stream else [],
         interpret=interpret,
     )(sph_tab, tri_tab, cl_tab, sup_tab, *tiled)
     names = ["t", "nx", "ny", "nz", "bcr", "bcg", "bcb", "rough", "metal",
@@ -872,11 +1237,13 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
                        max_d: jnp.ndarray, dielectrics_block: bool,
                        force_stream: bool = False, interpret: bool = False):
     """Returns blocked (B,) bool for shadow rays p1 + t*rd, t in (1e-3, max_d)."""
-    stream = _stream_mode(scene.num_triangles, force_stream)
-    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, stream=stream)
+    if _stream_mode(scene.num_triangles, force_stream):
+        return _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block,
+                                   interpret)
+    sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = p1.shape[0]
-    rows = tile_rows(stream)
+    rows = tile_rows(False)
     comps = [p1[:, 0], p1[:, 1], p1[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
              max_d]
     tiled = [_tile(c, rows)[0] for c in comps]
@@ -885,28 +1252,20 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
 
     kernel = functools.partial(
         _blocker_kernel, ns=ns, nl=nl, nt=nt,
-        blocks_col=4 if dielectrics_block else 5, stream=stream,
-        use_super=use_super)
-    tri_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream
-                else pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
-                                  memory_space=pltpu.VMEM))
+        blocks_col=4 if dielectrics_block else 5, use_super=use_super)
     blocked = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(sph_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            tri_spec,
-            pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            _whole(sph_tab),
+            _whole(tri_tab),
+            _whole(cl_tab),
+            _whole(sup_tab),
             *_ray_specs(7, rows),
         ],
         out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
-        scratch_shapes=_stream_extras() if stream else [],
         interpret=interpret,
     )(sph_tab, tri_tab, cl_tab, sup_tab, *tiled)
     return blocked.reshape(-1)[:B] != 0

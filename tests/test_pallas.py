@@ -237,9 +237,13 @@ def test_textured_fused_shade_matches_xla_path(tmp_path):
 
 
 def test_streaming_kernels_match_vmem_on_tpu():
-    """HBM-streaming nearest-hit (force_stream) is bit-identical to the
-    VMEM-table kernel on real hardware (the CPU suite only covers
-    interpret mode)."""
+    """HBM-streaming nearest-hit (force_stream) agrees with the VMEM-table
+    kernel on real hardware (the CPU suite only covers interpret mode).
+
+    The streamed sweep evaluates determinant-form Moller-Trumbore on the
+    MXU at Precision.HIGHEST — a different (but exact-rank) f32 summation
+    order than the VMEM kernel's scalar form — so agreement is to float
+    tolerance, not bit-identity; edge-grazing rays may flip hit/miss."""
     import jax.numpy as jnp
 
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
@@ -254,11 +258,17 @@ def test_streaming_kernels_match_vmem_on_tpu():
     rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
 
     # distinct lambdas -> distinct jit caches (see clear_caches note above)
-    h_v = jax.jit(lambda a, b: nearest_hit_pallas(scene, a, b))(ro, rd)
-    h_s = jax.jit(
+    h_v = jax.tree.map(np.asarray, jax.jit(
+        lambda a, b: nearest_hit_pallas(scene, a, b))(ro, rd))
+    h_s = jax.tree.map(np.asarray, jax.jit(
         lambda a, b: nearest_hit_pallas(scene, a, b, force_stream=True))(
-            ro, rd)
-    for name in ("t", "nx", "ny", "nz", "bcr", "rough", "metal", "eta",
-                 "flag"):
-        np.testing.assert_array_equal(np.asarray(h_v[name]),
-                                      np.asarray(h_s[name]), err_msg=name)
+            ro, rd))
+    flag_agree = h_v["flag"] == h_s["flag"]
+    assert flag_agree.mean() > 0.999
+    both = flag_agree & (h_v["flag"] > 0)
+    assert both.sum() > 500
+    np.testing.assert_allclose(h_s["t"][both], h_v["t"][both],
+                               rtol=1e-3, atol=1e-5)
+    for name in ("nx", "ny", "nz", "bcr", "rough", "metal", "eta"):
+        np.testing.assert_allclose(h_s[name][both], h_v[name][both],
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
