@@ -75,7 +75,18 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
 
 
 def read_png(path: str) -> np.ndarray:
-    """Minimal PNG reader for our own writer's output (RGB8, no interlace)."""
+    """PNG reader (RGB8).  Uses PIL when present (external textures often
+    use Average/Paeth row filters, which the pure-Python fallback decodes
+    pixel-by-pixel); falls back to a dependency-free decoder that covers
+    our own writer's output (filter-0 rows) and any RGB8 non-interlaced
+    file."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.uint8)
+    except ImportError:
+        pass
     with open(path, "rb") as f:
         data = f.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"

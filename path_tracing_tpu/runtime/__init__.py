@@ -5,14 +5,31 @@ import os
 
 
 def setup_jax_cache(path: str | None = None) -> None:
-    """Enable the persistent XLA compile cache.
+    """Enable the persistent XLA compile cache, and apply any CPU-platform
+    request *in-process*.
 
     The scan-heavy integrator programs take minutes to compile cold (on the
     tunneled TPU and on this 1-core CPU alike); the cache makes every
     subsequent process start in milliseconds.
+
+    The platform part is a liveness defense: when the TPU is wedged (a
+    killed client's grant lingering on the remote side), backend discovery
+    *hangs* — even under ``JAX_PLATFORMS=cpu`` / ``JAX_PLATFORM_NAME=cpu``,
+    because the axon plugin still initializes against the tunnel.  Only
+    ``jax.config.update("jax_platforms", "cpu")`` *before first backend
+    use* skips the plugin entirely (measured: both env forms hang, the
+    config form returns CpuDevice immediately).  Every CPU-forcing caller
+    (CLI tests, ``dryrun_multichip``'s child) relies on this translation.
     """
     import jax
 
+    want = (os.environ.get("JAX_PLATFORMS")
+            or os.environ.get("JAX_PLATFORM_NAME") or "")
+    if want.strip().lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # backends already initialized — nothing to save
+            pass
     cache = path or os.environ.get(
         "PT_TPU_CACHE", os.path.expanduser("~/.cache/jax_pt_tpu"))
     jax.config.update("jax_compilation_cache_dir", cache)
