@@ -198,7 +198,11 @@ def scene_from_numpy(
         # 64 at 249k tris, while 64 stays best for VMEM-resident tables
         from ..ops.pallas_intersect import max_vmem_tris
 
-        cluster_leaf_size = 64 if nt_total <= max_vmem_tris() else 256
+        import os
+
+        cluster_leaf_size = int(os.environ.get(
+            "PT_TPU_LEAF_SIZE",
+            64 if nt_total <= max_vmem_tris() else 256))
     tri_uv = (np.asarray(tri_uv, f32).reshape(-1, 6) if tri_uv is not None
               else np.zeros((nt_total, 6), f32))
     tri_tex = (np.asarray(tri_tex, np.int32).reshape(-1)

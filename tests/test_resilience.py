@@ -67,6 +67,29 @@ def test_supervisor_zero_retries_fails_fast():
     assert sup.failures == 1
 
 
+def test_setup_jax_cache_translates_cpu_env_in_process():
+    """A cpu env request must become jax.config.update('jax_platforms') —
+    the env forms alone still initialize the axon plugin, which HANGS while
+    the TPU is wedged (the round-2 CLI-test outage).  Subprocess so the
+    parent's initialized backends don't mask the translation."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_PLATFORM_NAME", None)
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from path_tracing_tpu.runtime import setup_jax_cache\n"
+         "setup_jax_cache()\n"
+         "import jax\n"
+         "assert jax.devices()[0].platform == 'cpu', jax.devices()\n"
+         "print('cpu-translated')"],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "cpu-translated" in r.stdout
+
+
 def test_supervisor_on_frame_fault_also_retried():
     # faults in the accumulation step (e.g. a host transfer dying) get the
     # same retry treatment as the render itself
