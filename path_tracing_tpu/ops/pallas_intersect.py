@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +63,9 @@ TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
 TB = 32            # triangles per MXU block
 BLK_ROWS = 16      # K rows per block in the A table
 STREAM_ROWS = 128  # rows per DMA chunk = 8 blocks = 256 triangles
-MT_PRECISION = jax.lax.Precision.HIGHEST
+MT_PRECISION = (jax.lax.Precision.DEFAULT
+                if os.environ.get("PT_TPU_MT_FAST") == "1"
+                else jax.lax.Precision.HIGHEST)
 
 # 2-level cluster culling: the median-split builder emits clusters in DFS
 # order, so SUPER consecutive clusters form a spatially tight run; testing
@@ -719,17 +722,21 @@ def _bop_table(tox, toy, toz, tdx, tdy, tdz):
 
 
 def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
-                     process_block, use_super, o_idx):
+                     process_chunk, use_super, o_idx):
     """Shared cluster walk for the streaming kernels: 2-level culling +
     per-cluster DMA of (STREAM_ROWS, 128) A-block windows, double-buffered
     across a descended super's children (slots 0/1; slot 2 serves the flat
     path and rare straddling chunks).  ``could_hit(ref, c)`` reads the
-    kernel's live state from its output refs; ``process_block(a_blk, base,
-    z)`` sweeps one (BLK_ROWS, 128) block whose first padded triangle index
-    is ``base``.  Over-fetch past a cluster's last block needs no masking:
-    intra-block padding rows are all-zero (a == 0 -> parallel -> never hit)
-    and trailing blocks hold the NEXT cluster's real triangles, whose extra
-    tests are idempotent for both nearest-hit and any-hit."""
+    kernel's live state from its output refs; ``process_chunk(sl, nb,
+    base, z)`` sweeps ``nb`` (BLK_ROWS, 128) blocks from VMEM slot ``sl``
+    (first padded triangle index ``base``) — handing the kernel a whole
+    chunk lets it keep its ray loop OUTER and carry best-hit state in
+    registers across the chunk's blocks (one output-ref RMW per chunk
+    instead of per block).  Over-fetch past a cluster's last block needs
+    no masking: intra-block padding rows are all-zero (a == 0 -> parallel
+    -> never hit) and trailing blocks hold the NEXT cluster's real
+    triangles, whose extra tests are idempotent for both nearest-hit and
+    any-hit."""
     BPC = STREAM_ROWS // BLK_ROWS   # blocks per DMA chunk
 
     def cl_dma(slot, c):
@@ -746,14 +753,7 @@ def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
 
         def chunk_from(sl, ch, z):
             nb = jnp.minimum(nblk - ch * BPC, BPC)
-
-            def blk_body(b, z):
-                a_blk = tri_vmem[
-                    sl, pl.ds(pl.multiple_of(b * BLK_ROWS, BLK_ROWS),
-                              BLK_ROWS), :]
-                return process_block(a_blk, pstart + (ch * BPC + b) * TB, z)
-
-            return jax.lax.fori_loop(0, nb, blk_body, z)
+            return process_chunk(sl, nb, pstart + ch * BPC * TB, z)
 
         z = chunk_from(slot, 0, z)
 
@@ -947,28 +947,40 @@ def _nearest_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
 
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (TB, LANE), 0)
 
-    def process_block(a_blk, base, z):
+    def process_chunk(sl, nb, base, z):
         def row_body(r, z):
             bop = bop_ref[pl.ds(pl.multiple_of(r * BLK_ROWS, BLK_ROWS),
                                 BLK_ROWS), :]
-            ok, t = _mxu_block_eval(a_blk, bop, EPSILON)
-            t = jnp.where(ok, t, INF)
-            tmin = jnp.min(t, axis=0, keepdims=True)
-            li = jnp.min(jnp.where(t == tmin, iota_t, jnp.int32(1 << 30)),
-                         axis=0, keepdims=True)
             bt = t_out[pl.ds(r, 1), :]
-            closer = tmin < bt
-            t_out[pl.ds(r, 1), :] = jnp.where(closer, tmin, bt)
-            idx_out[pl.ds(r, 1), :] = jnp.where(closer, li + base,
-                                                idx_out[pl.ds(r, 1), :])
-            kind_out[pl.ds(r, 1), :] = jnp.where(closer, 3,
-                                                 kind_out[pl.ds(r, 1), :])
+            bi = idx_out[pl.ds(r, 1), :]
+            bk = kind_out[pl.ds(r, 1), :]
+
+            def blk(b, carry):
+                bt, bi, bk = carry
+                a_blk = tri_vmem[
+                    sl, pl.ds(pl.multiple_of(b * BLK_ROWS, BLK_ROWS),
+                              BLK_ROWS), :]
+                ok, t = _mxu_block_eval(a_blk, bop, EPSILON)
+                t = jnp.where(ok, t, INF)
+                tmin = jnp.min(t, axis=0, keepdims=True)
+                li = jnp.min(jnp.where(t == tmin, iota_t,
+                                       jnp.int32(1 << 30)),
+                             axis=0, keepdims=True)
+                closer = tmin < bt
+                return (jnp.where(closer, tmin, bt),
+                        jnp.where(closer, li + base + b * TB, bi),
+                        jnp.where(closer, 3, bk))
+
+            bt, bi, bk = jax.lax.fori_loop(0, nb, blk, (bt, bi, bk))
+            t_out[pl.ds(r, 1), :] = bt
+            idx_out[pl.ds(r, 1), :] = bi
+            kind_out[pl.ds(r, 1), :] = bk
             return z
 
         return jax.lax.fori_loop(0, rows, row_body, z)
 
     _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
-                     process_block, use_super, _tile_octant(dx, dy, dz))
+                     process_chunk, use_super, _tile_octant(dx, dy, dz))
 
 
 def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
@@ -1027,22 +1039,29 @@ def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
                          jnp.maximum(t0z, t1z))
         return (tn <= tf) & (tn < md) & (blocked == 0)
 
-    def process_block(a_blk, base, z):
+    def process_chunk(sl, nb, base, z):
         def row_body(r, z):
             bop = bop_ref[pl.ds(pl.multiple_of(r * BLK_ROWS, BLK_ROWS),
                                 BLK_ROWS), :]
-            ok, t = _mxu_block_eval(a_blk, bop, MIN_D)
             mdr = maxd[pl.ds(r, 1), :]
-            any_hit = jnp.max((ok & (t < mdr)).astype(jnp.int32), axis=0,
-                              keepdims=True)
-            blocked_out[pl.ds(r, 1), :] = (blocked_out[pl.ds(r, 1), :]
-                                           | any_hit)
+            bb = blocked_out[pl.ds(r, 1), :]
+
+            def blk(b, bb):
+                a_blk = tri_vmem[
+                    sl, pl.ds(pl.multiple_of(b * BLK_ROWS, BLK_ROWS),
+                              BLK_ROWS), :]
+                ok, t = _mxu_block_eval(a_blk, bop, MIN_D)
+                any_hit = jnp.max((ok & (t < mdr)).astype(jnp.int32),
+                                  axis=0, keepdims=True)
+                return bb | any_hit
+
+            blocked_out[pl.ds(r, 1), :] = jax.lax.fori_loop(0, nb, blk, bb)
             return z
 
         return jax.lax.fori_loop(0, rows, row_body, z)
 
     _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
-                     process_block, use_super, _tile_octant(dx, dy, dz))
+                     process_chunk, use_super, _tile_octant(dx, dy, dz))
 
 
 def _whole(tab):
