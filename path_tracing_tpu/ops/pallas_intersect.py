@@ -60,12 +60,25 @@ TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
 # XLA row-gather per wavefront outside the kernel, which costs ~the same
 # as one texture fetch).  f32 exactness requires Precision.HIGHEST (the
 # default TPU f32 matmul runs bf16 passes and breaks the t agreement).
-TB = 32            # triangles per MXU block
-BLK_ROWS = 16      # K rows per block in the A table
-STREAM_ROWS = 128  # rows per DMA chunk = 8 blocks = 256 triangles
+TB = 32            # triangles per block (both streaming table forms)
+BLK_ROWS = 16      # K rows per block in the MXU A table
+STREAM_ROWS = 128  # MXU rows per DMA chunk = 8 blocks = 256 triangles
 MT_PRECISION = (jax.lax.Precision.DEFAULT
                 if os.environ.get("PT_TPU_MT_FAST") == "1"
                 else jax.lax.Precision.HIGHEST)
+
+# VPU-sweep streaming table: 8 slots of 16 lanes per row
+VPU_SLOT = 16
+VPU_TPR = 128 // VPU_SLOT          # triangles per row
+VPU_ROWS_PER_BLK = TB // VPU_TPR   # rows per 32-triangle block
+VPU_WINDOW = 32                    # rows per DMA chunk = 8 blocks
+
+
+def stream_sweep() -> str:
+    """Streaming triangle-sweep backend: 'mxu' (determinant-form
+    dot_generals) or 'vpu' (per-slot Moller-Trumbore, a quarter of the DMA
+    bytes).  Env knob for A/B; see the module docstring."""
+    return os.environ.get("PT_TPU_STREAM_SWEEP", "mxu")
 
 # 2-level cluster culling: the median-split builder emits clusters in DFS
 # order, so SUPER consecutive clusters form a spatially tight run; testing
@@ -191,6 +204,61 @@ def pack_scene(scene: Scene, with_uv: bool = False):
     return sph, tri, cl, ns, nl, nt
 
 
+def _stream_layout(scene: Scene):
+    """Shared padded-index layout for the streaming packings: every
+    cluster's triangles re-scatter to a TB-aligned ``padded_start`` so a
+    cluster is a whole number of 32-triangle blocks in EITHER table form.
+    Returns (sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl_tab)."""
+    sph, _, _, ns, nl, nt = pack_scene(scene)
+
+    starts = scene.tri_cluster_range[:, 0].astype(jnp.int32)
+    counts = scene.tri_cluster_range[:, 1].astype(jnp.int32)
+    mc0 = starts.shape[0]
+    nblk_c = (counts + TB - 1) // TB
+    padded_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk_c * TB)[:-1]])
+    # static padded size: every cluster wastes < TB rows
+    Tp = ((nt + TB * mc0 + TB - 1) // TB) * TB
+
+    # per-triangle destination in padded space
+    i = jnp.arange(nt, dtype=jnp.int32)
+    cid = jnp.searchsorted(starts, i, side="right").astype(jnp.int32) - 1
+    dest = padded_start[cid] + (i - starts[cid])
+
+    e1 = scene.tri_v1 - scene.tri_v0
+    e2 = scene.tri_v2 - scene.tri_v0
+    n = jnp.cross(e1, e2)
+    nn = n / jnp.maximum(
+        jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)), 1e-20)
+    m = scene.tri_mtl
+    uv6 = (scene.tri_uv if scene.tri_uv.shape[0] == nt
+           else jnp.zeros((nt, 6)))
+    tex = (scene.tri_tex.astype(jnp.float32)[:, None]
+           if scene.tri_tex.shape[0] == nt else jnp.full((nt, 1), -1.0))
+    attr_rows = jnp.concatenate(
+        [nn, m.base_color, m.roughness[:, None], m.metallic[:, None],
+         m.eta[:, None], uv6, tex], axis=1)                      # (nt,16)
+    attr_tab = jnp.zeros((Tp, 16)).at[dest].set(attr_rows)
+    vert_tab = jnp.zeros((Tp, 9)).at[dest].set(
+        jnp.concatenate([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1))
+
+    cl = jnp.concatenate([
+        scene.tri_cluster_aabb,
+        padded_start.astype(jnp.float32)[:, None],
+        counts.astype(jnp.float32)[:, None]], axis=1)
+    mc = max(SUB, ((mc0 + SUB - 1) // SUB) * SUB)
+    cl = jnp.concatenate(
+        [cl, jnp.zeros((mc - mc0, 8), cl.dtype)], 0)
+    return sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl
+
+
+def _stream_can_block(scene: Scene, dielectrics_block: bool | None):
+    nt = scene.num_triangles
+    if dielectrics_block is None or dielectrics_block:
+        return jnp.ones((nt, 1))  # cpu rule: everything blocks
+    return (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None]
+
+
 def pack_scene_stream(scene: Scene, dielectrics_block: bool | None = None):
     """Packing for the HBM-streaming kernels (meshes beyond the VMEM
     ceiling).  Returns (sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl,
@@ -219,21 +287,7 @@ def pack_scene_stream(scene: Scene, dielectrics_block: bool | None = None):
     (True = every surface blocks, the CPU-oracle rule; False = dielectrics
     pass, the GPU rule — geometric.cuh:293-325 with Ks=0).
     """
-    sph, _, _, ns, nl, nt = pack_scene(scene)
-
-    starts = scene.tri_cluster_range[:, 0].astype(jnp.int32)
-    counts = scene.tri_cluster_range[:, 1].astype(jnp.int32)
-    mc0 = starts.shape[0]
-    nblk_c = (counts + TB - 1) // TB
-    padded_start = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblk_c * TB)[:-1]])
-    # static padded size: every cluster wastes < TB rows
-    Tp = ((nt + TB * mc0 + TB - 1) // TB) * TB
-
-    # per-triangle destination in padded space
-    i = jnp.arange(nt, dtype=jnp.int32)
-    cid = jnp.searchsorted(starts, i, side="right").astype(jnp.int32) - 1
-    dest = padded_start[cid] + (i - starts[cid])
+    sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl = _stream_layout(scene)
 
     v0, v1, v2 = scene.tri_v0, scene.tri_v1, scene.tri_v2
     e1 = v1 - v0
@@ -242,12 +296,7 @@ def pack_scene_stream(scene: Scene, dielectrics_block: bool | None = None):
     c1 = jnp.cross(v0, e1)
     c2 = jnp.cross(v0, e2)
     d0 = jnp.sum(n * v0, axis=-1, keepdims=True)
-    if dielectrics_block is None:
-        can_block = jnp.ones((nt, 1))
-    elif dielectrics_block:
-        can_block = jnp.ones((nt, 1))           # cpu rule: everything blocks
-    else:
-        can_block = (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None]
+    can_block = _stream_can_block(scene, dielectrics_block)
     z6, z10 = jnp.zeros((nt, 6)), jnp.zeros((nt, 10))
     C_tri = jnp.stack([
         jnp.concatenate([e2, c2, z10], 1),                       # ua
@@ -261,29 +310,32 @@ def pack_scene_stream(scene: Scene, dielectrics_block: bool | None = None):
     # pad by a full DMA window so fixed-size cluster fetches never run off
     a_tab = jnp.concatenate(
         [a_tab, jnp.zeros((STREAM_ROWS, 128), a_tab.dtype)], 0)
-
-    nn = n / jnp.maximum(
-        jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True)), 1e-20)
-    m = scene.tri_mtl
-    uv6 = (scene.tri_uv if scene.tri_uv.shape[0] == nt
-           else jnp.zeros((nt, 6)))
-    tex = (scene.tri_tex.astype(jnp.float32)[:, None]
-           if scene.tri_tex.shape[0] == nt else jnp.full((nt, 1), -1.0))
-    attr_rows = jnp.concatenate(
-        [nn, m.base_color, m.roughness[:, None], m.metallic[:, None],
-         m.eta[:, None], uv6, tex], axis=1)                      # (nt,16)
-    attr_tab = jnp.zeros((Tp, 16)).at[dest].set(attr_rows)
-    vert_tab = jnp.zeros((Tp, 9)).at[dest].set(
-        jnp.concatenate([v0, v1, v2], axis=1))
-
-    cl = jnp.concatenate([
-        scene.tri_cluster_aabb,
-        padded_start.astype(jnp.float32)[:, None],
-        counts.astype(jnp.float32)[:, None]], axis=1)
-    mc = max(SUB, ((mc0 + SUB - 1) // SUB) * SUB)
-    cl = jnp.concatenate(
-        [cl, jnp.zeros((mc - mc0, 8), cl.dtype)], 0)
     return sph, a_tab, attr_tab, vert_tab, cl, ns, nl, nt
+
+
+def pack_scene_stream_vpu(scene: Scene,
+                          dielectrics_block: bool | None = None):
+    """VPU-sweep packing for the HBM-streaming kernels: 8 slots of 16 lanes
+    per row, slot = ``[v0(3), e1(3), e2(3), can_block, pad(6)]`` with the
+    edges precomputed at pack time (same f32 subtraction the VMEM kernel's
+    ``_mt_core`` performs in-register, so u/v/t stay bit-identical).  A
+    32-triangle block is ``VPU_ROWS_PER_BLK`` = 4 rows, a quarter of the
+    determinant-form table's DMA bytes; padding slots are all-zero
+    (e1 = e2 = 0 -> determinant 0 -> parallel -> never hit).  Same padded
+    index space / attr / vert / cluster tables as ``pack_scene_stream``."""
+    sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl = _stream_layout(scene)
+
+    v0 = scene.tri_v0
+    e1 = scene.tri_v1 - v0
+    e2 = scene.tri_v2 - v0
+    can_block = _stream_can_block(scene, dielectrics_block)
+    slot = jnp.concatenate(
+        [v0, e1, e2, can_block, jnp.zeros((nt, VPU_SLOT - 10))], axis=1)
+    S = jnp.zeros((Tp, VPU_SLOT)).at[dest].set(slot)
+    v_tab = S.reshape(Tp // VPU_TPR, 128)
+    v_tab = jnp.concatenate(
+        [v_tab, jnp.zeros((VPU_WINDOW, 128), v_tab.dtype)], 0)
+    return sph, v_tab, attr_tab, vert_tab, cl, ns, nl, nt
 
 
 def super_table(cl_tab: jnp.ndarray):
@@ -696,11 +748,11 @@ def _stream_mode(nt: int, force_stream: bool) -> bool:
     return force_stream or nt > max_vmem_tris()
 
 
-def _stream_scratch():
-    """A-block scratch + DMA semaphores for the streaming kernels: slots
-    0/1 double-buffer across a super's children, slot 2 serves the flat
-    path and straddling extra chunks."""
-    return [pltpu.VMEM((3, STREAM_ROWS, LANE), jnp.float32),
+def _stream_scratch(window_rows: int = STREAM_ROWS):
+    """Triangle-window scratch + DMA semaphores for the streaming kernels:
+    slots 0/1 double-buffer across a super's children, slot 2 serves the
+    flat path and straddling extra chunks."""
+    return [pltpu.VMEM((3, window_rows, LANE), jnp.float32),
             pltpu.SemaphoreType.DMA((3,))]
 
 
@@ -722,7 +774,8 @@ def _bop_table(tox, toy, toz, tdx, tdy, tdz):
 
 
 def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
-                     process_chunk, use_super, o_idx):
+                     process_chunk, use_super, o_idx,
+                     rows_per_blk=BLK_ROWS):
     """Shared cluster walk for the streaming kernels: 2-level culling +
     per-cluster DMA of (STREAM_ROWS, 128) A-block windows, double-buffered
     across a descended super's children (slots 0/1; slot 2 serves the flat
@@ -737,12 +790,13 @@ def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
     -> never hit) and trailing blocks hold the NEXT cluster's real
     triangles, whose extra tests are idempotent for both nearest-hit and
     any-hit."""
-    BPC = STREAM_ROWS // BLK_ROWS   # blocks per DMA chunk
+    window_rows = tri_vmem.shape[1]
+    BPC = window_rows // rows_per_blk   # blocks per DMA chunk
 
     def cl_dma(slot, c):
-        row0 = (cl_ref[c, 6].astype(jnp.int32) // TB) * BLK_ROWS
+        row0 = (cl_ref[c, 6].astype(jnp.int32) // TB) * rows_per_blk
         return pltpu.make_async_copy(
-            a_hbm.at[pl.ds(row0, STREAM_ROWS)], tri_vmem.at[slot],
+            a_hbm.at[pl.ds(row0, window_rows)], tri_vmem.at[slot],
             dma_sem.at[slot])
 
     def process_cluster(c, slot, z):
@@ -758,9 +812,9 @@ def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
         z = chunk_from(slot, 0, z)
 
         def extra(ch, z):
-            row0 = (pstart // TB) * BLK_ROWS + ch * STREAM_ROWS
+            row0 = (pstart // TB) * rows_per_blk + ch * window_rows
             cp = pltpu.make_async_copy(
-                a_hbm.at[pl.ds(row0, STREAM_ROWS)], tri_vmem.at[2],
+                a_hbm.at[pl.ds(row0, window_rows)], tri_vmem.at[2],
                 dma_sem.at[2])
             cp.start()
             cp.wait()
@@ -882,27 +936,41 @@ def _mxu_block_eval(a_blk, bop, t_gate_lo):
     return ok, t
 
 
-def _nearest_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
-                           ox, oy, oz, dx, dy, dz,
-                           t_out, idx_out, kind_out, tri_vmem, dma_sem,
-                           *, ns, nl, use_super):
-    """Nearest hit for HBM-streamed meshes: triangles sweep as
-    determinant-form MXU blocks (``pack_scene_stream``) and the kernel
-    returns only (t, index, kind); winner attributes resolve OUTSIDE via
-    one XLA row-gather (the in-kernel per-triangle attribute selects they
-    replace cost ~25% of the old sweep).  kind: 0 miss, 1 sphere,
-    2 light ball, 3 triangle; idx is the sphere row or PADDED triangle
-    index.  State lives in the output refs (read-modify-write), so the
-    traversal loops carry nothing."""
-    rows = ox.shape[0]
-    rox, roy, roz = ox[...], oy[...], oz[...]
-    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+def _vpu_slot_eval(read, rox, roy, roz, rdx, rdy, rdz, t_gate_lo):
+    """One triangle (a 16-lane slot: v0, e1, e2 precomputed) against the
+    whole ray tile — the ``_mt_core`` arithmetic from the edges onward, so
+    u/v/t agree bit-for-bit with the VMEM kernel.  Returns (ok, t)."""
+    v0x, v0y, v0z = read(0), read(1), read(2)
+    e1x, e1y, e1z = read(3), read(4), read(5)
+    e2x, e2y, e2z = read(6), read(7), read(8)
+    hx = rdy * e2z - rdz * e2y
+    hy = rdz * e2x - rdx * e2z
+    hz = rdx * e2y - rdy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    parallel = (a > -1e-6) & (a < 1e-6)
+    f = 1.0 / jnp.where(parallel, 1.0, a)
+    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (rdx * qx + rdy * qy + rdz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+          & (u + v <= 1.0) & (t > t_gate_lo))
+    return ok, t
 
+
+def _nearest_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz,
+                             t_out, idx_out, kind_out, ns, nl):
+    """Shared nearest-hit init for the streaming sweeps: output refs
+    initialized, spheres+light balls swept (geometric.cuh:240-259, order =
+    tie-break), and the t-limited cluster slab cull returned as a closure
+    over the live best-t state."""
     t_out[...] = jnp.full(rox.shape, INF, jnp.float32)
     idx_out[...] = jnp.full(rox.shape, -1, jnp.int32)
     kind_out[...] = jnp.zeros(rox.shape, jnp.int32)
 
-    # spheres then light balls (geometric.cuh:240-259, order = tie-break)
     def sph_body(i, z):
         cx = sph_ref[i, 0]; cy = sph_ref[i, 1]; cz = sph_ref[i, 2]
         r = sph_ref[i, 3]
@@ -945,6 +1013,28 @@ def _nearest_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
                          jnp.maximum(t0z, t1z))
         return (tn <= tf) & (tn < tlim)
 
+    return could_hit
+
+
+def _nearest_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
+                           ox, oy, oz, dx, dy, dz,
+                           t_out, idx_out, kind_out, tri_vmem, dma_sem,
+                           *, ns, nl, use_super):
+    """Nearest hit for HBM-streamed meshes: triangles sweep as
+    determinant-form MXU blocks (``pack_scene_stream``) and the kernel
+    returns only (t, index, kind); winner attributes resolve OUTSIDE via
+    one XLA row-gather (the in-kernel per-triangle attribute selects they
+    replace cost ~25% of the old sweep).  kind: 0 miss, 1 sphere,
+    2 light ball, 3 triangle; idx is the sphere row or PADDED triangle
+    index.  State lives in the output refs (read-modify-write), so the
+    traversal loops carry nothing."""
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    rows = ox.shape[0]
+    could_hit = _nearest_stream_prologue(
+        sph_ref, rox, roy, roz, rdx, rdy, rdz,
+        t_out, idx_out, kind_out, ns, nl)
+
     iota_t = jax.lax.broadcasted_iota(jnp.int32, (TB, LANE), 0)
 
     def process_chunk(sl, nb, base, z):
@@ -981,6 +1071,54 @@ def _nearest_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
 
     _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
                      process_chunk, use_super, _tile_octant(dx, dy, dz))
+
+
+def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
+                               ox, oy, oz, dx, dy, dz,
+                               t_out, idx_out, kind_out, tri_vmem, dma_sem,
+                               *, ns, nl, use_super):
+    """VPU-sweep variant of ``_nearest_stream_kernel``: triangles stream as
+    8x16-lane slot rows (``pack_scene_stream_vpu``) and each slot sweeps
+    the WHOLE ray tile with the ``_mt_core`` arithmetic, best (t, idx,
+    kind) carried in registers across a chunk (one output-ref RMW per
+    chunk).  Same (t, index, kind) contract and outside attribute resolve
+    as the MXU form."""
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    could_hit = _nearest_stream_prologue(
+        sph_ref, rox, roy, roz, rdx, rdy, rdz,
+        t_out, idx_out, kind_out, ns, nl)
+
+    def process_chunk(sl, nb, base, z):
+        bt = t_out[...]
+        bi = idx_out[...]
+        bk = kind_out[...]
+
+        def row_body(r, carry):
+            bt, bi, bk = carry
+            for k in range(VPU_TPR):
+                def rd(col, k=k, r=r):
+                    return tri_vmem[sl, r, k * VPU_SLOT + col]
+
+                ok, t = _vpu_slot_eval(rd, rox, roy, roz, rdx, rdy, rdz,
+                                       EPSILON)
+                t = jnp.where(ok, t, INF)
+                closer = t < bt
+                bt = jnp.where(closer, t, bt)
+                bi = jnp.where(closer, base + r * VPU_TPR + k, bi)
+                bk = jnp.where(closer, 3, bk)
+            return bt, bi, bk
+
+        bt, bi, bk = jax.lax.fori_loop(0, nb * VPU_ROWS_PER_BLK, row_body,
+                                       (bt, bi, bk))
+        t_out[...] = bt
+        idx_out[...] = bi
+        kind_out[...] = bk
+        return z
+
+    _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
+                     process_chunk, use_super, _tile_octant(dx, dy, dz),
+                     rows_per_blk=VPU_ROWS_PER_BLK)
 
 
 def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
@@ -1064,6 +1202,81 @@ def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
                      process_chunk, use_super, _tile_octant(dx, dy, dz))
 
 
+def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
+                               ox, oy, oz, dx, dy, dz, maxd,
+                               blocked_out, tri_vmem, dma_sem,
+                               *, ns, nl, blocks_col, use_super):
+    """VPU-sweep variant of ``_blocker_stream_kernel``; the per-triangle
+    can-block flag rides in slot lane 9 (``pack_scene_stream_vpu``)."""
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    md = maxd[...]
+    MIN_D = 1e-3
+
+    blocked_out[...] = jnp.zeros(rox.shape, jnp.int32)
+
+    def sph_body(i, z):
+        cx = sph_ref[i, 0]; cy = sph_ref[i, 1]; cz = sph_ref[i, 2]
+        r = sph_ref[i, 3]
+        can_block = sph_ref[i, blocks_col]
+        ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+        b = ocx * rdx + ocy * rdy + ocz * rdz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        h = b * b - c
+        sh = jnp.sqrt(jnp.maximum(h, 0.0))
+        t1 = -b - sh
+        t2 = -b + sh
+        ok = (h >= 0.0) & (r > 0.0) & (can_block > 0.0)
+        v1 = ok & (t1 > EPSILON) & (t1 < md)
+        v2 = ok & (t2 > EPSILON) & (t2 < md)
+        t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
+        blocked_out[...] = (blocked_out[...]
+                            | ((t < INF) & (t > MIN_D)).astype(jnp.int32))
+        return z
+
+    jax.lax.fori_loop(0, ns + nl, sph_body, jnp.int32(0))
+
+    invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
+
+    def could_hit(ref, c):
+        blocked = blocked_out[...]
+        t0x = (ref[c, 0] - rox) * invx
+        t1x = (ref[c, 3] - rox) * invx
+        t0y = (ref[c, 1] - roy) * invy
+        t1y = (ref[c, 4] - roy) * invy
+        t0z = (ref[c, 2] - roz) * invz
+        t1z = (ref[c, 5] - roz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        return (tn <= tf) & (tn < md) & (blocked == 0)
+
+    def process_chunk(sl, nb, base, z):
+        bb = blocked_out[...]
+
+        def row_body(r, bb):
+            for k in range(VPU_TPR):
+                def rd(col, k=k, r=r):
+                    return tri_vmem[sl, r, k * VPU_SLOT + col]
+
+                ok, t = _vpu_slot_eval(rd, rox, roy, roz, rdx, rdy, rdz,
+                                       MIN_D)
+                hit = ok & (t < md) & (rd(9) > 0.0)
+                bb = bb | hit.astype(jnp.int32)
+            return bb
+
+        blocked_out[...] = jax.lax.fori_loop(0, nb * VPU_ROWS_PER_BLK,
+                                             row_body, bb)
+        return z
+
+    _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
+                     process_chunk, use_super, _tile_octant(dx, dy, dz),
+                     rows_per_blk=VPU_ROWS_PER_BLK)
+
+
 def _whole(tab):
     return pl.BlockSpec(tab.shape, lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
@@ -1125,8 +1338,9 @@ def _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab, vert_tab,
 
 
 def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
-    sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt = (
-        pack_scene_stream(scene))
+    pack = (pack_scene_stream_vpu if stream_sweep() == "vpu"
+            else pack_scene_stream)
+    sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt = pack(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
     rows = tile_rows(True)
@@ -1134,10 +1348,18 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
     tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
-    bop = _bop_table(*tiled)
 
-    kernel = functools.partial(_nearest_stream_kernel, ns=ns, nl=nl,
-                               use_super=use_super)
+    vpu = stream_sweep() == "vpu"
+    if vpu:
+        kernel = functools.partial(_nearest_stream_kernel_vpu, ns=ns, nl=nl,
+                                   use_super=use_super)
+        extra_in, extra_ops, window = [], [], VPU_WINDOW
+    else:
+        kernel = functools.partial(_nearest_stream_kernel, ns=ns, nl=nl,
+                                   use_super=use_super)
+        extra_in = [pl.BlockSpec((rows * BLK_ROWS, LANE), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        extra_ops, window = [_bop_table(*tiled)], STREAM_ROWS
     shapes = [jnp.float32, jnp.int32, jnp.int32]
     outs = pl.pallas_call(
         kernel,
@@ -1147,8 +1369,7 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
             _whole(cl_tab),
             _whole(sup_tab),
-            pl.BlockSpec((rows * BLK_ROWS, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            *extra_in,
             *_ray_specs(6, rows),
         ],
         out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
@@ -1156,16 +1377,18 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
                    for _ in shapes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in shapes],
-        scratch_shapes=_stream_scratch(),
+        scratch_shapes=_stream_scratch(window),
         interpret=interpret,
-    )(sph_tab, a_tab, cl_tab, sup_tab, bop, *tiled)
+    )(sph_tab, a_tab, cl_tab, sup_tab, *extra_ops, *tiled)
     t, idx, kind = (o.reshape(-1)[:B] for o in outs)
     return _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab,
                                  vert_tab, with_uv)
 
 
 def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
-    sph_tab, a_tab, _, _, cl_tab, ns, nl, nt = pack_scene_stream(
+    vpu = stream_sweep() == "vpu"
+    pack = pack_scene_stream_vpu if vpu else pack_scene_stream
+    sph_tab, a_tab, _, _, cl_tab, ns, nl, nt = pack(
         scene, dielectrics_block=dielectrics_block)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = p1.shape[0]
@@ -1175,11 +1398,19 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
     tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
-    bop = _bop_table(*tiled[:6])
 
-    kernel = functools.partial(
-        _blocker_stream_kernel, ns=ns, nl=nl,
-        blocks_col=4 if dielectrics_block else 5, use_super=use_super)
+    if vpu:
+        kernel = functools.partial(
+            _blocker_stream_kernel_vpu, ns=ns, nl=nl,
+            blocks_col=4 if dielectrics_block else 5, use_super=use_super)
+        extra_in, extra_ops, window = [], [], VPU_WINDOW
+    else:
+        kernel = functools.partial(
+            _blocker_stream_kernel, ns=ns, nl=nl,
+            blocks_col=4 if dielectrics_block else 5, use_super=use_super)
+        extra_in = [pl.BlockSpec((rows * BLK_ROWS, LANE), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        extra_ops, window = [_bop_table(*tiled[:6])], STREAM_ROWS
     blocked = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1188,16 +1419,15 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
             _whole(cl_tab),
             _whole(sup_tab),
-            pl.BlockSpec((rows * BLK_ROWS, LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            *extra_in,
             *_ray_specs(7, rows),
         ],
         out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
-        scratch_shapes=_stream_scratch(),
+        scratch_shapes=_stream_scratch(window),
         interpret=interpret,
-    )(sph_tab, a_tab, cl_tab, sup_tab, bop, *tiled)
+    )(sph_tab, a_tab, cl_tab, sup_tab, *extra_ops, *tiled)
     return blocked.reshape(-1)[:B] != 0
 
 

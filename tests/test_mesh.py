@@ -251,10 +251,14 @@ def test_textured_mesh_renders_pt(tmp_path):
     assert np.all(np.isfinite(img))
 
 
-def test_streaming_kernels_match_xla():
+@pytest.mark.parametrize("sweep", ["mxu", "vpu"])
+def test_streaming_kernels_match_xla(sweep, monkeypatch):
     """HBM-streaming nearest-hit/blocker kernels (forced, interpret mode)
-    vs the XLA brute force on the 2304-tri mesh."""
+    vs the XLA brute force on the 2304-tri mesh — both sweep backends."""
+    monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
     import jax
+
+    jax.clear_caches()  # sweep choice is read at trace time
     import jax.numpy as jnp
 
     from path_tracing_tpu.ops import intersect as I
@@ -295,9 +299,13 @@ def test_streaming_kernels_match_xla():
     assert (np.asarray(b_s) == (np.asarray(tr) == 0.0)).mean() > 0.999
 
 
-def test_streaming_kernels_with_uv(tmp_path):
-    """Streamed slot table carries the UV/tex columns too."""
+@pytest.mark.parametrize("sweep", ["mxu", "vpu"])
+def test_streaming_kernels_with_uv(tmp_path, sweep, monkeypatch):
+    """Streamed table carries the UV/tex columns too (both backends)."""
+    monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
     import jax
+
+    jax.clear_caches()
     import jax.numpy as jnp
 
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas

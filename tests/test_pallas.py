@@ -236,18 +236,24 @@ def test_textured_fused_shade_matches_xla_path(tmp_path):
         ma, mr)
 
 
-def test_streaming_kernels_match_vmem_on_tpu():
+@pytest.mark.parametrize("sweep", ["mxu", "vpu"])
+def test_streaming_kernels_match_vmem_on_tpu(sweep, monkeypatch):
     """HBM-streaming nearest-hit (force_stream) agrees with the VMEM-table
     kernel on real hardware (the CPU suite only covers interpret mode).
 
-    The streamed sweep evaluates determinant-form Moller-Trumbore on the
-    MXU at Precision.HIGHEST — a different (but exact-rank) f32 summation
-    order than the VMEM kernel's scalar form — so agreement is to float
-    tolerance, not bit-identity; edge-grazing rays may flip hit/miss."""
+    The MXU sweep evaluates determinant-form Moller-Trumbore at
+    Precision.HIGHEST — a different (but exact-rank) f32 summation order
+    than the VMEM kernel's scalar form — so agreement is to float
+    tolerance, not bit-identity; edge-grazing rays may flip hit/miss.  The
+    VPU sweep shares ``_mt_core``'s arithmetic and should agree exactly,
+    but is held to the same tolerance here."""
     import jax.numpy as jnp
 
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
     from path_tracing_tpu.scene.obj_loader import load_any_scene
+
+    monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
+    jax.clear_caches()
 
     p = load_any_scene("tests/fixtures/sphere.obj")
     scene = p.to_device()
