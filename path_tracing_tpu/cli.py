@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "number instead, keeping per-pass history.  The "
                          "headless equivalent of the reference GUI's live "
                          "window (main.cpp:399-500)")
+    ap.add_argument("--live-term", nargs="?", const=80, type=int,
+                    default=None, metavar="COLS",
+                    help="progressive viewing IN the terminal: after every "
+                         "iteration redraw the accumulated image as 24-bit "
+                         "ANSI half-blocks, COLS cells wide (default 80) — "
+                         "the reference GUI's live window (main.cpp:399-500) "
+                         "for a headless box / SSH session")
     ap.add_argument("--retries", type=int, default=1,
                     help="per-iteration retry budget for transient device "
                          "faults: on an exception the accumulated state is "
@@ -188,6 +195,16 @@ def main(argv=None) -> int:
                            / max(int(state.n_iters), 1), W, H)
                 os.replace(tmp, live)
                 print(f"[Live] wrote {live}")
+            if args.live_term:
+                from .film import ansi_preview, tonemap_u8
+
+                u8 = tonemap_u8(np.asarray(state.radiance_sum)
+                                / max(int(state.n_iters), 1), W, H)
+                pre = ansi_preview(u8, max_cols=int(args.live_term))
+                nl = pre.count("\n") + 1
+                # redraw in place after the first frame (cursor up)
+                lead = f"\x1b[{nl + 1}A" if i > start_iter else ""
+                print(f"{lead}{pre}\n[Live] iter {i + 1}", flush=True)
 
         from .runtime.resilience import RenderSupervisor
 

@@ -139,6 +139,43 @@ def read_png(path: str) -> np.ndarray:
     return out
 
 
+def ansi_preview(rgb_u8: np.ndarray, max_cols: int = 80) -> str:
+    """Render an (H, W, 3) u8 image as 24-bit-color Unicode half-blocks.
+
+    Each terminal cell shows two vertically stacked pixels ('▀' with the
+    top pixel as foreground and the bottom as background), so a cols-wide
+    preview carries cols x 2*rows pixels at roughly square aspect.  The
+    image is box-averaged down to fit ``max_cols``.  This is the headless
+    stand-in for the reference GUI's live texture view (main.cpp:433-500)
+    — watch a progressive render converge over SSH."""
+    h, w, _ = rgb_u8.shape
+    cols = max(2, min(max_cols, w))
+    rows2 = max(2, int(round(h * cols / w)))  # pixel rows in the preview
+    rows2 += rows2 % 2
+
+    def bucket(img, n, axis):
+        edges = np.linspace(0, img.shape[axis], n + 1).astype(int)
+        sums = np.add.reduceat(img.astype(np.float32), edges[:-1], axis=axis)
+        cnt = np.maximum(np.diff(edges), 1)
+        shape = [1, 1, 1]
+        shape[axis] = n
+        return sums / cnt.reshape(shape)
+
+    small = bucket(bucket(rgb_u8, rows2, 0), cols, 1)
+    small = np.clip(small + 0.5, 0, 255).astype(np.uint8)
+    top, bot = small[0::2], small[1::2]
+    lines = []
+    for r in range(top.shape[0]):
+        cells = []
+        for c in range(cols):
+            tr, tg, tb = (int(v) for v in top[r, c])
+            br, bg, bb = (int(v) for v in bot[r, c])
+            cells.append(f"\x1b[38;2;{tr};{tg};{tb}m"
+                         f"\x1b[48;2;{br};{bg};{bb}m▀")
+        lines.append("".join(cells) + "\x1b[0m")
+    return "\n".join(lines)
+
+
 def save_image(path: str, linear: np.ndarray, width: int, height: int) -> None:
     write_png(path, tonemap_u8(linear, width, height))
 

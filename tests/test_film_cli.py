@@ -89,6 +89,40 @@ def test_cli_live_progressive(tmp_path):
         assert img.shape == (16, 16, 3)
 
 
+def test_ansi_preview_shape_and_colors():
+    """ansi_preview downsamples to the cell budget and emits 24-bit SGR
+    half-blocks (the terminal live view)."""
+    from path_tracing_tpu.film import ansi_preview
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[:32] = (255, 0, 0)    # top half red
+    img[32:] = (0, 0, 255)    # bottom half blue
+    s = ansi_preview(img, max_cols=16)
+    lines = s.split("\n")
+    assert len(lines) == 8                       # 16 pixel rows -> 8 cells
+    assert all(line.count("▀") == 16 for line in lines)
+    assert "\x1b[38;2;255;0;0m" in lines[0]      # red foreground up top
+    assert "\x1b[48;2;0;0;255m" in lines[-1]     # blue background at bottom
+    assert all(line.endswith("\x1b[0m") for line in lines)
+
+
+def test_cli_live_term(tmp_path):
+    """--live-term redraws the accumulation as ANSI half-blocks."""
+    out = str(tmp_path / "out.png")
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               PT_TPU_CACHE=os.path.expanduser("~/.cache/jax_pt_tpu"))
+    r = subprocess.run(
+        [sys.executable, "-m", "path_tracing_tpu.cli", "--input", INPUT_TXT,
+         "--mode", "pt", "--spp", "1", "--width", "16", "--height", "16",
+         "--eye-depth", "2", "--output", out, "--seed", "1",
+         "--iters", "2", "--live-term", "8"],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "\x1b[38;2;" in r.stdout and "▀" in r.stdout
+    assert "\x1b[5A" in r.stdout  # second frame redraws in place (4+1 lines)
+
+
 def test_pt_fixed_mis_mode_differs_and_adds_energy():
     """quirk 2: the stubbed strategy-A branch contributes nothing; the fixed
     estimator adds the BSDF-hits-light term on rough surfaces."""
