@@ -132,10 +132,23 @@ def run(args) -> dict:
 
         if c == 3:
             W, H, spp = 1920, 1080, args.spp or 1024
-            scene, cam, cfg = setup(args.obj, W, H, eye_depth=4,
-                                    delta_budget=4)
-            name = (f"config3 1080p PT over OBJ mesh ({scene.num_triangles} "
-                    f"tris, clustered), spp={spp}")
+            if args.gen_tris:
+                from path_tracing_tpu.scene.synth import icosphere_scene
+
+                p = icosphere_scene(args.gen_tris, textured=args.gen_tex)
+                scene = p.to_device()
+                cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+                cfg = RenderConfig(width=W, height=H, eye_depth=4,
+                                   delta_budget=4)
+                kind = "synthetic icosphere" + (" textured" if args.gen_tex
+                                                else "")
+            else:
+                scene, cam, cfg = setup(args.obj, W, H, eye_depth=4,
+                                        delta_budget=4)
+                kind = "OBJ mesh" + (" textured" if scene.has_textures
+                                     else "")
+            name = (f"config3 1080p PT over {kind} "
+                    f"({scene.num_triangles} tris, clustered), spp={spp}")
         elif c == 2:
             W, H, spp = 512, 512, args.spp or 256
             scene, cam, cfg = setup("/root/reference/mis_test.txt", W, H,
@@ -241,6 +254,14 @@ def main() -> int:
                     help="0 = headline 1080p PT; 1-5 = BASELINE configs; "
                          "'rmse' = time-to-target-RMSE vs the oracle")
     ap.add_argument("--obj", default="tests/fixtures/sphere.obj")
+    ap.add_argument("--gen-tris", type=int, default=0,
+                    help="config 3: render a synthetic icosphere with >= N "
+                         "triangles instead of --obj (reproducible big-mesh "
+                         "benchmark; >131072 exercises the HBM-streaming "
+                         "kernels)")
+    ap.add_argument("--gen-tex", action="store_true",
+                    help="config 3 with --gen-tris: add spherical UVs + a "
+                         "checker texture (the textured-mesh benchmark)")
     ap.add_argument("--spp", type=int, default=0)
     ap.add_argument("--res", default="",
                     help="config 5: WxH override (e.g. 1920x1080)")

@@ -226,7 +226,13 @@ def load_any_scene(path: str) -> ParsedScene:
         out.lights = comp.lights
         return out
 
-    # default framing: look at the bbox center from outside along -z
+    return default_framing(out)
+
+
+def default_framing(out: ParsedScene) -> ParsedScene:
+    """Default camera + overhead spot for scenes without E/V/F/R/L records:
+    look at the bbox center from outside along -z (shared by bare OBJ
+    loads and the synthetic benchmark scenes, scene/synth.py)."""
     v = np.asarray([p for tri in out.tri_verts for p in tri], np.float32)
     lo, hi = v.min(axis=0), v.max(axis=0)
     center = (lo + hi) / 2

@@ -251,6 +251,37 @@ def test_textured_mesh_renders_pt(tmp_path):
     assert np.all(np.isfinite(img))
 
 
+@pytest.mark.parametrize("textured", [False, True])
+def test_synth_icosphere_scene_renders(textured):
+    """The committed benchmark-scene generator (scene/synth.py) produces a
+    renderable ParsedScene at the requested size, with UVs + checker atlas
+    when textured (reproducible BASELINE config-3 inputs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.pt import render_pt
+    from path_tracing_tpu.scene.camera import make_camera
+    from path_tracing_tpu.scene.synth import icosphere_scene
+
+    p = icosphere_scene(300, textured=textured)
+    scene = p.to_device()
+    assert scene.num_triangles >= 300
+    assert scene.has_textures == textured
+    W = H = 16
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=2, delta_budget=2)
+    img = np.asarray(render_pt(scene, cam, W, H, 4, cfg,
+                               jax.random.PRNGKey(0)))
+    assert np.all(np.isfinite(img))
+    assert float(img.sum()) > 0.0
+    if textured:
+        # the checker's red/blue should both reach the film
+        on = img[img.sum(-1) > 1e-5]
+        assert on.shape[0] > 8
+        del jnp
+
+
 @pytest.mark.parametrize("sweep", ["mxu", "vpu"])
 def test_streaming_kernels_match_xla(sweep, monkeypatch):
     """HBM-streaming nearest-hit/blocker kernels (forced, interpret mode)
