@@ -282,10 +282,13 @@ def test_synth_icosphere_scene_renders(textured):
         del jnp
 
 
-@pytest.mark.parametrize("sweep", ["mxu", "vpu"])
-def test_streaming_kernels_match_xla(sweep, monkeypatch):
+@pytest.mark.parametrize("sweep,leaf", [("mxu", None), ("vpu", None),
+                                        ("mxu", 640), ("vpu", 640)])
+def test_streaming_kernels_match_xla(sweep, leaf, monkeypatch):
     """HBM-streaming nearest-hit/blocker kernels (forced, interpret mode)
-    vs the XLA brute force on the 2304-tri mesh — both sweep backends."""
+    vs the XLA brute force on the 2304-tri mesh — both sweep backends.
+    ``leaf=640`` makes clusters span multiple DMA windows, exercising the
+    straddling extra-chunk path (slot 2) in both table geometries."""
     monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
     import jax
 
@@ -297,7 +300,7 @@ def test_streaming_kernels_match_xla(sweep, monkeypatch):
                                                        nearest_hit_pallas)
 
     p = load_any_scene(SPHERE_OBJ)
-    scene = p.to_device()
+    scene = p.to_device(cluster_leaf_size=leaf) if leaf else p.to_device()
     k = jax.random.PRNGKey(5)
     B = 512
     ro = jax.random.uniform(k, (B, 3), minval=-0.8, maxval=0.8)
