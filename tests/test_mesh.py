@@ -282,6 +282,37 @@ def test_synth_icosphere_scene_renders(textured):
         del jnp
 
 
+def test_textured_scene_all_integrators():
+    """Texel modulation lives in find_closest_hit, so BDPT and PPM render
+    textured meshes too (they gate off their fused/megakernel tiers but
+    must still see modulated base colors)."""
+    import jax
+
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.bdpt import render_bdpt
+    from path_tracing_tpu.integrators.ppm import render_ppm
+    from path_tracing_tpu.scene.camera import make_camera
+    from path_tracing_tpu.scene.synth import icosphere_scene
+
+    p = icosphere_scene(300, textured=True)
+    scene = p.to_device()
+    W = H = 16
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=2, light_depth=2,
+                       delta_budget=2)
+    b = np.asarray(render_bdpt(scene, cam, W, H, 2, 4, cfg,
+                               jax.random.PRNGKey(0)))
+    assert np.all(np.isfinite(b)) and float(b.sum()) > 0.0
+    pm = np.asarray(render_ppm(scene, cam, W, H, 2048, cfg,
+                               jax.random.PRNGKey(1)))
+    assert np.all(np.isfinite(pm))
+    # the red/blue checker must leave unequal channels somewhere (a flat
+    # white-diffuse render would keep r == b on every lit pixel)
+    lit = b[b.sum(-1) > 1e-5]
+    assert lit.shape[0] > 4
+    assert float(np.abs(lit[:, 0] - lit[:, 2]).max()) > 1e-4
+
+
 @pytest.mark.parametrize("sweep,leaf", [("mxu", None), ("vpu", None),
                                         ("mxu", 640), ("vpu", 640)])
 def test_streaming_kernels_match_xla(sweep, leaf, monkeypatch):
