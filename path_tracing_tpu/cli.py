@@ -202,8 +202,12 @@ def main(argv=None) -> int:
                                 / max(int(state.n_iters), 1), W, H)
                 pre = ansi_preview(u8, max_cols=int(args.live_term))
                 nl = pre.count("\n") + 1
-                # redraw in place after the first frame (cursor up)
-                lead = f"\x1b[{nl + 1}A" if i > start_iter else ""
+                # redraw in place: the previous block was nl+1 lines
+                # (preview + status), and since then this iteration printed
+                # its '[Render] iter' line plus '[Live] wrote' when --live
+                # is also on — climb past all of them
+                up = nl + 2 + (1 if args.live else 0)
+                lead = f"\x1b[{up}A" if i > start_iter else ""
                 print(f"{lead}{pre}\n[Live] iter {i + 1}", flush=True)
 
         from .runtime.resilience import RenderSupervisor

@@ -63,9 +63,16 @@ TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
 TB = 32            # triangles per block (both streaming table forms)
 BLK_ROWS = 16      # K rows per block in the MXU A table
 STREAM_ROWS = 128  # MXU rows per DMA chunk = 8 blocks = 256 triangles
-MT_PRECISION = (jax.lax.Precision.DEFAULT
-                if os.environ.get("PT_TPU_MT_FAST") == "1"
-                else jax.lax.Precision.HIGHEST)
+
+
+def _mt_precision():
+    """MXU sweep precision — read per trace (not at import) so the
+    PT_TPU_MT_FAST A/B toggle composes with jax.clear_caches() like every
+    other env knob.  HIGHEST keeps f32 t-agreement; DEFAULT runs the
+    single bf16 pass for speed A/Bs."""
+    return (jax.lax.Precision.DEFAULT
+            if os.environ.get("PT_TPU_MT_FAST") == "1"
+            else jax.lax.Precision.HIGHEST)
 
 # VPU-sweep streaming table: 8 slots of 16 lanes per row
 VPU_SLOT = 16
@@ -399,8 +406,21 @@ def _mt_core(read, rox, roy, roz, rdx, rdy, rdz):
     keeping ONE copy of the math guarantees shadow rays and primary rays
     agree bit-for-bit."""
     v0x, v0y, v0z = read(0), read(1), read(2)
-    e1x = read(3) - v0x; e1y = read(4) - v0y; e1z = read(5) - v0z
-    e2x = read(6) - v0x; e2y = read(7) - v0y; e2z = read(8) - v0z
+    e1 = (read(3) - v0x, read(4) - v0y, read(5) - v0z)
+    e2 = (read(6) - v0x, read(7) - v0y, read(8) - v0z)
+    return _mt_from_edges((v0x, v0y, v0z), e1, e2,
+                          rox, roy, roz, rdx, rdy, rdz, EPSILON)
+
+
+def _mt_from_edges(v0, e1, e2, rox, roy, roz, rdx, rdy, rdz, t_gate_lo):
+    """The edges-onward Moller-Trumbore body — the SINGLE copy shared by
+    ``_mt_core`` (VMEM tables, edges from vertex columns) and
+    ``_vpu_slot_eval`` (streamed slot tables, edges precomputed at pack
+    time with the same f32 subtraction), which is what guarantees their
+    u/v/t agree bit-for-bit."""
+    v0x, v0y, v0z = v0
+    e1x, e1y, e1z = e1
+    e2x, e2y, e2z = e2
     hx = rdy * e2z - rdz * e2y
     hy = rdz * e2x - rdx * e2z
     hz = rdx * e2y - rdy * e2x
@@ -415,7 +435,7 @@ def _mt_core(read, rox, roy, roz, rdx, rdy, rdz):
     v = f * (rdx * qx + rdy * qy + rdz * qz)
     t = f * (e2x * qx + e2y * qy + e2z * qz)
     ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-          & (u + v <= 1.0) & (t > EPSILON))
+          & (u + v <= 1.0) & (t > t_gate_lo))
     return ok, u, v, t
 
 
@@ -921,7 +941,7 @@ def _mxu_block_eval(a_blk, bop, t_gate_lo):
     one 128-lane ray row.  Returns scaled-free (ok, t) as (TB, 128)."""
     out = jax.lax.dot_general(
         a_blk, bop, (((0,), (0,)), ((), ())),
-        precision=MT_PRECISION, preferred_element_type=jnp.float32)
+        precision=_mt_precision(), preferred_element_type=jnp.float32)
     ua = out[0:TB]
     va = out[TB:2 * TB]
     ta = out[2 * TB:3 * TB]
@@ -938,26 +958,12 @@ def _mxu_block_eval(a_blk, bop, t_gate_lo):
 
 def _vpu_slot_eval(read, rox, roy, roz, rdx, rdy, rdz, t_gate_lo):
     """One triangle (a 16-lane slot: v0, e1, e2 precomputed) against the
-    whole ray tile — the ``_mt_core`` arithmetic from the edges onward, so
-    u/v/t agree bit-for-bit with the VMEM kernel.  Returns (ok, t)."""
-    v0x, v0y, v0z = read(0), read(1), read(2)
-    e1x, e1y, e1z = read(3), read(4), read(5)
-    e2x, e2y, e2z = read(6), read(7), read(8)
-    hx = rdy * e2z - rdz * e2y
-    hy = rdz * e2x - rdx * e2z
-    hz = rdx * e2y - rdy * e2x
-    a = e1x * hx + e1y * hy + e1z * hz
-    parallel = (a > -1e-6) & (a < 1e-6)
-    f = 1.0 / jnp.where(parallel, 1.0, a)
-    sx, sy, sz = rox - v0x, roy - v0y, roz - v0z
-    u = f * (sx * hx + sy * hy + sz * hz)
-    qx = sy * e1z - sz * e1y
-    qy = sz * e1x - sx * e1z
-    qz = sx * e1y - sy * e1x
-    v = f * (rdx * qx + rdy * qy + rdz * qz)
-    t = f * (e2x * qx + e2y * qy + e2z * qz)
-    ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-          & (u + v <= 1.0) & (t > t_gate_lo))
+    whole ray tile via the shared ``_mt_from_edges`` body, so u/v/t agree
+    bit-for-bit with the VMEM kernel.  Returns (ok, t)."""
+    ok, _, _, t = _mt_from_edges(
+        (read(0), read(1), read(2)), (read(3), read(4), read(5)),
+        (read(6), read(7), read(8)), rox, roy, roz, rdx, rdy, rdz,
+        t_gate_lo)
     return ok, t
 
 
@@ -1121,21 +1127,11 @@ def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
                      rows_per_blk=VPU_ROWS_PER_BLK)
 
 
-def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
-                           ox, oy, oz, dx, dy, dz, maxd,
-                           blocked_out, tri_vmem, dma_sem,
-                           *, ns, nl, blocks_col, use_super):
-    """any-hit in (1e-3, maxd) for HBM-streamed meshes.  The per-triangle
-    can-block flag is BAKED into the A table (``pack_scene_stream``
-    zeroes the ``a`` lanes of non-blocking triangles -> parallel -> never
-    hit), so the sweep needs no flag reads at all; sphere/light-ball flags
-    stay per-row as in the VMEM kernel."""
-    rows = ox.shape[0]
-    rox, roy, roz = ox[...], oy[...], oz[...]
-    rdx, rdy, rdz = dx[...], dy[...], dz[...]
-    md = maxd[...]
-    MIN_D = 1e-3
-
+def _blocker_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz, md,
+                             blocked_out, ns, nl, blocks_col, min_d):
+    """Shared any-hit init for the streaming sweeps: output ref zeroed,
+    spheres+light balls swept honoring their can-block flag, and the
+    blocked-aware cluster slab cull returned as a closure."""
     blocked_out[...] = jnp.zeros(rox.shape, jnp.int32)
 
     def sph_body(i, z):
@@ -1154,7 +1150,7 @@ def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
         v2 = ok & (t2 > EPSILON) & (t2 < md)
         t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
         blocked_out[...] = (blocked_out[...]
-                            | ((t < INF) & (t > MIN_D)).astype(jnp.int32))
+                            | ((t < INF) & (t > min_d)).astype(jnp.int32))
         return z
 
     jax.lax.fori_loop(0, ns + nl, sph_body, jnp.int32(0))
@@ -1171,11 +1167,32 @@ def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
         t1z = (ref[c, 5] - roz) * invz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
+                         jnp.maximum(jnp.minimum(t0z, t1z), min_d))
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
         return (tn <= tf) & (tn < md) & (blocked == 0)
+
+    return could_hit
+
+
+def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
+                           ox, oy, oz, dx, dy, dz, maxd,
+                           blocked_out, tri_vmem, dma_sem,
+                           *, ns, nl, blocks_col, use_super):
+    """any-hit in (1e-3, maxd) for HBM-streamed meshes.  The per-triangle
+    can-block flag is BAKED into the A table (``pack_scene_stream``
+    zeroes the ``a`` lanes of non-blocking triangles -> parallel -> never
+    hit), so the sweep needs no flag reads at all; sphere/light-ball flags
+    stay per-row as in the VMEM kernel."""
+    rows = ox.shape[0]
+    rox, roy, roz = ox[...], oy[...], oz[...]
+    rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    md = maxd[...]
+    MIN_D = 1e-3
+    could_hit = _blocker_stream_prologue(
+        sph_ref, rox, roy, roz, rdx, rdy, rdz, md, blocked_out,
+        ns, nl, blocks_col, MIN_D)
 
     def process_chunk(sl, nb, base, z):
         def row_body(r, z):
@@ -1212,47 +1229,9 @@ def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     md = maxd[...]
     MIN_D = 1e-3
-
-    blocked_out[...] = jnp.zeros(rox.shape, jnp.int32)
-
-    def sph_body(i, z):
-        cx = sph_ref[i, 0]; cy = sph_ref[i, 1]; cz = sph_ref[i, 2]
-        r = sph_ref[i, 3]
-        can_block = sph_ref[i, blocks_col]
-        ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
-        b = ocx * rdx + ocy * rdy + ocz * rdz
-        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-        h = b * b - c
-        sh = jnp.sqrt(jnp.maximum(h, 0.0))
-        t1 = -b - sh
-        t2 = -b + sh
-        ok = (h >= 0.0) & (r > 0.0) & (can_block > 0.0)
-        v1 = ok & (t1 > EPSILON) & (t1 < md)
-        v2 = ok & (t2 > EPSILON) & (t2 < md)
-        t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
-        blocked_out[...] = (blocked_out[...]
-                            | ((t < INF) & (t > MIN_D)).astype(jnp.int32))
-        return z
-
-    jax.lax.fori_loop(0, ns + nl, sph_body, jnp.int32(0))
-
-    invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
-
-    def could_hit(ref, c):
-        blocked = blocked_out[...]
-        t0x = (ref[c, 0] - rox) * invx
-        t1x = (ref[c, 3] - rox) * invx
-        t0y = (ref[c, 1] - roy) * invy
-        t1y = (ref[c, 4] - roy) * invy
-        t0z = (ref[c, 2] - roz) * invz
-        t1z = (ref[c, 5] - roz) * invz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        return (tn <= tf) & (tn < md) & (blocked == 0)
+    could_hit = _blocker_stream_prologue(
+        sph_ref, rox, roy, roz, rdx, rdy, rdz, md, blocked_out,
+        ns, nl, blocks_col, MIN_D)
 
     def process_chunk(sl, nb, base, z):
         bb = blocked_out[...]

@@ -120,7 +120,9 @@ def test_cli_live_term(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "\x1b[38;2;" in r.stdout and "▀" in r.stdout
-    assert "\x1b[5A" in r.stdout  # second frame redraws in place (4+1 lines)
+    # second frame climbs past the previous 4-row preview + its status
+    # line + this iteration's '[Render] iter' line = 6 lines
+    assert "\x1b[6A" in r.stdout
 
 
 def test_pt_fixed_mis_mode_differs_and_adds_energy():

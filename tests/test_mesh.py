@@ -314,12 +314,16 @@ def test_textured_scene_all_integrators():
 
 
 @pytest.mark.parametrize("sweep,leaf", [("mxu", None), ("vpu", None),
-                                        ("mxu", 640), ("vpu", 640)])
+                                        ("mxu", 640), ("vpu", 640),
+                                        ("vpu", 96)])
 def test_streaming_kernels_match_xla(sweep, leaf, monkeypatch):
     """HBM-streaming nearest-hit/blocker kernels (forced, interpret mode)
     vs the XLA brute force on the 2304-tri mesh — both sweep backends.
     ``leaf=640`` makes clusters span multiple DMA windows, exercising the
-    straddling extra-chunk path (slot 2) in both table geometries."""
+    straddling extra-chunk path (slot 2) in both table geometries;
+    ``leaf=96`` gives odd per-cluster block counts, so VPU window starts
+    land on sublane offsets of 4 mod 8 (an alignment class the MXU table,
+    whose blocks are 16 rows, can never produce)."""
     monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
     import jax
 
