@@ -23,9 +23,13 @@ def setup_jax_cache(path: str | None = None) -> None:
     """
     import jax
 
-    want = (os.environ.get("JAX_PLATFORMS")
-            or os.environ.get("JAX_PLATFORM_NAME") or "")
-    if want.strip().lower() == "cpu":
+    # A cpu request in EITHER variable wins: this environment exports an
+    # ambient ``JAX_PLATFORMS=axon``, so ``JAX_PLATFORM_NAME=cpu pt-tpu ...``
+    # must not be masked by it (it was — the CLI then initialized the axon
+    # plugin, which HANGS whenever the TPU is wedged).
+    vals = {os.environ.get("JAX_PLATFORMS", "").strip().lower(),
+            os.environ.get("JAX_PLATFORM_NAME", "").strip().lower()}
+    if "cpu" in vals:
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:  # backends already initialized — nothing to save
