@@ -33,6 +33,12 @@ namespace {
 
 struct Mtl {
     float r = 0, g = 0, b = 0, rough = 0, metal = 0, eta = 0;
+    // legacy Phong tail (reference Material_Old, object.h:17-25): only Ks and
+    // refract are live on the device — inside check_visibility's RGB shadow
+    // transmittance (geometric.cuh:293-325).  The reference never populates
+    // them (to_cmtl_old is dead code, SURVEY.md quirk 12); the extension 'K'
+    // record activates the machinery.
+    float ks_r = 0, ks_g = 0, ks_b = 0, refract = 0;
 };
 
 struct Scene {
@@ -47,6 +53,10 @@ struct Scene {
     std::vector<int> tri_groups;
     // lights: 12 floats (pos3, dir3, illum3, cutoff_rad, is_parallel, ball_r)
     std::vector<float> lights;
+    // legacy shadow-transmittance materials, 4 floats per object (ks3,
+    // refract); all-zero unless the scene uses the 'K' extension record
+    std::vector<float> sphere_legacy;
+    std::vector<float> tri_legacy;
 };
 
 constexpr double kPi = 3.14159265358979323846;
@@ -95,15 +105,29 @@ bool parse_scene_text(const std::string& text, Scene* out) {
                 out->width = (int)num(0); out->height = (int)num(1);
                 i += 2; break;
             case 'M':
+                // a new material definition starts with a clean legacy tail
                 if (!want(6)) return true;
                 mtl = {num(0), num(1), num(2), num(3), num(4), num(5)};
                 i += 6; break;
+            case 'K':
+                // extension: legacy Ks + refract for the current material
+                // (activates the RGB shadow-transmittance machinery the
+                // reference carries but never feeds, geometric.cuh:293-325;
+                // the reference parser skips unknown tags, so 'K' files
+                // remain loadable there)
+                if (!want(4)) return true;
+                mtl.ks_r = num(0); mtl.ks_g = num(1); mtl.ks_b = num(2);
+                mtl.refract = num(3);
+                i += 4; break;
             case 'S': {
                 if (!want(4)) return true;
                 float row[10] = {num(0), num(1), num(2), num(3),
                                  mtl.r, mtl.g, mtl.b, mtl.rough, mtl.metal,
                                  mtl.eta};
                 out->spheres.insert(out->spheres.end(), row, row + 10);
+                float leg[4] = {mtl.ks_r, mtl.ks_g, mtl.ks_b, mtl.refract};
+                out->sphere_legacy.insert(out->sphere_legacy.end(), leg,
+                                          leg + 4);
                 out->sphere_groups.push_back(group);
                 i += 4; break;
             }
@@ -114,6 +138,8 @@ bool parse_scene_text(const std::string& text, Scene* out) {
                 row[9] = mtl.r; row[10] = mtl.g; row[11] = mtl.b;
                 row[12] = mtl.rough; row[13] = mtl.metal; row[14] = mtl.eta;
                 out->triangles.insert(out->triangles.end(), row, row + 15);
+                float leg[4] = {mtl.ks_r, mtl.ks_g, mtl.ks_b, mtl.refract};
+                out->tri_legacy.insert(out->tri_legacy.end(), leg, leg + 4);
                 out->tri_groups.push_back(group);
                 i += 9; break;
             }
@@ -343,6 +369,21 @@ void pt_get_lights(void* h, float* out) {
     auto& v = ((Scene*)h)->lights;
     std::memcpy(out, v.data(), v.size() * sizeof(float));
 }
+// Legacy shadow-transmittance materials (ks3 + refract per object); rows the
+// parser did not populate (e.g. OBJ scenes) come back zero — the same
+// zero-initialized state the reference's device mtl_old fields have
+// (SURVEY.md quirk 12).
+void pt_get_legacy(void* h, float* sph_out, float* tri_out) {
+    auto* s = (Scene*)h;
+    size_t ns = s->spheres.size() / 10, nt = s->triangles.size() / 15;
+    std::memset(sph_out, 0, ns * 4 * sizeof(float));
+    std::memset(tri_out, 0, nt * 4 * sizeof(float));
+    std::memcpy(sph_out, s->sphere_legacy.data(),
+                std::min(s->sphere_legacy.size(), ns * 4) * sizeof(float));
+    std::memcpy(tri_out, s->tri_legacy.data(),
+                std::min(s->tri_legacy.size(), nt * 4) * sizeof(float));
+}
+
 void pt_get_groups(void* h, int* sphere_groups, int* tri_groups) {
     auto* s = (Scene*)h;
     std::memcpy(sphere_groups, s->sphere_groups.data(),

@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops import rng
 from ..ops.bsdf import bsdf_evaluate, bsdf_pdf, bsdf_sample
-from ..ops.intersect import (find_closest_hit, transmittance,
+from ..ops.intersect import (find_closest_hit, shadow_factor,
                              vmem_tris_ok)
 from ..ops.math3 import (EPSILON, PI, clamp_radiance, dot, is_valid_color,
                          normalize)
@@ -450,11 +450,11 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
         p2 = jnp.broadcast_to(
             lv.pos[None] + lv.normal[None] * EPSILON,
             (B, chunk, 3)).reshape(-1, 3)
-        trans = transmittance(
+        trans = shadow_factor(
             scene, p1, p2,
             dielectrics_block=cfg.shadow_dielectrics_block,
-        ).reshape(B, chunk)
-        gate &= trans > 0.0
+        ).reshape(B, chunk, 3)
+        gate &= jnp.any(trans > 0.0, axis=-1)
 
         g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
 
@@ -467,7 +467,7 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
         mis_w = jnp.where(mis_ok, 1.0 / jnp.maximum(sum_ratios, 1e-30), 0.0)
 
         contrib = (ev_tp[:, None] * f_e * f_l * lv.throughput[None]
-                   * (g_term * trans * mis_w)[..., None])
+                   * trans * (g_term * mis_w)[..., None])
         contrib = jnp.where(
             (gate & is_valid_color(contrib))[..., None],
             clamp_radiance(contrib, cfg.clamp), 0.0)
@@ -591,10 +591,10 @@ def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
     p1 = jnp.broadcast_to(ev_pos[:, None] + ev_normal[:, None] * EPSILON,
                           (B, M, 3)).reshape(-1, 3)
     p2 = (lvg.pos + lvg.normal * EPSILON).reshape(-1, 3)
-    trans = transmittance(scene, p1, p2,
+    trans = shadow_factor(scene, p1, p2,
                           dielectrics_block=cfg.shadow_dielectrics_block
-                          ).reshape(B, M)
-    gate &= trans > 0.0
+                          ).reshape(B, M, 3)
+    gate &= jnp.any(trans > 0.0, axis=-1)
 
     g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
     pdf_s_to_t = pdf_s * cos_l / jnp.maximum(dist2, 1e-20)
@@ -605,7 +605,7 @@ def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
     mis_w = jnp.where(mis_ok, 1.0 / jnp.maximum(sum_ratios, 1e-30), 0.0)
 
     contrib = (ev_tp[:, None] * f_e * f_l * lvg.throughput
-               * (g_term * trans * mis_w)[..., None])
+               * trans * (g_term * mis_w)[..., None])
     contrib = jnp.where((gate & is_valid_color(contrib))[..., None],
                         clamp_radiance(contrib, cfg.clamp), 0.0)
     return jnp.sum(contrib, axis=1)
@@ -637,6 +637,7 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
     fused_connect = (_use_fused_connect()
                      and cfg.bdpt_connection_samples == 0
                      and not scene.has_textures
+                     and not scene.has_legacy_ks
                      and vmem_tris_ok(scene))
     if fused_connect:
         from ..ops.pallas_connect import connect_pallas, pack_light_vertices
@@ -802,7 +803,8 @@ def render_bdpt(scene: Scene, cam: Camera, width: int, height: int, spp: int,
 
     if (_use_bdpt_megakernel() and not oracle
             and cfg.bdpt_connection_samples == 0
-            and not scene_used.has_textures and vmem_tris_ok(scene_used)):
+            and not scene_used.has_textures
+            and not scene_used.has_legacy_ks and vmem_tris_ok(scene_used)):
         # oracle mode is excluded: its contract is bit-identical renders on
         # ANY backend, and the megakernel's pltpu PRNG stream differs from
         # the XLA Threefry stream

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..config import RenderConfig
 from ..ops import rng
 from ..ops.bsdf import bsdf_eval_pdf, bsdf_evaluate, bsdf_pdf, bsdf_sample
-from ..ops.intersect import (find_closest_hit, transmittance,
+from ..ops.intersect import (find_closest_hit, shadow_factor,
                              vmem_tris_ok)
 from ..ops.math3 import (EPSILON, PI, clamp_radiance, dot, is_valid_color,
                          normalize)
@@ -144,15 +144,18 @@ def _nee(scene: Scene, cfg: RenderConfig, hit, wo, throughput,
     p2 = jnp.where(l_par[:, None], hit.pos + pdir * 1e4,
                    lp + d_local * EPSILON)
     # cheap pre-gate: skip impossible lanes' influence on the result (the
-    # sweep still runs for the whole batch — SIMD — but its result is masked)
-    tr = transmittance(scene, hit.pos + hit.normal * EPSILON, p2,
+    # sweep still runs for the whole batch — SIMD — but its result is masked).
+    # (B,3): RGB when the scene carries legacy Ks materials, a broadcast
+    # binary factor otherwise (geometric.cuh:293-325)
+    tr = shadow_factor(scene, hit.pos + hit.normal * EPSILON, p2,
                        dielectrics_block=cfg.shadow_dielectrics_block)
+    tr_pos = jnp.any(tr > 0.0, axis=-1)
 
     brdf, pdf_b = bsdf_eval_pdf(hit.mtl, wo, wi, hit.normal)
 
     # parallel-light contribution (no pdf/MIS, pt_cu.cu:142-143)
-    contrib_par = (throughput * brdf * l_illum
-                   * (tr * cos_surf * float(nl))[:, None])
+    contrib_par = (throughput * brdf * l_illum * tr
+                   * (cos_surf * float(nl))[:, None])
 
     # sphere-light contribution with area->solid-angle pdf + squared power
     # heuristic (pt_cu.cu:179-192)
@@ -162,12 +165,12 @@ def _nee(scene: Scene, cfg: RenderConfig, hit, wo, throughput,
     p_l = pdf_light_dir * pdf_light_dir
     p_b = pdf_b * pdf_b
     mis_w = p_l / jnp.maximum(p_l + p_b, 1e-8)
-    contrib_sph = (throughput * brdf * l_illum
-                   * (tr * cos_surf / pdf_light_dir * mis_w)[:, None])
+    contrib_sph = (throughput * brdf * l_illum * tr
+                   * (cos_surf / pdf_light_dir * mis_w)[:, None])
 
-    gate_par = (cos_surf > 0.0) & (tr > 0.0)
+    gate_par = (cos_surf > 0.0) & tr_pos
     gate_sph = ((cos_surf > 0.0) & (cos_light > 0.0) & inside_cone
-                & (tr > 0.0))
+                & tr_pos)
     return jnp.where(l_par[:, None],
                      jnp.where(gate_par[:, None], contrib_par, 0.0),
                      jnp.where(gate_sph[:, None], contrib_sph, 0.0))
@@ -324,7 +327,7 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     """
     B = px.shape[0]
     if (_use_megakernel() and not scene.has_textures
-            and vmem_tris_ok(scene)):
+            and not scene.has_legacy_ks and vmem_tris_ok(scene)):
         from ..ops.pallas_shade import render_wavefront_pallas
 
         light_tab = _light_table(scene)
@@ -351,14 +354,16 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     )
     # generous global cap; the while cond exits as soon as work runs dry
     max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
+    # legacy-Ks scenes take the XLA path: the in-kernel blocker sweep is
+    # binary, the RGB transmittance rule lives in shadow_factor only
     fused = (_use_fused_shade() and not scene.has_textures
-             and vmem_tris_ok(scene))
+             and not scene.has_legacy_ks and vmem_tris_ok(scene))
     # textured scenes keep the fused shade too: the hit comes from the
     # with_uv nearest kernel, the atlas texel is ONE batched XLA gather
     # between the kernels (Mosaic has no per-lane gather), and the shade
     # kernel consumes the texel-modulated base color (BASELINE config 3)
     fused_tex = (_use_fused_shade() and scene.has_textures
-                 and vmem_tris_ok(scene))
+                 and not scene.has_legacy_ks and vmem_tris_ok(scene))
     if fused or fused_tex:
         from ..ops.pallas_shade import (shade_step_pallas,
                                         shade_step_tex_pallas)

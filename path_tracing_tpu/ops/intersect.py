@@ -332,3 +332,63 @@ def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
             occludes &= (scene.sph_mtl.eta <= 0.0)[None, :]
         blocked |= jnp.any(occludes, axis=1)
     return jnp.where(blocked, 0.0, 1.0)
+
+
+def transmittance_rgb(scene: Scene, p1: jnp.ndarray,
+                      p2: jnp.ndarray) -> jnp.ndarray:
+    """RGB shadow transmittance, returned as (B, 3).
+
+    The reference's full ``check_visibility`` machinery (geometric.cuh:
+    293-325): every occluder between the endpoints either blocks the ray
+    completely (``mtl_old.refract <= 0``) or multiplies its legacy ``Ks``
+    into the transmission.  With the legacy tables all zero — the only state
+    the reference can reach, since ``to_cmtl_old`` is never called (quirk
+    12) — this reduces exactly to the binary ``transmittance``; scenes
+    activate it with the ``K`` record (scene/parser.py).
+
+    Light balls never occlude (they are not in the sphere/triangle tables),
+    matching the reference, which only scans spheres and triangles here.
+    """
+    diff = p2 - p1
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    rd = diff / jnp.maximum(dist, 1e-20)[:, None]
+    max_d = (dist - 1e-3)[:, None]
+    min_d = 1e-3
+
+    trans = jnp.ones((p1.shape[0], 3))
+
+    def fold(trans, occ, ks, refract):
+        # per-occluder factor: 1 if missed, Ks if refractive, 0 if opaque.
+        # Reduced per color component so the transient stays (B, N) — a
+        # (B, N, 3) tensor would be ~1 GB at a 2M-lane wavefront.
+        occf = occ.astype(jnp.float32)
+        cols = []
+        for c in range(3):
+            ks_c = jnp.where(refract > 0.0, ks[:, c], 0.0)[None, :]
+            cols.append(jnp.prod(1.0 - occf * (1.0 - ks_c), axis=1))
+        return trans * jnp.stack(cols, axis=-1)
+
+    if scene.num_triangles:
+        t = triangle_ts(p1, rd, scene.tri_v0, scene.tri_v1, scene.tri_v2,
+                        max_d)
+        trans = fold(trans, (t < INF) & (t > min_d),
+                     scene.tri_ks, scene.tri_refract)
+    if scene.num_spheres:
+        t = sphere_ts(p1, rd, scene.sph_center, scene.sph_radius, max_d)
+        trans = fold(trans, (t < INF) & (t > min_d),
+                     scene.sph_ks, scene.sph_refract)
+    return trans
+
+
+def shadow_factor(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
+                  dielectrics_block: bool) -> jnp.ndarray:
+    """Shadow transmittance as (B, 3), RGB when the scene carries legacy
+    Ks/refract materials (GPU-parity rule only; the CPU oracle's
+    ``dielectrics_block=False`` rule is binary in the reference,
+    cpu_bdpt.cpp:82-107).  Scenes without legacy data keep the fast binary
+    path (Pallas blocker kernels) and broadcast."""
+    if dielectrics_block and scene.has_legacy_ks:
+        return transmittance_rgb(scene, p1, p2)
+    return jnp.broadcast_to(
+        transmittance(scene, p1, p2, dielectrics_block)[:, None],
+        (p1.shape[0], 3))

@@ -55,6 +55,10 @@ def _load() -> Optional[ctypes.CDLL]:
               "pt_get_camera"):
         getattr(lib, f).argtypes = [ctypes.c_void_p, fp]
     lib.pt_get_groups.argtypes = [ctypes.c_void_p, ip, ip]
+    try:  # added with the 'K' legacy-material record; stale .so lacks it
+        lib.pt_get_legacy.argtypes = [ctypes.c_void_p, fp, fp]
+    except AttributeError:
+        pass
     lib.pt_build_clusters.restype = ctypes.c_int
     lib.pt_build_clusters.argtypes = [fp, ctypes.c_int, ctypes.c_int,
                                       ip, fp, ip, ctypes.c_int]
@@ -97,6 +101,10 @@ def parse_scene_native(path: str):
             lib.pt_get_lights(h, lig.reshape(-1))
         lib.pt_get_camera(h, cam)
         lib.pt_get_groups(h, sg, tg)
+        sleg = np.zeros((max(ns, 1), 4), np.float32)
+        tleg = np.zeros((max(nt, 1), 4), np.float32)
+        if hasattr(lib, "pt_get_legacy"):
+            lib.pt_get_legacy(h, sleg.reshape(-1), tleg.reshape(-1))
     finally:
         lib.pt_scene_free(h)
 
@@ -110,11 +118,13 @@ def parse_scene_native(path: str):
         out.sph_center.append(sph[i, 0:3].tolist())
         out.sph_radius.append(float(sph[i, 3]))
         out.sph_mtl.append(sph[i, 4:10].tolist())
+        out.sph_legacy.append(sleg[i].tolist())
         out.sph_group.append(int(sg[i]))
     for i in range(nt):
         out.tri_verts.append([tri[i, 0:3].tolist(), tri[i, 3:6].tolist(),
                               tri[i, 6:9].tolist()])
         out.tri_mtl.append(tri[i, 9:15].tolist())
+        out.tri_legacy.append(tleg[i].tolist())
         out.tri_group.append(int(tg[i]))
     out.lights = [lig[i].tolist() for i in range(nl)]
     return out

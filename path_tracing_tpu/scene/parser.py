@@ -9,6 +9,7 @@ The grammar (SURVEY.md appendix):
     F  fov_deg                                 field of view
     R  W H                                     resolution
     M  r g b  roughness metallic eta           current material (PBR)
+    K  ksr ksg ksb refract                     legacy Ks/refract (extension)
     S  cx cy cz  radius                        sphere
     T  x0 y0 z0  x1 y1 z1  x2 y2 z2            triangle
     G  id                                      current group id
@@ -20,6 +21,15 @@ tokens one character at a time (SURVEY.md quirk 9 — ``mis_test.txt`` ``M``
 lines carry 9 numbers and the extra 3 are silently eaten).  We reproduce
 that by skipping any token that is not a recognized single-letter record
 tag.  ``cutoff`` is converted to radians at parse time (main.cpp:182).
+
+``K`` is an extension record: the reference carries RGB shadow-transmittance
+machinery (``check_visibility`` multiplies ``mtl_old.Ks`` through refractive
+occluders, geometric.cuh:293-325) but never populates ``Material_Old`` —
+``to_cmtl_old`` is dead code, so the fields stay zero and every occluder
+blocks fully (SURVEY.md quirk 12).  ``K ksr ksg ksb refract`` sets the legacy
+tail of the *current* material (an ``M`` record resets it), activating that
+dormant capability; files using it still load in the reference, whose parser
+skips unknown tags.
 """
 from __future__ import annotations
 
@@ -31,7 +41,7 @@ import numpy as np
 
 from .types import Material, Scene, scene_from_numpy
 
-_TAGS = set("EVFRMSTGL")
+_TAGS = set("EVFRMKSTGL")
 
 
 @dataclass
@@ -58,6 +68,10 @@ class ParsedScene:
     tri_uv: List = field(default_factory=list)
     tri_tex: List = field(default_factory=list)
     textures: List = field(default_factory=list)
+    # legacy shadow-transmittance materials, rows [ksr, ksg, ksb, refract]
+    # per object ('K' extension record; all-zero = reference-reachable state)
+    sph_legacy: List = field(default_factory=list)
+    tri_legacy: List = field(default_factory=list)
 
     def to_device(self, cluster_leaf_size: int | None = None) -> Scene:
         import jax.numpy as jnp
@@ -114,6 +128,10 @@ class ParsedScene:
                      if self.tri_tex else None),
             tex_atlas=tex_atlas,
             tex_size=tex_size,
+            sph_legacy=(np.asarray(self.sph_legacy, np.float32).reshape(-1, 4)
+                        if self.sph_legacy else None),
+            tri_legacy=(np.asarray(self.tri_legacy, np.float32).reshape(-1, 4)
+                        if self.tri_legacy else None),
         )
 
 
@@ -133,6 +151,7 @@ def parse_scene_text(text: str) -> ParsedScene:
     i = 0
     n = len(toks)
     mtl = [0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    legacy = [0.0, 0.0, 0.0, 0.0]  # [ks3, refract] of the current material
     group_id = 0
 
     def take(k: int) -> List[float]:
@@ -160,16 +179,21 @@ def parse_scene_text(text: str) -> ParsedScene:
                 out.width, out.height = int(v[0]), int(v[1])
             elif t == "M":
                 mtl = take(6)
+                legacy = [0.0, 0.0, 0.0, 0.0]  # new material: clean tail
+            elif t == "K":
+                legacy = take(4)
             elif t == "S":
                 v = take(4)
                 out.sph_center.append(v[0:3])
                 out.sph_radius.append(v[3])
                 out.sph_mtl.append(list(mtl))
+                out.sph_legacy.append(list(legacy))
                 out.sph_group.append(group_id)
             elif t == "T":
                 v = take(9)
                 out.tri_verts.append([v[0:3], v[3:6], v[6:9]])
                 out.tri_mtl.append(list(mtl))
+                out.tri_legacy.append(list(legacy))
                 out.tri_group.append(group_id)
             elif t == "G":
                 group_id = int(float(toks[i])); i += 1

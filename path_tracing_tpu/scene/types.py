@@ -129,6 +129,22 @@ class Scene:
         default_factory=lambda: jnp.zeros((0, 1, 1, 3), jnp.float32))
     tex_size: jnp.ndarray = field(
         default_factory=lambda: jnp.zeros((0, 2), jnp.int32))     # (NT, 2)
+    # legacy shadow-transmittance materials (reference Material_Old.Ks /
+    # .refract, the only fields live on the device — inside
+    # check_visibility's RGB transmittance, geometric.cuh:293-325).  The
+    # reference never populates them (to_cmtl_old is dead code, quirk 12);
+    # the 'K' scene record activates the machinery here.  Empty (0-row)
+    # arrays mean "not activated" and keep every hot path on the binary
+    # blocker kernels.  Rows: ks (N,3) RGB transmission factor; refract (N,)
+    # — occluders with refract <= 0 block fully.
+    sph_ks: jnp.ndarray = field(
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))   # (Ns, 3)
+    sph_refract: jnp.ndarray = field(
+        default_factory=lambda: jnp.zeros((0,), jnp.float32))     # (Ns,)
+    tri_ks: jnp.ndarray = field(
+        default_factory=lambda: jnp.zeros((0, 3), jnp.float32))   # (Nt, 3)
+    tri_refract: jnp.ndarray = field(
+        default_factory=lambda: jnp.zeros((0,), jnp.float32))     # (Nt,)
 
     @property
     def num_spheres(self) -> int:
@@ -140,6 +156,14 @@ class Scene:
         path, where batched texture gathers are natural; the Pallas kernels
         resolve materials in-register and cannot do per-lane atlas fetches."""
         return self.tex_atlas.shape[0] > 0 and self.tri_tex.shape[0] > 0
+
+    @property
+    def has_legacy_ks(self) -> bool:
+        """Static (trace-time) — scenes carrying legacy Ks/refract materials
+        take the XLA RGB shadow-transmittance path (ops/intersect.py
+        ``shadow_factor``); the Pallas blocker/megakernel tiers implement the
+        reference's reachable binary semantics only and gate off."""
+        return self.sph_ks.shape[0] > 0 or self.tri_ks.shape[0] > 0
 
     @property
     def num_triangles(self) -> int:
@@ -175,6 +199,7 @@ def scene_from_numpy(
     light_pos, light_dir, light_illum, light_cutoff, light_is_parallel,
     light_ball_r, cluster_leaf_size: int | None = None,
     tri_uv=None, tri_tex=None, tex_atlas=None, tex_size=None,
+    sph_legacy=None, tri_legacy=None,
 ) -> Scene:
     """Build a device Scene from host numpy arrays, computing the scene AABB
     the way the marshalling helpers do (bdpt_cu_helper.cpp:29-53): union of
@@ -208,6 +233,19 @@ def scene_from_numpy(
     tri_tex = (np.asarray(tri_tex, np.int32).reshape(-1)
                if tri_tex is not None
                else np.full((nt_total,), -1, np.int32))
+    # legacy Ks/refract rows (ks3, refract): carried only when some object
+    # actually refracts — all-zero tables are the reference's reachable state
+    # and must keep has_legacy_ks False (binary blocking, quirk 12)
+    sph_legacy = (np.asarray(sph_legacy, f32).reshape(-1, 4)
+                  if sph_legacy is not None else np.zeros((0, 4), f32))
+    tri_legacy = (np.asarray(tri_legacy, f32).reshape(-1, 4)
+                  if tri_legacy is not None else np.zeros((0, 4), f32))
+    if not (sph_legacy[:, 3] > 0).any() and not (tri_legacy[:, 3] > 0).any():
+        sph_legacy = np.zeros((0, 4), f32)
+        tri_legacy = np.zeros((0, 4), f32)
+    elif tri_legacy.shape[0] != nt_total or sph_legacy.shape[0] != \
+            sph_center.shape[0]:
+        raise ValueError("legacy material rows must match object counts")
     if nt_total > cluster_leaf_size:
         from ..ops.bvh import build_clusters
 
@@ -216,6 +254,8 @@ def scene_from_numpy(
         tri_v0, tri_v1, tri_v2 = tri_v0[order], tri_v1[order], tri_v2[order]
         tri_mtl = tri_mtl.gather(jnp.asarray(order))
         tri_uv, tri_tex = tri_uv[order], tri_tex[order]
+        if tri_legacy.shape[0]:
+            tri_legacy = tri_legacy[order]
     else:
         if nt_total:
             verts_all = np.concatenate([tri_v0, tri_v1, tri_v2], axis=0)
@@ -270,4 +310,8 @@ def scene_from_numpy(
             np.asarray(tex_size, np.int32).reshape(-1, 2)
             if tex_size is not None and np.size(tex_size)
             else np.zeros((0, 2), np.int32)),
+        sph_ks=jnp.asarray(sph_legacy[:, 0:3]),
+        sph_refract=jnp.asarray(sph_legacy[:, 3]),
+        tri_ks=jnp.asarray(tri_legacy[:, 0:3]),
+        tri_refract=jnp.asarray(tri_legacy[:, 3]),
     )
