@@ -292,6 +292,38 @@ def main() -> int:
     t.daemon = True
     t.start()
 
+    # fast liveness probe: a wedged chip (dead client's grant lingering on
+    # the remote side) hangs EVERY op, including backend init — detect it in
+    # minutes instead of burning the whole watchdog budget.  A healthy chip
+    # answers the 1024^2 matmul in seconds (incl. first-connect).
+    probe_budget = float(os.environ.get("PT_TPU_BENCH_PROBE", "240"))
+    if probe_budget > 0:
+        box: list = []
+
+        def _probe():
+            try:
+                # apply the cpu-env -> config translation BEFORE first
+                # backend use: the env forms still initialize the axon
+                # plugin (which hangs while the chip is wedged)
+                from path_tracing_tpu.runtime import setup_jax_cache
+                setup_jax_cache()
+                import jax.numpy as jnp
+                x = jnp.ones((1024, 1024))
+                box.append(float((x @ x).sum()))
+            except Exception as e:  # noqa: BLE001
+                box.append(e)
+
+        pt = threading.Thread(target=_probe, daemon=True)
+        pt.start()
+        pt.join(probe_budget)
+        if not box:
+            _emit({"metric": f"bench --config {args.config}", "value": 0,
+                   "unit": "", "vs_baseline": 0,
+                   "error": f"liveness probe: trivial matmul hung "
+                            f">{probe_budget:.0f}s — TPU wedged "
+                            f"(lingering grant); retry after it expires"})
+            os._exit(2)
+
     err = None
     for attempt in range(2):
         try:
