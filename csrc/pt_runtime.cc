@@ -378,10 +378,12 @@ void pt_get_legacy(void* h, float* sph_out, float* tri_out) {
     size_t ns = s->spheres.size() / 10, nt = s->triangles.size() / 15;
     std::memset(sph_out, 0, ns * 4 * sizeof(float));
     std::memset(tri_out, 0, nt * 4 * sizeof(float));
-    std::memcpy(sph_out, s->sphere_legacy.data(),
-                std::min(s->sphere_legacy.size(), ns * 4) * sizeof(float));
-    std::memcpy(tri_out, s->tri_legacy.data(),
-                std::min(s->tri_legacy.size(), nt * 4) * sizeof(float));
+    if (!s->sphere_legacy.empty())
+        std::memcpy(sph_out, s->sphere_legacy.data(),
+                    std::min(s->sphere_legacy.size(), ns * 4) * sizeof(float));
+    if (!s->tri_legacy.empty())
+        std::memcpy(tri_out, s->tri_legacy.data(),
+                    std::min(s->tri_legacy.size(), nt * 4) * sizeof(float));
 }
 
 void pt_get_groups(void* h, int* sphere_groups, int* tri_groups) {

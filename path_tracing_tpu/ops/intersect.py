@@ -283,6 +283,22 @@ def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
                mtl=mtl, is_light=is_light_table[idx])
 
 
+_SHADOW_EPS = 1e-3  # endpoint clearance on both ends of a shadow ray
+
+
+def _shadow_ray(p1: jnp.ndarray, p2: jnp.ndarray):
+    """Endpoint pair -> (direction (B,3), distance (B,), max_d (B,1)).
+
+    The single source of the shadow-ray epsilon rules shared by the binary
+    and RGB transmittance paths (a drift between them would silently give
+    the same scene two different shadow geometries).
+    """
+    diff = p2 - p1
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    rd = diff / jnp.maximum(dist, 1e-20)[:, None]
+    return rd, dist, (dist - _SHADOW_EPS)[:, None]
+
+
 def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
                   dielectrics_block: bool) -> jnp.ndarray:
     """Shadow-ray transmittance between two points, returned as (B,).
@@ -297,9 +313,7 @@ def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
 
     Light balls never occlude in either implementation.
     """
-    diff = p2 - p1
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-    rd = diff / jnp.maximum(dist, 1e-20)[:, None]
+    rd, dist, max_d = _shadow_ray(p1, p2)
 
     if use_pallas():
         from .pallas_intersect import any_blocker_pallas
@@ -309,14 +323,13 @@ def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
                 scene, p1, rd,
                 lambda a, b, m: any_blocker_pallas(scene, a, b, m,
                                                    dielectrics_block),
-                dist - 1e-3)
+                dist - _SHADOW_EPS)
         else:
-            blocked = any_blocker_pallas(scene, p1, rd, dist - 1e-3,
+            blocked = any_blocker_pallas(scene, p1, rd, dist - _SHADOW_EPS,
                                          dielectrics_block)
         return jnp.where(blocked, 0.0, 1.0)
 
-    max_d = (dist - 1e-3)[:, None]
-    min_d = 1e-3
+    min_d = _SHADOW_EPS
 
     blocked = jnp.zeros(p1.shape[0], bool)
     if scene.num_triangles:
@@ -348,12 +361,33 @@ def transmittance_rgb(scene: Scene, p1: jnp.ndarray,
 
     Light balls never occlude (they are not in the sphere/triangle tables),
     matching the reference, which only scans spheres and triangles here.
+
+    The batch axis is chunked (``lax.map``) so the per-(ray, primitive)
+    transient stays bounded: a 1080p wavefront against even a ~1k-primitive
+    scene would otherwise materialize multi-GB ``(B, N, 3)`` intermediates.
     """
-    diff = p2 - p1
-    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-    rd = diff / jnp.maximum(dist, 1e-20)[:, None]
-    max_d = (dist - 1e-3)[:, None]
-    min_d = 1e-3
+    B = p1.shape[0]
+    n_prims = max(scene.num_triangles + scene.num_spheres, 1)
+    # ~16M-element (chunk, N) budget; triangle_ts peaks at 3x that in f32.
+    chunk = max(1024, min(65536, (1 << 24) // n_prims))
+    if B <= chunk:
+        return _transmittance_rgb_block(scene, p1, p2)
+    pad = -B % chunk
+    # padded lanes have p1 == p2 == 0 -> max_d < 0 -> no occluder passes the
+    # t-window, so they fold to transmittance 1 and are sliced away below.
+    p1p = jnp.pad(p1, ((0, pad), (0, 0)))
+    p2p = jnp.pad(p2, ((0, pad), (0, 0)))
+    out = jax.lax.map(
+        lambda ab: _transmittance_rgb_block(scene, ab[0], ab[1]),
+        (p1p.reshape(-1, chunk, 3), p2p.reshape(-1, chunk, 3)))
+    return out.reshape(-1, 3)[:B]
+
+
+def _transmittance_rgb_block(scene: Scene, p1: jnp.ndarray,
+                             p2: jnp.ndarray) -> jnp.ndarray:
+    """One batch chunk of :func:`transmittance_rgb` (materializes (B, N))."""
+    rd, _, max_d = _shadow_ray(p1, p2)
+    min_d = _SHADOW_EPS
 
     trans = jnp.ones((p1.shape[0], 3))
 

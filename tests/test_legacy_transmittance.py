@@ -96,6 +96,22 @@ L 0 20 0  0 -1 0  1 1 1  180 0 0.1
     np.testing.assert_allclose(tr, [0.4, 0.2, 0.2], atol=1e-6)
 
 
+def test_transmittance_rgb_chunked_matches_block():
+    # B > 65536 forces the lax.map chunked driver (incl. a padded tail);
+    # it must agree lane-for-lane with the one-shot block computation.
+    from path_tracing_tpu.ops.intersect import _transmittance_rgb_block
+
+    s = parse_scene_text(OCCLUDER_SCENE).to_device()
+    B = 65536 + 257
+    rng = np.random.default_rng(0)
+    p1 = jnp.asarray(rng.uniform(-1, 1, (B, 3)).astype(np.float32))
+    p2 = jnp.asarray(rng.uniform(-1, 10, (B, 3)).astype(np.float32))
+    chunked = np.asarray(jax.jit(transmittance_rgb)(s, p1, p2))
+    block = np.asarray(jax.jit(_transmittance_rgb_block)(s, p1, p2))
+    np.testing.assert_allclose(chunked, block, atol=1e-6)
+    assert chunked.shape == (B, 3)
+
+
 def test_shadow_factor_binary_fallbacks():
     # scenes without legacy data broadcast the binary transmittance
     s = load_scene(INPUT_TXT).to_device()
