@@ -14,6 +14,13 @@ the scaling design it lacks:
   against all hitpoints, and the (B, 3) flux merges with ``psum_scatter``
   back to the pixel owners.
 
+Meshes can be flat (single host: ``("dp",)``) or hybrid multi-host
+(``("dcn", "dp")`` via ``make_mesh(..., dcn=k)``): the renderers shard their
+lane axis over ALL mesh axes and run their collectives over the full axis
+tuple, which XLA decomposes hierarchically (ICI inside a host, DCN across) —
+per-shard RNG folds use the mesh-linear index, so a hybrid mesh renders the
+same image as a flat mesh of the same size.
+
 Everything compiles and runs on a virtual CPU mesh
 (``--xla_force_host_platform_device_count=N``) for hardware-free CI.
 """
@@ -43,12 +50,48 @@ from ..config import RenderConfig
 from ..scene.types import Camera, Scene
 
 
-def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+def make_mesh(n_devices: int | None = None, axis: str = "dp",
+              dcn: int = 1) -> Mesh:
+    """Build the render mesh.
+
+    ``dcn=1`` (default) gives the flat single-host mesh.  ``dcn>1`` builds a
+    2-D ``("dcn", axis)`` mesh for multi-host slices: the leading axis maps
+    hosts (data-center network), the trailing axis chips within a host (ICI).
+    All three renderers shard their lane axis over BOTH axes; since the only
+    collectives are the BDPT vertex all-gather and the PPM flux
+    psum_scatter, XLA decomposes them hierarchically — the bulky per-chip
+    phase rides ICI and only the small reduced tensor crosses DCN.  On a
+    real multi-host slice build the mesh from
+    ``jax.experimental.mesh_utils.create_hybrid_device_mesh`` and pass it
+    straight to the ``render_*_sharded`` functions (they accept any mesh).
+    """
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     import numpy as np
+    if dcn > 1:
+        assert len(devs) % dcn == 0, (
+            f"{len(devs)} devices do not split into {dcn} DCN groups")
+        return Mesh(np.array(devs).reshape(dcn, -1), ("dcn", axis))
     return Mesh(np.array(devs), (axis,))
+
+
+def _mesh_axes(mesh: Mesh):
+    """(axis-name tuple, lane PartitionSpec) for 1-D or hybrid meshes."""
+    ax = tuple(mesh.axis_names)
+    return ax, P(ax)
+
+
+def _linear_index(mesh: Mesh):
+    """This shard's position in mesh-flattening order (row-major over the
+    axis tuple) — the decorrelation index for per-shard RNG folds.  Matches
+    ``all_gather(tiled=True)``'s concatenation order, so hybrid and flat
+    meshes of the same size produce identical per-shard keys and identical
+    gathered tensors."""
+    idx = 0
+    for name in mesh.axis_names:
+        idx = idx * mesh.shape[name] + jax.lax.axis_index(name)
+    return idx
 
 
 def render_pt_sharded(scene: Scene, cam: Camera, width: int, height: int,
@@ -59,14 +102,15 @@ def render_pt_sharded(scene: Scene, cam: Camera, width: int, height: int,
     n = mesh.devices.size
     B = width * height
     assert B % n == 0, f"pixels ({B}) must divide the mesh ({n})"
+    ax, lane = _mesh_axes(mesh)
     idx = jnp.arange(B, dtype=jnp.int32)
     px = idx % width
     py = idx // width
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp"), P()),
-             out_specs=P("dp"), check_rep=False)
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), lane, lane, P()),
+             out_specs=lane, check_rep=False)
     def shard_fn(scene, cam, px_l, py_l, key):
-        me = jax.lax.axis_index("dp")
+        me = _linear_index(mesh)
         k = jax.random.fold_in(key, me)
 
         def body(acc, s):
@@ -96,6 +140,7 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
     n = mesh.devices.size
     B = width * height
     assert B % n == 0
+    ax, lane = _mesh_axes(mesh)
     num_photons = scene.num_lights * spl
     num_photons = ((num_photons + n - 1) // n) * n
 
@@ -103,10 +148,10 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
     px = idx % width
     py = idx // width
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp"), P()),
-             out_specs=P("dp"), check_rep=False)
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), lane, lane, P()),
+             out_specs=lane, check_rep=False)
     def shard_fn(scene_s, cam_s, px_l, py_l, key):
-        me = jax.lax.axis_index("dp")
+        me = _linear_index(mesh)
         direct, hp_local = ppm_eye_trace(scene_s, cam_s, cfg, px_l, py_l,
                                          jax.random.fold_in(key, 1))
         # Photon events STAY on the chip that traced them (they are the big
@@ -120,12 +165,12 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
             scene_s, cfg, num_photons // n, spl,
             jax.random.fold_in(jax.random.fold_in(key, 2), me))
         hp_all = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "dp", axis=0, tiled=True),
+            lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
             hp_local)
         flux_part, count_part, _ = gather_flux(scene_s, cfg, hp_all, ev_local)
-        flux = jax.lax.psum_scatter(flux_part, "dp", scatter_dimension=0,
+        flux = jax.lax.psum_scatter(flux_part, ax, scatter_dimension=0,
                                     tiled=True)
-        count = jax.lax.psum_scatter(count_part, "dp", scatter_dimension=0,
+        count = jax.lax.psum_scatter(count_part, ax, scatter_dimension=0,
                                      tiled=True)
         radiance = flux / max(PI * cfg.ppm_radius * cfg.ppm_radius, 1e-6)
         radiance = jnp.where(
@@ -147,6 +192,7 @@ def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
     n = mesh.devices.size
     B = width * height
     assert B % n == 0
+    ax, lane = _mesh_axes(mesh)
     ls = light_sample or spl
     num_paths = scene.num_lights * ls * spl
     num_paths = ((num_paths + n - 1) // n) * n  # pad to the mesh
@@ -156,10 +202,10 @@ def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
     px = idx % width
     py = idx // width
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), P("dp"), P("dp"), P()),
-             out_specs=P("dp"), check_rep=False)
+    @partial(shard_map, mesh=mesh, in_specs=(P(), P(), lane, lane, P()),
+             out_specs=lane, check_rep=False)
     def shard_fn(scene_s, cam_s, px_l, py_l, key):
-        me = jax.lax.axis_index("dp")
+        me = _linear_index(mesh)
         # each shard traces its slice of the light paths with a decorrelated
         # key, then the vertex tensor is gathered over ICI (it is small:
         # paths*light_depth vertices)
@@ -167,7 +213,7 @@ def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
             scene_s, cfg, num_paths // n, spl,
             jax.random.fold_in(jax.random.fold_in(key, 0x0101), me))
         lv = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "dp", axis=0, tiled=True),
+            lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
             lv_local)
 
         def body(acc, s):

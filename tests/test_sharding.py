@@ -66,6 +66,31 @@ def test_bdpt_sharded_all_gather(setup):
     assert abs(a - b) / max(b, 1e-6) < 0.05, (a, b)
 
 
+def test_hybrid_mesh_matches_flat(setup):
+    """A ("dcn", "dp") 2x4 hybrid mesh must render the SAME image as the
+    flat 8-device mesh: per-shard RNG folds use the mesh-linear index and
+    all_gather(tiled) concatenates in the same order, so PT/BDPT are exact;
+    PPM's flux psum may reduce hierarchically (summation-order jitter)."""
+    scene, cam, cfg, mesh = setup
+    hybrid = make_mesh(8, dcn=2)
+    assert hybrid.axis_names == ("dcn", "dp") and hybrid.devices.shape == (2, 4)
+
+    key = jax.random.PRNGKey(0)
+    a = np.asarray(render_pt_sharded(scene, cam, W, H, 16, cfg, key, mesh))
+    b = np.asarray(render_pt_sharded(scene, cam, W, H, 16, cfg, key, hybrid))
+    np.testing.assert_array_equal(a, b)
+
+    a = np.asarray(render_bdpt_sharded(scene, cam, W, H, 2, 8, cfg, key,
+                                       mesh, chunk=16))
+    b = np.asarray(render_bdpt_sharded(scene, cam, W, H, 2, 8, cfg, key,
+                                       hybrid, chunk=16))
+    np.testing.assert_array_equal(a, b)
+
+    a = np.asarray(render_ppm_sharded(scene, cam, W, H, 512, cfg, key, mesh))
+    b = np.asarray(render_ppm_sharded(scene, cam, W, H, 512, cfg, key, hybrid))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_ppm_sharded_psum(setup):
     scene, cam, cfg, mesh = setup
     spl = 4096
