@@ -626,7 +626,8 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
         if os.environ.get("PT_TPU_NO_FUSED_CONNECT") or os.environ.get(
                 "PT_TPU_NO_PALLAS"):
             return False
-        return jax.default_backend() == "tpu"
+        from ..ops.pallas_intersect import interp_forced
+        return jax.default_backend() == "tpu" or interp_forced()
 
     B = px.shape[0]
     lv_flat, n_valid = compact_flat(lv.flat())

@@ -91,9 +91,12 @@ def _use_gather_kernel() -> bool:
     also reproduces the reference hash's in-neighborhood collision
     double-counts — the kernel's collision-free lexicographic keys do not)."""
     import os
-    return (jax.default_backend() == "tpu"
-            and not os.environ.get("PT_TPU_NO_PALLAS")
-            and not os.environ.get("PT_TPU_NO_PPM_KERNEL"))
+
+    from ..ops.pallas_intersect import interp_forced
+    if os.environ.get("PT_TPU_NO_PALLAS") or os.environ.get(
+            "PT_TPU_NO_PPM_KERNEL"):
+        return False
+    return jax.default_backend() == "tpu" or interp_forced()
 
 
 def hash_cell(ix, iy, iz, table_size: int):

@@ -301,7 +301,9 @@ def _use_fused_shade() -> bool:
         return False
     import jax as _jax
 
-    return _jax.default_backend() == "tpu"
+    from ..ops.pallas_intersect import interp_forced
+
+    return _jax.default_backend() == "tpu" or interp_forced()
 
 
 def _use_megakernel() -> bool:
@@ -312,7 +314,11 @@ def _use_megakernel() -> bool:
 
     if os.environ.get("PT_TPU_NO_MEGAKERNEL"):
         return False
-    return _use_fused_shade()
+    import jax as _jax
+
+    # a real TPU backend is required (not PT_TPU_INTERPRET: the on-core
+    # PRNG has no CPU lowering in interpret mode)
+    return _use_fused_shade() and _jax.default_backend() == "tpu"
 
 
 def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,

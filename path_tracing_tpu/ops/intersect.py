@@ -159,12 +159,18 @@ def use_pallas() -> bool:
     """Pallas kernels carry the hot path on TPU; pure XLA elsewhere.
 
     Trace-time decision (backend is static per process).  Override with
-    PT_TPU_NO_PALLAS=1 to force the XLA path on TPU (A/B testing).
+    PT_TPU_NO_PALLAS=1 to force the XLA path on TPU (A/B testing), or
+    PT_TPU_INTERPRET=1 to run the kernels in interpret mode on any backend
+    (hardware-free correctness tests).
     """
     import os
 
     if os.environ.get("PT_TPU_NO_PALLAS"):
         return False
+    from .pallas_intersect import interp_forced
+
+    if interp_forced():
+        return True
     import jax
 
     return jax.default_backend() == "tpu"

@@ -26,7 +26,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.types import Scene
 from .math3 import EPSILON, PI
-from .pallas_intersect import LANE, TILE_ROWS, _ray_specs, _tile, pack_scene
+from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
+                               interp_forced, pack_scene)
 from .pallas_shade import (Mtl, V3, build_frame, clamp3, dot3, eval_local,
                            half_vector, normalize3, pdf_local,
                            roughness_to_alpha, shadow_blocked, to_local,
@@ -222,6 +223,7 @@ def connect_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid,
                                 memory_space=pltpu.VMEM) for _ in range(3)],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
                    for _ in range(3)],
+        interpret=interp_forced(),
     )(sph_tab, tri_tab, cl_tab, lv_tab,
       jnp.asarray(n_valid, jnp.int32).reshape(1, 1), *tiled)
     return jnp.stack([o.reshape(-1)[:B] for o in outs], axis=-1)

@@ -87,6 +87,16 @@ def stream_sweep() -> str:
     bytes).  Env knob for A/B; see the module docstring."""
     return os.environ.get("PT_TPU_STREAM_SWEEP", "mxu")
 
+
+def interp_forced() -> bool:
+    """PT_TPU_INTERPRET=1 runs every non-PRNG Pallas kernel in interpret
+    mode, which executes on ANY backend (including the CPU test mesh) —
+    the kernels become correctness-testable without TPU hardware.  The two
+    persistent megakernels are excluded: ``pltpu.prng_seed`` has no CPU
+    lowering.  Trace-time decision like the other knobs: A/B toggles must
+    ``jax.clear_caches()``."""
+    return os.environ.get("PT_TPU_INTERPRET") == "1"
+
 # 2-level cluster culling: the median-split builder emits clusters in DFS
 # order, so SUPER consecutive clusters form a spatially tight run; testing
 # their union AABB first skips SUPER child tests at once.  Results are
@@ -1421,6 +1431,7 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
 
     Meshes beyond ``max_vmem_tris()`` automatically switch to the
     HBM-streaming MXU kernel (``force_stream`` pins it for tests)."""
+    interpret = interpret or interp_forced()
     if _stream_mode(scene.num_triangles, force_stream):
         return _nearest_hit_stream(scene, ro, rd, with_uv, interpret)
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, with_uv=with_uv)
@@ -1465,6 +1476,7 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
                        max_d: jnp.ndarray, dielectrics_block: bool,
                        force_stream: bool = False, interpret: bool = False):
     """Returns blocked (B,) bool for shadow rays p1 + t*rd, t in (1e-3, max_d)."""
+    interpret = interpret or interp_forced()
     if _stream_mode(scene.num_triangles, force_stream):
         return _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block,
                                    interpret)

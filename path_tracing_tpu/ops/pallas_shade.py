@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.types import Scene
 from .math3 import EPSILON, PI
 from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
-                               mega_rows, pack_scene)
+                               interp_forced, mega_rows, pack_scene)
 
 INF = 1e20
 
@@ -821,6 +821,7 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
                    for _ in out_dtypes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in out_dtypes],
+        interpret=interp_forced(),
     )(sph_tab, tri_tab, cl_tab, light_tab, *tiled)
 
     # NOTE: output order must match _shade_kernel's signature
@@ -949,6 +950,7 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
                    for _ in out_dtypes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in out_dtypes],
+        interpret=interp_forced(),
     )(sph_tab, tri_tab, cl_tab, light_tab, *tiled)
 
     names = ["rad_x", "rad_y", "rad_z", "ox", "oy", "oz", "dx", "dy", "dz",

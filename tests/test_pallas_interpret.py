@@ -1,0 +1,250 @@
+"""Hardware-free Pallas kernel equivalence tests (interpret mode).
+
+``PT_TPU_INTERPRET=1`` runs every non-PRNG Pallas kernel in interpret mode,
+which executes on the CPU backend — so the kernel bodies (nearest-hit,
+blockers, both HBM-streaming sweeps, the fused shade/connect kernels and
+the PPM gather) are correctness-tested on every CI run, not only when a
+TPU is attached (round-1 VERDICT: the TPU-gated tests were structurally
+blind whenever the chip was wedged).  The two persistent megakernels stay
+TPU-only (``pltpu.prng_seed`` has no CPU lowering) and keep their
+statistical tests in tests/test_pallas.py.
+
+Tolerances: the Pallas nearest-hit resolves ~0.05% of knife-edge hits
+differently from the XLA sweep (documented tie-break divergence, same
+bound as the TPU-side test), so whole-render comparisons allow a small
+fraction of outlier pixels; kernels compared on MATCHED inputs must agree
+essentially everywhere.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from path_tracing_tpu.config import RenderConfig
+from path_tracing_tpu.scene.camera import make_camera
+from path_tracing_tpu.scene.obj_loader import load_any_scene
+from path_tracing_tpu.scene.parser import load_scene
+
+W = H = 16
+
+
+@pytest.fixture()
+def interp_env():
+    """Toggle helper: returns a context-switcher between the XLA reference
+    path and the interpret-mode Pallas path.  jit caches key on the traced
+    program, and the env knobs are trace-time — clear between toggles."""
+    saved = {k: os.environ.get(k)
+             for k in ("PT_TPU_INTERPRET", "PT_TPU_NO_PALLAS",
+                       "PT_TPU_STREAM_SWEEP")}
+
+    def set_mode(mode: str):
+        os.environ.pop("PT_TPU_INTERPRET", None)
+        os.environ.pop("PT_TPU_NO_PALLAS", None)
+        if mode == "xla":
+            os.environ["PT_TPU_NO_PALLAS"] = "1"
+        elif mode == "interpret":
+            os.environ["PT_TPU_INTERPRET"] = "1"
+        else:
+            raise ValueError(mode)
+        jax.clear_caches()
+
+    yield set_mode
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    jax.clear_caches()
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    p = load_scene("/root/reference/input.txt")
+    scene = p.to_device()
+    cam = make_camera(p.eye, p.look_at, p.view_up, p.fov, W, H)
+    cfg = RenderConfig(width=W, height=H, eye_depth=3, light_depth=3,
+                       delta_budget=3)
+    return scene, cam, cfg
+
+
+def test_nearest_hit_interpret_matches_xla(cornell, interp_env):
+    from path_tracing_tpu.ops import intersect as I
+
+    scene, _, _ = cornell
+    k = jax.random.PRNGKey(0)
+    B = 1024
+    ro = jax.random.uniform(k, (B, 3), minval=-0.45, maxval=0.45)
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (B, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+    interp_env("xla")
+    h1 = jax.tree.map(np.asarray, I.find_closest_hit(scene, ro, rd))
+    interp_env("interpret")
+    h2 = jax.tree.map(np.asarray, I.find_closest_hit(scene, ro, rd))
+
+    same_t = np.isclose(h1.t, h2.t, rtol=1e-5, atol=1e-6) | \
+        ((h1.t >= 1e19) & (h2.t >= 1e19))
+    assert same_t.mean() > 0.9995
+    assert (h1.hit == h2.hit).all()
+    assert (h1.is_light == h2.is_light).all()
+    m = h2.hit & same_t
+    assert np.isclose(h1.normal, h2.normal, atol=1e-4)[m].mean() > 0.999
+    assert np.isclose(h1.mtl.base_color, h2.mtl.base_color, atol=1e-6)[m].all()
+
+
+def test_blocker_interpret_matches_xla(cornell, interp_env):
+    from path_tracing_tpu.ops import intersect as I
+
+    scene, _, _ = cornell
+    k = jax.random.PRNGKey(1)
+    B = 2048
+    p1 = jax.random.uniform(k, (B, 3), minval=-0.49, maxval=0.49)
+    p2 = jax.random.uniform(jax.random.fold_in(k, 1), (B, 3),
+                            minval=-0.49, maxval=0.49)
+    for rule in (True, False):
+        interp_env("xla")
+        a = np.asarray(I.transmittance(scene, p1, p2,
+                                       dielectrics_block=rule))
+        interp_env("interpret")
+        b = np.asarray(I.transmittance(scene, p1, p2,
+                                       dielectrics_block=rule))
+        # binary verdicts on matched rays: exact agreement
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("sweep", ["mxu", "vpu"])
+def test_stream_kernels_interpret_match_vmem(sweep, interp_env):
+    """Both HBM-streaming sweep backends against the VMEM kernel on the
+    same rays/mesh (force_stream pins streaming for a VMEM-sized mesh)."""
+    from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
+
+    p = load_any_scene("tests/fixtures/sphere.obj")
+    scene = p.to_device()
+    B = 256
+    k = jax.random.PRNGKey(0)
+    ro = jnp.zeros((B, 3)) + jnp.array(p.eye)
+    rd = jax.random.normal(k, (B, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
+
+    interp_env("interpret")
+    ref = nearest_hit_pallas(scene, ro, rd)
+    os.environ["PT_TPU_STREAM_SWEEP"] = sweep
+    jax.clear_caches()
+    got = nearest_hit_pallas(scene, ro, rd, force_stream=True)
+    os.environ.pop("PT_TPU_STREAM_SWEEP", None)
+
+    a, b = np.asarray(ref["t"]), np.asarray(got["t"])
+    same_t = np.isclose(a, b, rtol=1e-5) | ((a >= 1e19) & (b >= 1e19))
+    assert same_t.mean() > 0.999, same_t.mean()
+    assert (np.asarray(ref["flag"]) == np.asarray(got["flag"])).all()
+    for f in ("nx", "ny", "nz", "bcr", "bcg", "bcb", "eta"):
+        assert np.isclose(np.asarray(ref[f]), np.asarray(got[f]),
+                          atol=1e-4)[same_t].mean() > 0.999, f
+
+
+def test_pt_fused_pipeline_interpret_matches_xla(cornell, interp_env):
+    """Whole PT sample (nearest kernel + fused shade + NEE shadow sweep) on
+    the identical RNG stream: the fused kernel is fed the same uniforms, so
+    agreement is near-bit outside nearest-hit tie-break pixels."""
+    from path_tracing_tpu.integrators.pt import trace_paths
+
+    scene, cam, cfg = cornell
+    idx = jnp.arange(W * H, dtype=jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    interp_env("xla")
+    a = np.asarray(trace_paths(scene, cam, cfg, idx % W, idx // W, key))
+    interp_env("interpret")
+    b = np.asarray(trace_paths(scene, cam, cfg, idx % W, idx // W, key))
+
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 1e-3
+    close = np.isclose(a, b, rtol=1e-4, atol=1e-5).all(axis=1)
+    assert close.mean() > 0.99, close.mean()
+
+
+def test_bdpt_connect_kernel_matches_xla_on_matched_inputs(cornell,
+                                                           interp_env):
+    """connect_pallas vs the chunked XLA _connect with IDENTICAL eye
+    vertices and light-vertex table — isolates the kernel semantics from
+    the (documented) nearest-hit walk divergence.  Must agree everywhere."""
+    from path_tracing_tpu.integrators.bdpt import (PDF_FWD_FLOOR, _connect,
+                                                   compact_flat,
+                                                   primary_ray_dirs,
+                                                   trace_light_paths)
+    from path_tracing_tpu.ops import rng
+    from path_tracing_tpu.ops.intersect import find_closest_hit
+    from path_tracing_tpu.ops.math3 import normalize
+
+    scene, cam, cfg = cornell
+    key = jax.random.PRNGKey(0)
+    B = W * H
+
+    interp_env("xla")
+    lv = trace_light_paths(scene, cfg, 64, 4, jax.random.fold_in(key, 1))
+    lv_flat, n_valid = compact_flat(lv.flat())
+    idx = jnp.arange(B, dtype=jnp.int32)
+    jx, jy = rng.uniforms(jax.random.fold_in(key, 0xA11CE), (B,), 2)
+    rd0 = primary_ray_dirs(cam, idx % W, idx // W, jx, jy)
+    ro = jnp.broadcast_to(cam.eye, (B, 3))
+    hit = find_closest_hit(scene, ro, rd0)
+    act = hit.hit & ~hit.is_light
+    wo_e = -rd0
+    wo_s = normalize(cam.eye[None] - hit.pos)
+    g_mis = jnp.abs(jax.random.normal(jax.random.fold_in(key, 5), (B,)))
+    eye_f = jnp.where(hit.mtl.eta > 0.0, 0.0,
+                      (1.0 / PDF_FWD_FLOOR) * (1.0 + g_mis))
+    tp = jnp.ones((B, 3))
+
+    a = np.asarray(_connect(scene, cfg, lv_flat, n_valid, hit.pos,
+                            hit.normal, tp, hit.mtl, wo_e, wo_s, eye_f, 64))
+
+    interp_env("interpret")
+    from path_tracing_tpu.ops.pallas_connect import (connect_pallas,
+                                                     pack_light_vertices)
+
+    lv_tab = pack_light_vertices(lv_flat)
+    b = np.asarray(connect_pallas(
+        scene, lv_tab, n_valid, hit.pos, hit.normal, tp, hit.mtl, wo_e,
+        wo_s, eye_f, act, clamp_val=cfg.clamp,
+        dielectrics_block=cfg.shadow_dielectrics_block))
+
+    m = np.asarray(act)
+    rel = np.abs(a - b)[m] / (np.abs(a[m]) + 1e-3)
+    assert (rel.max(axis=1) < 1e-3).all(), rel.max()
+
+
+def test_bdpt_render_interpret_statistical(cornell, interp_env):
+    from path_tracing_tpu.integrators.bdpt import render_bdpt
+
+    scene, cam, cfg = cornell
+    key = jax.random.PRNGKey(0)
+    interp_env("xla")
+    a = np.asarray(render_bdpt(scene, cam, W, H, 1, 4, cfg, key))
+    interp_env("interpret")
+    b = np.asarray(render_bdpt(scene, cam, W, H, 1, 4, cfg, key))
+
+    # the eye walk may diverge on tie-break hits (amplified by the 1e8 MIS
+    # prefactors) — bound the outlier fraction, not the max
+    rel = np.abs(a - b) / (np.abs(a) + 1e-3)
+    assert (rel.max(axis=1) < 1e-3).mean() > 0.97
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.05
+
+
+def test_ppm_render_interpret_statistical(cornell, interp_env):
+    """The Pallas gather uses collision-free lexicographic cell keys while
+    the XLA hash grid reproduces the reference's in-neighborhood collision
+    double-counts — small per-pixel diffs are semantic, not bugs."""
+    from path_tracing_tpu.integrators.ppm import render_ppm
+
+    scene, cam, cfg = cornell
+    key = jax.random.PRNGKey(0)
+    interp_env("xla")
+    a = np.asarray(render_ppm(scene, cam, W, H, 256, cfg, key))
+    interp_env("interpret")
+    b = np.asarray(render_ppm(scene, cam, W, H, 256, cfg, key))
+
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 5e-3
+    np.testing.assert_allclose(a, b, atol=0.05)
