@@ -54,13 +54,24 @@ from .microfacet import roughness_to_alpha
 from .pallas_shade import (V3, fr_dielectric, fr_schlick, tr_d, tr_lambda,
                            valid3, where3)
 
-G = 1024                 # cells per axis in the packed key domain
-BIG = G * G * G          # sentinel key for invalid rows (fits int32)
+# G^3 = 8.0M < 2^23 keeps every cell key exact in ONE f32 table row (f32
+# holds integers to 2^24; the previous 1024^3 domain needed two 15-bit
+# halves = two DMA rows and a 4-op int reassembly per pair block).  The
+# key domain shrank 1024 -> 200 cells/axis, but cells are radius-sized
+# anyway: only scenes wider than 196 radii see coarser (still exact,
+# merely less selective) cells, vs 1020 radii before.
+G = 200                  # cells per axis in the packed key domain
+# sentinel key for invalid rows: f32-exact (2^23 - 1) and strictly above
+# every window's top (max real key + max offset + 2 = 8,040,201), so
+# padded rows can never pass a corner cell's in_cell gate
+BIG = 2 ** 23 - 1
 EV_CHUNK = 1024          # events per DMA'd chunk (8 sublane-blocks of 128)
+EV_ROWS = 13             # event table rows: 12 data + 1 f32 cell key
 HP_CHUNK = 128           # hitpoints per DMA'd block
 SUB = 16                 # hitpoint sub-block rows per pair block
 # (dx, dy) neighbor offsets in key units; dz is folded into the +-1 range
 OFFS = tuple((dx * G + dy) * G for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+DZ_LO, DZ_HI = 1, 1      # kernel window: key in [qlo, qlo + DZ_LO + DZ_HI]
 
 
 def _cell_size(scene: Scene, cfg: RenderConfig):
@@ -127,7 +138,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                 rotation + normal dot run as one (4*SUB,8)x(8,128) MXU
                 matmul per (sub-block, event block) instead of ~20 VPU
                 broadcast ops."""
-                evb = ev_vmem[buf_slot]                    # (16, EB, 128)
+                evb = ev_vmem[buf_slot]                    # (EV_ROWS, EB, 128)
                 rem = asize - k_base
 
                 def hp_sub(sidx, _):
@@ -168,15 +179,14 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                     all_simple = jnp.all((simple > 0.5) | ~live)
 
                     def pair_block(j, simple_path):
-                        # cell keys ride in the event table as two 15-bit
-                        # halves (exact as f32 below 2^23; a raw int32
-                        # bitcast through f32 would flush keys < 2^23 as
-                        # denormals) — reassemble in int32
-                        k_hi = evb[12, j, :].reshape(1, 128)
-                        k_lo = evb[13, j, :].reshape(1, 128)
-                        keys = (k_hi.astype(jnp.int32) * 32768
-                                + k_lo.astype(jnp.int32))
-                        in_cell = (keys >= qlo) & (keys <= qlo + 2)
+                        # cell keys ride in the event table as ONE f32 row
+                        # (the GXY^2*GZ = 2^23 key domain is f32-exact; a
+                        # raw int32 bitcast through f32 would flush keys
+                        # < 2^23 as denormals)
+                        keys = evb[12, j, :].reshape(1, 128)
+                        qf = qlo.astype(jnp.float32)
+                        in_cell = (keys >= qf) & (keys <= qf + (DZ_LO
+                                                                + DZ_HI))
                         ep = V3(evb[0, j, :].reshape(1, 128),
                                 evb[1, j, :].reshape(1, 128),
                                 evb[2, j, :].reshape(1, 128))
@@ -383,16 +393,13 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # would poison the row sums — zero them here (fused into the gather)
     ev_mat = jnp.where((skey < BIG)[:, None], ev_mat, 0.0)
     Ep = ((cap + EV_CHUNK - 1) // EV_CHUNK + 1) * EV_CHUNK
-    # keys travel inside the event table as two 15-bit halves, each exact
-    # as f32 (a raw int32 bitcast through an f32 column silently corrupts
-    # keys < 2^23 — TPU flushes denormals); one DMA stream instead of two
+    # keys travel inside the event table as ONE f32 row — every key in the
+    # GXY^2*GZ = 2^23 domain is f32-exact (a raw int32 bitcast through an
+    # f32 column would silently corrupt keys < 2^23: TPU flushes denormals)
     skey_p = _pad_to(skey, Ep, BIG)
-    key_hi = (skey_p >> 15).astype(jnp.float32)[:, None]
-    key_lo = (skey_p & 0x7FFF).astype(jnp.float32)[:, None]
     ev_mat = jnp.concatenate(
-        [_pad_to(ev_mat, Ep), key_hi, key_lo,
-         jnp.zeros((Ep, 2), jnp.float32)], axis=1)
-    ev_tab = ev_mat.T.reshape(16, Ep // 128, 128)
+        [_pad_to(ev_mat, Ep), skey_p.astype(jnp.float32)[:, None]], axis=1)
+    ev_tab = ev_mat.T.reshape(EV_ROWS, Ep // 128, 128)
 
     # ---- hitpoints: precompute frame, sort, pack row-major -------------
     B = hp.pos.shape[0]
@@ -458,7 +465,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     counts = jnp.where(live, counts, 0)
 
     offs = jnp.asarray(OFFS, jnp.int32)
-    qlo = key_cell[:cmax, None] + offs[None, :] - 1       # (cmax, 9)
+    qlo = key_cell[:cmax, None] + offs[None, :] - DZ_LO   # (cmax, 9)
     # windows are 128-aligned anyway, so search the 64x smaller array of
     # per-block first keys instead of all E keys (the binary search's
     # random probes were a measurable slice of the pass)
@@ -468,7 +475,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     astart = jnp.maximum(
         jnp.searchsorted(bkeys, qlo.ravel(),
                          side="left").astype(jnp.int32) - 1, 0)
-    bend = jnp.searchsorted(bkeys, (qlo + 2).ravel(),
+    bend = jnp.searchsorted(bkeys, (qlo + DZ_LO + DZ_HI).ravel(),
                             side="right").astype(jnp.int32)
     astart = astart.reshape(cmax, 9)
     asize = jnp.maximum(bend.reshape(cmax, 9) - astart, 0) * 128
@@ -493,7 +500,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
         out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
-            pltpu.VMEM((3, 16, EV_CHUNK // 128, 128), jnp.float32),
+            pltpu.VMEM((3, EV_ROWS, EV_CHUNK // 128, 128), jnp.float32),
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
             pltpu.VMEM((4, HP_CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((8,)),
