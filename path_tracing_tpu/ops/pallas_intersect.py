@@ -356,7 +356,8 @@ def pack_scene_stream_vpu(scene: Scene,
 
 
 def super_table(cl_tab: jnp.ndarray):
-    """(cl_tab padded to a SUPER multiple, sup_tab (NS, 16), use_super).
+    """(cl_tab padded to a SUPER multiple + child orders, sup_tab (NS, 16),
+    use_super).
 
     Super rows are ``[union_min3, union_max3, 0, child_tri_count,
     order_oct0..order_oct7]`` over SUPER consecutive cluster rows; count-0
@@ -368,6 +369,13 @@ def super_table(cl_tab: jnp.ndarray):
     near supers first shrinks the per-lane ``best.t`` early so the
     ``tn < tlimit`` slab cull rejects the far ones (traversal order never
     changes which hit wins: ``keep`` takes strictly-closer only).
+
+    The returned cl_tab likewise grows columns 8..15: the k-th row of a
+    super's run holds, per octant, the RELATIVE index (0..SUPER-1) of the
+    k-th child in that octant's front-to-back order — the same early-t
+    shrink one level down, where a descended super's 16 children each pay
+    a whole-window triangle sweep if not culled.
+
     ``use_super`` is static (shape-derived) so small scenes keep the flat
     loop."""
     mc = cl_tab.shape[0]
@@ -390,17 +398,27 @@ def super_table(cl_tab: jnp.ndarray):
     gp = (-g) % SUB
     if gp:
         sup = jnp.concatenate([sup, jnp.zeros((gp, 8), sup.dtype)], 0)
-    # per-octant front-to-back orders (f32 columns; exact below 2^23)
-    ctr = (sup[:, 0:3] + sup[:, 3:6]) * 0.5
-    alive = sup[:, 7] > 0
-    orders = []
-    for o in range(8):
-        d = jnp.array([1.0 if o & 1 else -1.0,
-                       1.0 if o & 2 else -1.0,
-                       1.0 if o & 4 else -1.0], sup.dtype)
-        proj = jnp.where(alive, ctr @ d, jnp.float32(3e30))
-        orders.append(jnp.argsort(proj).astype(sup.dtype))
-    sup = jnp.concatenate([sup, jnp.stack(orders, axis=1)], axis=1)
+
+    def octant_orders(ctr, alive):
+        """Eight argsort columns of centroid projections (f32; exact)."""
+        orders = []
+        for o in range(8):
+            d = jnp.array([1.0 if o & 1 else -1.0,
+                           1.0 if o & 2 else -1.0,
+                           1.0 if o & 4 else -1.0], jnp.float32)
+            proj = jnp.where(alive, ctr @ d, jnp.float32(3e30))
+            orders.append(jnp.argsort(proj, axis=-1).astype(jnp.float32))
+        return jnp.stack(orders, axis=-1)       # (..., 8)
+
+    sup = jnp.concatenate(
+        [sup, octant_orders((sup[:, 0:3] + sup[:, 3:6]) * 0.5,
+                            sup[:, 7] > 0)], axis=1)
+
+    # per-super child orders: (g, SUPER, 8) relative indices
+    cctr = ((cl_tab[:, 0:3] + cl_tab[:, 3:6]) * 0.5).reshape(g, SUPER, 3)
+    calive = (cl_tab[:, 7] > 0).reshape(g, SUPER)
+    corder = octant_orders(cctr, calive)
+    cl_tab = jnp.concatenate([cl_tab, corder.reshape(-1, 8)], axis=1)
     return cl_tab, sup, True
 
 
@@ -606,14 +624,27 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                 v = jnp.where(o_idx == o, sup_ref[si, 8 + o], v)
             return v.astype(jnp.int32)
 
+        def child_perm(row):
+            """Relative index of the k-th child (row = base + k) in this
+            tile's front-to-back octant order (cl cols 8..15)."""
+            v = cl_ref[row, 8]
+            for o in range(1, 8):
+                v = jnp.where(o_idx == o, cl_ref[row, 8 + o], v)
+            return v.astype(jnp.int32)
+
         def super_body(si, best):
             s = perm(si)
             could = aabb_hit(sup_ref, s, best["t"])
             cnt = sup_ref[s, 7].astype(jnp.int32)
 
             def descend(b):
-                return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
-                                         cluster_body, b)
+                # children front-to-back too: near hits shrink best.t
+                # before the far children's slab tests
+                def kbody(k, b):
+                    return cluster_body(
+                        s * SUPER + child_perm(s * SUPER + k), b)
+
+                return jax.lax.fori_loop(0, SUPER, kbody, b)
 
             return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
                                 lambda b: b, best)
@@ -878,27 +909,39 @@ def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
             could = could_hit(sup_ref, s)
             cnt = sup_ref[s, 7].astype(jnp.int32)
 
+            def child_perm(row):
+                """k-th child (row = base + k) of this tile's front-to-back
+                octant order, as a relative index (cl cols 8..15)."""
+                v = cl_ref[row, 8]
+                for o in range(1, 8):
+                    v = jnp.where(o_idx == o, cl_ref[row, 8 + o], v)
+                return v.astype(jnp.int32)
+
             def descend(z):
                 # double-buffered children: cluster k+1's window streams
                 # in while cluster k is swept (a descended super's
                 # children are spatially adjacent, so unconditional
                 # prefetch rarely wastes a transfer).  Slots must be
                 # compile-time, so parity picks the slot via cond.
+                # Children visit FRONT-TO-BACK per octant (cl cols 8..15):
+                # near sweeps shrink best.t before far children's slabs.
                 base = s * SUPER
-                cl_dma(0, base).start()
+                cl_dma(0, base + child_perm(base)).start()
 
                 def child(k, z):
-                    c = base + k
+                    c = base + child_perm(base + k)
                     par = k % 2
                     have_next = k + 1 < SUPER
+                    c_next = base + child_perm(
+                        base + jnp.minimum(k + 1, SUPER - 1))
 
                     @pl.when(have_next & (par == 0))
                     def _():
-                        cl_dma(1, c + 1).start()
+                        cl_dma(1, c_next).start()
 
                     @pl.when(have_next & (par == 1))
                     def _():
-                        cl_dma(0, c + 1).start()
+                        cl_dma(0, c_next).start()
 
                     @pl.when(par == 0)
                     def _():

@@ -145,6 +145,50 @@ def test_stream_kernels_interpret_match_vmem(sweep, interp_env):
                           atol=1e-4)[same_t].mean() > 0.999, f
 
 
+def test_super_traversal_interpret_matches_xla(interp_env):
+    """2-level traversal (octant-ordered supers + front-to-back children)
+    on a mesh ABOVE the 64-cluster threshold — sphere.obj is too small to
+    descend supers, so this is the only hardware-free coverage of the
+    super walk, in all three kernels (VMEM + both stream sweeps)."""
+    from path_tracing_tpu.ops import intersect as I
+    from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
+    from path_tracing_tpu.scene.synth import icosphere_scene
+
+    p = icosphere_scene(17000)
+    scene = p.to_device()
+    assert scene.num_triangles >= 64 * 256  # supers active
+    B = 256
+    k = jax.random.PRNGKey(0)
+    ro = jnp.zeros((B, 3)) + jnp.array(p.eye)
+    ctr = (scene.scene_min + scene.scene_max) / 2
+    ext = float(jnp.max(scene.scene_max - scene.scene_min))
+    tgt = ctr + jax.random.normal(k, (B, 3)) * 0.35 * ext
+    rd = tgt - ro
+    rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
+
+    interp_env("xla")
+    h_x = jax.tree.map(np.asarray, I.find_closest_hit(scene, ro, rd))
+    interp_env("interpret")
+    h_v = jax.tree.map(np.asarray, I.find_closest_hit(scene, ro, rd))
+    h_s = nearest_hit_pallas(scene, ro, rd, force_stream=True)
+    os.environ["PT_TPU_STREAM_SWEEP"] = "vpu"
+    jax.clear_caches()
+    h_s2 = nearest_hit_pallas(scene, ro, rd, force_stream=True)
+    os.environ.pop("PT_TPU_STREAM_SWEEP", None)
+
+    assert np.asarray(h_x.hit).mean() > 0.5  # rays actually hit the mesh
+    same = np.isclose(h_x.t, h_v.t, rtol=1e-5) | \
+        ((h_x.t >= 1e19) & (h_v.t >= 1e19))
+    assert same.mean() > 0.999
+    for hs in (h_s, h_s2):
+        ts = np.asarray(hs["t"])
+        sv = np.isclose(h_v.t, ts, rtol=1e-5) | \
+            ((h_v.t >= 1e19) & (ts >= 1e19))
+        assert sv.mean() > 0.999
+    m = h_x.hit & same
+    assert np.isclose(h_x.normal, h_v.normal, atol=1e-4)[m].mean() > 0.999
+
+
 def test_pt_fused_pipeline_interpret_matches_xla(cornell, interp_env):
     """Whole PT sample (nearest kernel + fused shade + NEE shadow sweep) on
     the identical RNG stream: the fused kernel is fed the same uniforms, so
