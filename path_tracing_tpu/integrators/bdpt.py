@@ -74,7 +74,8 @@ def _use_bdpt_megakernel() -> bool:
     if (os.environ.get("PT_TPU_NO_BDPT_MEGAKERNEL")
             or os.environ.get("PT_TPU_NO_PALLAS")):
         return False
-    return jax.default_backend() == "tpu"
+    from ..ops.pallas_intersect import interp_forced
+    return jax.default_backend() == "tpu" or interp_forced()
 
 
 def _register(cls):

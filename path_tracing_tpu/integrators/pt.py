@@ -314,11 +314,9 @@ def _use_megakernel() -> bool:
 
     if os.environ.get("PT_TPU_NO_MEGAKERNEL"):
         return False
-    import jax as _jax
-
-    # a real TPU backend is required (not PT_TPU_INTERPRET: the on-core
-    # PRNG has no CPU lowering in interpret mode)
-    return _use_fused_shade() and _jax.default_backend() == "tpu"
+    # under PT_TPU_INTERPRET the kernel swaps the on-core PRNG (no CPU
+    # lowering) for the counter-hash draw, so interpret mode runs it too
+    return _use_fused_shade()
 
 
 def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,

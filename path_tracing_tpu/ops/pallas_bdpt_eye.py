@@ -44,11 +44,11 @@ from ..scene.types import Scene
 from .math3 import EPSILON
 from .pallas_connect import connect_core
 from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
-                               mega_rows, pack_scene)
-from .pallas_shade import (Mtl, V3, _u01, bsdf_sample_k, build_frame, dot3,
-                           half_vector, nearest_hit_inline, normalize3,
-                           pdf_local, roughness_to_alpha, to_local, valid3,
-                           where3)
+                               interp_forced, mega_rows, pack_scene)
+from .pallas_shade import (Mtl, V3, _draws, bsdf_sample_k, build_frame,
+                           dot3, half_vector, nearest_hit_inline,
+                           normalize3, pdf_local, roughness_to_alpha,
+                           to_local, valid3, where3)
 
 PDF_FWD_FLOOR = 1e-8   # cpu_bdpt.cpp:145,155,160
 
@@ -58,7 +58,9 @@ def _bdpt_eye_kernel(sph_ref, tri_ref, cl_ref, lv_ref, cam_ref, scal_ref,
                      img_x, img_y, img_z, iters_out,
                      *, ns, nl_lights, nt, clamp_val, blocks_col, spp,
                      eye_depth, max_path_iters, max_total, light_hit_scale):
-    pltpu.prng_seed(scal_ref[0] + pl.program_id(0))
+    seed = scal_ref[0] + pl.program_id(0)
+    if not interp_forced():
+        pltpu.prng_seed(seed)
     n_valid = scal_ref[1]
     px = pxr[...]
     py = pyr[...]
@@ -86,7 +88,7 @@ def _bdpt_eye_kernel(sph_ref, tri_ref, cl_ref, lv_ref, cam_ref, scal_ref,
     def body(c):
         (it, work, sample, path_it, ro, rd, tp, rad, img, eta, dep,
          alive_i, last_n, last_p, last_pdf, g_mis, prev_v) = c
-        u = [_u01(px.shape) for _ in range(5)]
+        u = _draws(px.shape, 5, seed, it)
         alive = alive_i != 0
 
         # ---- regenerate dead lanes that still owe samples ----
@@ -264,6 +266,7 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
         out_shape=([jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
                     for _ in range(3)]
                    + [jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32)]),
+        interpret=interp_forced(),
     )(sph_tab, tri_tab, cl_tab, lv_tab, cam_row, scal, pxt, pyt)
     img = jnp.stack([o.reshape(-1)[:B] for o in outs[:3]], -1)
     if return_iters:

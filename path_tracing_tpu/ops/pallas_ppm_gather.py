@@ -135,10 +135,11 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                 Loop order: hitpoint sub-block OUTER, event block inner —
                 the (SUB,1) hitpoint-column loads and the material-branch
                 decision hoist out of the event loop, and the frame
-                rotation + normal dot run as one (4*SUB,8)x(8,128) MXU
+                rotation + normal dot run as one (4*SUB,6)x(6,128) MXU
                 matmul per (sub-block, event block) instead of ~20 VPU
                 broadcast ops."""
                 evb = ev_vmem[buf_slot]                    # (EV_ROWS, EB, 128)
+                qf = qlo.astype(jnp.float32)               # hoisted scalar
                 rem = asize - k_base
 
                 def hp_sub(sidx, _):
@@ -158,17 +159,16 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                     dif = V3(col(30), col(31), col(32))
                     # one MXU operand per sub-block: row blocks
                     # [tangent | bitangent | normal | normal-vs-en]
-                    # contracted against [ewi; en] (K padded 6 -> 8)
-                    zp5 = jnp.zeros((SUB, 5), jnp.float32)
+                    # contracted against the CONTIGUOUS event rows
+                    # [ewi; en] (K = 6; the event operand is a plain
+                    # (6, 128) slice — no per-pair-block reassembly)
+                    zp3 = jnp.zeros((SUB, 3), jnp.float32)
                     a_rot = jnp.concatenate([
-                        jnp.concatenate([hp_vmem[sub, 6:9], zp5], 1),
-                        jnp.concatenate([hp_vmem[sub, 9:12], zp5], 1),
-                        jnp.concatenate([hp_vmem[sub, 3:6], zp5], 1),
-                        jnp.concatenate(
-                            [jnp.zeros((SUB, 3), jnp.float32),
-                             hp_vmem[sub, 3:6],
-                             jnp.zeros((SUB, 2), jnp.float32)], 1),
-                    ], 0)                                  # (4*SUB, 8)
+                        jnp.concatenate([hp_vmem[sub, 6:9], zp3], 1),
+                        jnp.concatenate([hp_vmem[sub, 9:12], zp3], 1),
+                        jnp.concatenate([hp_vmem[sub, 3:6], zp3], 1),
+                        jnp.concatenate([zp3, hp_vmem[sub, 3:6]], 1),
+                    ], 0)                                  # (4*SUB, 6)
                     rows = jax.lax.broadcasted_iota(
                         jnp.int32, (SUB, 1), 0) + r0
                     live = rows < nh
@@ -184,20 +184,16 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                         # raw int32 bitcast through f32 would flush keys
                         # < 2^23 as denormals)
                         keys = evb[12, j, :].reshape(1, 128)
-                        qf = qlo.astype(jnp.float32)
                         in_cell = (keys >= qf) & (keys <= qf + (DZ_LO
                                                                 + DZ_HI))
                         ep = V3(evb[0, j, :].reshape(1, 128),
                                 evb[1, j, :].reshape(1, 128),
                                 evb[2, j, :].reshape(1, 128))
-                        efl = V3(evb[9, j, :].reshape(1, 128),
-                                 evb[10, j, :].reshape(1, 128),
-                                 evb[11, j, :].reshape(1, 128))
-                        b8 = jnp.concatenate(
-                            [evb[6:9, j, :], evb[3:6, j, :],
-                             jnp.zeros((2, 128), jnp.float32)], 0)
+                        efl = V3(evb[3, j, :].reshape(1, 128),
+                                 evb[4, j, :].reshape(1, 128),
+                                 evb[5, j, :].reshape(1, 128))
                         rot = jax.lax.dot_general(
-                            a_rot, b8, (((1,), (0,)), ((), ())),
+                            a_rot, evb[6:12, j, :], (((1,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
                         wi_l = V3(rot[0:SUB], rot[SUB:2 * SUB],
@@ -271,7 +267,18 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                             brdf = where3(kill, V3(zv, zv, zv), outv)
                             extra_drop = jnp.zeros_like(same)
 
-                        okb = ok & valid3(brdf) & ~extra_drop
+                        if simple_path:
+                            # NaN/Inf are impossible here: d is 0-gated on
+                            # its e<1e-12 edge, g = 1/(1+lam) with lam in
+                            # [0, inf] (a2t2's 0/0 needs s2w==0 AND den==0,
+                            # which contradict), denom >= 1e-4, dif is a
+                            # finite pack-time product — only NEGATIVE
+                            # albedo (valid3's third clause) can occur
+                            nonneg = ((brdf.x >= 0.0) & (brdf.y >= 0.0)
+                                      & (brdf.z >= 0.0))
+                            okb = ok & nonneg & ~extra_drop
+                        else:
+                            okb = ok & valid3(brdf) & ~extra_drop
                         okf = okb.astype(jnp.float32)
                         # sanitize BEFORE the product: a NaN brdf on an
                         # excluded pair would poison the row sum —
@@ -370,10 +377,14 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     E = events.pos.shape[0]
     ekey = jnp.where(events.valid, _keys(events.pos, origin, cell),
                      jnp.int32(BIG))
+    # row order [pos3, flux3, wi3, normal3]: rows 6..11 form the (6, 128)
+    # MXU operand [wi; n] as ONE contiguous slice — the kernel's pair
+    # blocks used to re-concatenate it from two strided reads per block
     ev_cols = [events.pos[:, 0], events.pos[:, 1], events.pos[:, 2],
-               events.normal[:, 0], events.normal[:, 1], events.normal[:, 2],
+               events.flux[:, 0], events.flux[:, 1], events.flux[:, 2],
                events.wi[:, 0], events.wi[:, 1], events.wi[:, 2],
-               events.flux[:, 0], events.flux[:, 1], events.flux[:, 2]]
+               events.normal[:, 0], events.normal[:, 1],
+               events.normal[:, 2]]
     # argsort + one row gather: variadic lax.sort at multi-M sizes takes
     # minutes of XLA compile time; this compiles in seconds and the gather
     # runs once per pass.  Invalid rows carry key BIG and sort to the end,

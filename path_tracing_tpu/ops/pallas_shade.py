@@ -995,12 +995,44 @@ def _u01(shape):
     return (b24.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
 
 
+def _u01_hash(shape, seed, it, k):
+    """Stateless counter-based uniform (0,1] — the PT_TPU_INTERPRET stand-in
+    for the on-core PRNG (``pltpu.prng_seed`` has no CPU lowering).  One
+    murmur3-fmix32 avalanche over (lane position, tile seed, loop iteration,
+    draw index); a DIFFERENT stream than hardware, so megakernel-vs-XLA
+    equivalence stays statistical either way, and renders remain
+    bit-reproducible per (seed, layout) on each backend."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (r * jnp.uint32(0x10001) + c) ^ (
+        seed.astype(jnp.uint32) * jnp.uint32(2654435761))
+    x = x + it.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) + jnp.uint32(
+        (k * 0x85EBCA6B) & 0xFFFFFFFF)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    b24 = (x >> jnp.uint32(8)).astype(jnp.int32)
+    return (b24.astype(jnp.float32) + 1.0) * (1.0 / 16777216.0)
+
+
+def _draws(shape, n, seed, it):
+    """n fresh uniforms for one megakernel loop iteration (trace-time
+    backend pick: hardware PRNG on TPU, counter hash under interpret)."""
+    if interp_forced():
+        return [_u01_hash(shape, seed, it, k) for k in range(n)]
+    return [_u01(shape) for _ in range(n)]
+
+
 def _wavefront_kernel(sph_ref, tri_ref, cl_ref, light_ref, cam_ref, seed_ref,
                       pxr, pyr,
                       img_x, img_y, img_z,
                       *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col,
                       spp, eye_depth, max_path_iters, max_total):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    seed = seed_ref[0] + pl.program_id(0)
+    if not interp_forced():
+        pltpu.prng_seed(seed)
     px = pxr[...]
     py = pyr[...]
     eye = V3(cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
@@ -1031,7 +1063,7 @@ def _wavefront_kernel(sph_ref, tri_ref, cl_ref, light_ref, cam_ref, seed_ref,
     def body(c):
         (it, work, sample, path_it, ro, rd, tp, rad, img, eta, dep, alive_i,
          last_delta_i, last_pdf) = c
-        u = [_u01(px.shape) for _ in range(8)]
+        u = _draws(px.shape, 8, seed, it)
         alive = alive_i != 0
 
         # ---- regenerate dead lanes that still owe samples ----
@@ -1144,5 +1176,6 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
                                 memory_space=pltpu.VMEM) for _ in range(3)],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
                    for _ in range(3)],
+        interpret=interp_forced(),
     )(sph_tab, tri_tab, cl_tab, light_tab, cam_row, seed_arr, pxt, pyt)
     return jnp.stack([o.reshape(-1)[:B] for o in outs], -1)

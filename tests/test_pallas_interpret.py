@@ -260,9 +260,14 @@ def test_bdpt_connect_kernel_matches_xla_on_matched_inputs(cornell,
     assert (rel.max(axis=1) < 1e-3).all(), rel.max()
 
 
-def test_bdpt_render_interpret_statistical(cornell, interp_env):
+def test_bdpt_render_interpret_statistical(cornell, interp_env,
+                                           monkeypatch):
     from path_tracing_tpu.integrators.bdpt import render_bdpt
 
+    # pin the scan + per-bounce-connect pipeline: it shares the XLA path's
+    # Threefry streams, so agreement is per-pixel.  The eye megakernel
+    # (counter-hash stream) has its own statistical test below.
+    monkeypatch.setenv("PT_TPU_NO_BDPT_MEGAKERNEL", "1")
     scene, cam, cfg = cornell
     key = jax.random.PRNGKey(0)
     interp_env("xla")
@@ -275,6 +280,40 @@ def test_bdpt_render_interpret_statistical(cornell, interp_env):
     rel = np.abs(a - b) / (np.abs(a) + 1e-3)
     assert (rel.max(axis=1) < 1e-3).mean() > 0.97
     assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.05
+
+
+def test_megakernels_interpret_statistical_and_deterministic(cornell,
+                                                             interp_env):
+    """The persistent PT wavefront and BDPT eye megakernels under interpret
+    mode (counter-hash PRNG replaces the on-core generator): a DIFFERENT
+    sample stream than both the XLA path and real hardware, so agreement is
+    statistical — but the estimator must match in expectation, stay finite,
+    and be bit-deterministic per seed.  The bounce math itself
+    (_shade_core / connect_core) is bit-pinned by the per-bounce kernel
+    tests; this covers the regeneration/accumulation loop."""
+    from path_tracing_tpu.integrators.bdpt import render_bdpt
+    from path_tracing_tpu.integrators.pt import render_pt
+
+    scene, cam, cfg = cornell
+    key = jax.random.PRNGKey(0)
+    spp = 32
+
+    interp_env("xla")
+    a_pt = np.asarray(render_pt(scene, cam, W, H, spp, cfg, key))
+    a_bd = np.asarray(render_bdpt(scene, cam, W, H, 4, 4, cfg, key))
+
+    interp_env("interpret")
+    b_pt = np.asarray(render_pt(scene, cam, W, H, spp, cfg, key))
+    b_bd = np.asarray(render_bdpt(scene, cam, W, H, 4, 4, cfg, key))
+
+    assert np.isfinite(b_pt).all() and np.isfinite(b_bd).all()
+    ca, cb = np.clip(a_pt, 0, 1).mean(), np.clip(b_pt, 0, 1).mean()
+    assert abs(ca - cb) / max(ca, 1e-6) < 0.15, (ca, cb)
+    da, db = np.clip(a_bd, 0, 1).mean(), np.clip(b_bd, 0, 1).mean()
+    assert abs(da - db) / max(da, 1e-6) < 0.15, (da, db)
+
+    b_pt2 = np.asarray(render_pt(scene, cam, W, H, spp, cfg, key))
+    np.testing.assert_array_equal(b_pt, b_pt2)
 
 
 def test_ppm_render_interpret_statistical(cornell, interp_env):
