@@ -66,7 +66,11 @@ G = 200                  # cells per axis in the packed key domain
 # padded rows can never pass a corner cell's in_cell gate
 BIG = 2 ** 23 - 1
 EV_CHUNK = 1024          # events per DMA'd chunk (8 sublane-blocks of 128)
-EV_ROWS = 13             # event table rows: 12 data + 1 f32 cell key
+# event table rows: 12 data + 1 f32 cell key + 1 zero pad.  Rows 6..13
+# ([wi3, n3, key, pad]) double as the (8, 128) MXU operand — K stays 8
+# (the proven-on-hardware contraction width) and the key/pad rows are
+# nullified by the A operand's zero columns
+EV_ROWS = 14
 HP_CHUNK = 128           # hitpoints per DMA'd block
 SUB = 16                 # hitpoint sub-block rows per pair block
 # (dx, dy) neighbor offsets in key units; dz is folded into the +-1 range
@@ -160,15 +164,19 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                     # one MXU operand per sub-block: row blocks
                     # [tangent | bitangent | normal | normal-vs-en]
                     # contracted against the CONTIGUOUS event rows
-                    # [ewi; en] (K = 6; the event operand is a plain
-                    # (6, 128) slice — no per-pair-block reassembly)
+                    # [ewi; en; key; pad] (K = 8): the event operand is a
+                    # plain (8, 128) slice — no per-pair-block reassembly —
+                    # and zero A-columns 6..7 nullify the key/pad rows
+                    zp5 = jnp.zeros((SUB, 5), jnp.float32)
                     zp3 = jnp.zeros((SUB, 3), jnp.float32)
                     a_rot = jnp.concatenate([
-                        jnp.concatenate([hp_vmem[sub, 6:9], zp3], 1),
-                        jnp.concatenate([hp_vmem[sub, 9:12], zp3], 1),
-                        jnp.concatenate([hp_vmem[sub, 3:6], zp3], 1),
-                        jnp.concatenate([zp3, hp_vmem[sub, 3:6]], 1),
-                    ], 0)                                  # (4*SUB, 6)
+                        jnp.concatenate([hp_vmem[sub, 6:9], zp5], 1),
+                        jnp.concatenate([hp_vmem[sub, 9:12], zp5], 1),
+                        jnp.concatenate([hp_vmem[sub, 3:6], zp5], 1),
+                        jnp.concatenate([zp3, hp_vmem[sub, 3:6],
+                                         jnp.zeros((SUB, 2), jnp.float32)],
+                                        1),
+                    ], 0)                                  # (4*SUB, 8)
                     rows = jax.lax.broadcasted_iota(
                         jnp.int32, (SUB, 1), 0) + r0
                     live = rows < nh
@@ -193,7 +201,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                                  evb[4, j, :].reshape(1, 128),
                                  evb[5, j, :].reshape(1, 128))
                         rot = jax.lax.dot_general(
-                            a_rot, evb[6:12, j, :], (((1,), (0,)), ((), ())),
+                            a_rot, evb[6:14, j, :], (((1,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
                         wi_l = V3(rot[0:SUB], rot[SUB:2 * SUB],
@@ -409,7 +417,8 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # f32 column would silently corrupt keys < 2^23: TPU flushes denormals)
     skey_p = _pad_to(skey, Ep, BIG)
     ev_mat = jnp.concatenate(
-        [_pad_to(ev_mat, Ep), skey_p.astype(jnp.float32)[:, None]], axis=1)
+        [_pad_to(ev_mat, Ep), skey_p.astype(jnp.float32)[:, None],
+         jnp.zeros((Ep, 1), jnp.float32)], axis=1)
     ev_tab = ev_mat.T.reshape(EV_ROWS, Ep // 128, 128)
 
     # ---- hitpoints: precompute frame, sort, pack row-major -------------
