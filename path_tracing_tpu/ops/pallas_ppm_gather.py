@@ -190,10 +190,18 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                         # cell keys ride in the event table as ONE f32 row
                         # (the GXY^2*GZ = 2^23 key domain is f32-exact; a
                         # raw int32 bitcast through f32 would flush keys
-                        # < 2^23 as denormals)
+                        # < 2^23 as denormals).  Blocks past the window's
+                        # end (j*128 >= rem) hold a stale previous chunk —
+                        # excluded by value (the `rem` gate below) so the
+                        # whole chunk runs unconditionally and the four
+                        # flux/count partials accumulate in REGISTERS
+                        # across the block loop (one VMEM RMW per chunk
+                        # instead of one per pair block — the RMWs were a
+                        # measured third of the kernel)
                         keys = evb[12, j, :].reshape(1, 128)
-                        in_cell = (keys >= qf) & (keys <= qf + (DZ_LO
-                                                                + DZ_HI))
+                        in_cell = ((keys >= qf) & (keys <= qf + (DZ_LO
+                                                                 + DZ_HI))
+                                   & (j * 128 < rem))
                         ep = V3(evb[0, j, :].reshape(1, 128),
                                 evb[1, j, :].reshape(1, 128),
                                 evb[2, j, :].reshape(1, 128))
@@ -290,31 +298,37 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                         okf = okb.astype(jnp.float32)
                         # sanitize BEFORE the product: a NaN brdf on an
                         # excluded pair would poison the row sum —
-                        # 0 * NaN = NaN
+                        # 0 * NaN = NaN.  (bx is already 0 on excluded
+                        # pairs, so the flux partials need no extra okf
+                        # factor; event tables are NaN-free by pack-time
+                        # zeroing, so efl * 0 stays 0.)
                         bx = jnp.where(okb, brdf.x, 0.0)
                         by = jnp.where(okb, brdf.y, 0.0)
                         bz = jnp.where(okb, brdf.z, 0.0)
-                        # accumulate WIDE (row, lane) partials; the lane
-                        # reduction and throughput multiply are deferred
-                        # to once per hp block
-                        accw_vmem[0, sub, :] += okf * efl.x * bx
-                        accw_vmem[1, sub, :] += okf * efl.y * by
-                        accw_vmem[2, sub, :] += okf * efl.z * bz
-                        accw_vmem[3, sub, :] += okf
+                        return (efl.x * bx, efl.y * by, efl.z * bz, okf)
+
+                    def chunk_partials(simple_path):
+                        # WIDE (row, lane) partials carried in registers
+                        # over the block loop; ONE VMEM RMW per channel
+                        # per chunk.  Lane reduction and the throughput
+                        # multiply are deferred to once per hp block.
+                        # Incremental adds keep only the four running
+                        # sums live across each block's evaluation.
+                        acc = list(pair_block(0, simple_path))
+                        for j in range(1, EB):
+                            part = pair_block(j, simple_path)
+                            for c in range(4):
+                                acc[c] = acc[c] + part[c]
+                        for c in range(4):
+                            accw_vmem[c, sub, :] += acc[c]
 
                     @pl.when(all_simple)
                     def _():
-                        for j in range(EB):
-                            @pl.when(j * 128 < rem)
-                            def _(j=j):
-                                pair_block(j, True)
+                        chunk_partials(True)
 
                     @pl.when(~all_simple)
                     def _():
-                        for j in range(EB):
-                            @pl.when(j * 128 < rem)
-                            def _(j=j):
-                                pair_block(j, False)
+                        chunk_partials(False)
                     return 0
 
                 jax.lax.fori_loop(0, n_sub, hp_sub, 0)
