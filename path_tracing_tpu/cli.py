@@ -184,22 +184,27 @@ def main(argv=None) -> int:
         def on_frame(i, f):
             nonlocal state
             f.block_until_ready()
-            state = state.add(f)
+            # accumulate into a LOCAL and commit at the end: the live
+            # outputs below are the iteration's first real host reads
+            # (where tunneled-device faults surface) and they can raise —
+            # committing first would make a RenderSupervisor retry
+            # re-run frame(i) AND re-add it (iteration double-counted)
+            new_state = state.add(f)
             dt = time.perf_counter() - t0
             print(f"[Render] iter {i + 1}: {dt * 1000:.1f} ms cumulative")
             if args.live:
                 live = (args.live.format(i=i + 1) if "{i}" in args.live
                         else args.live)
                 tmp = live + ".tmp"
-                save_image(tmp, np.asarray(state.radiance_sum)
-                           / max(int(state.n_iters), 1), W, H)
+                save_image(tmp, np.asarray(new_state.radiance_sum)
+                           / max(int(new_state.n_iters), 1), W, H)
                 os.replace(tmp, live)
                 print(f"[Live] wrote {live}")
             if args.live_term:
                 from .film import ansi_preview, tonemap_u8
 
-                u8 = tonemap_u8(np.asarray(state.radiance_sum)
-                                / max(int(state.n_iters), 1), W, H)
+                u8 = tonemap_u8(np.asarray(new_state.radiance_sum)
+                                / max(int(new_state.n_iters), 1), W, H)
                 pre = ansi_preview(u8, max_cols=int(args.live_term))
                 nl = pre.count("\n") + 1
                 # redraw in place: the previous block was nl+1 lines
@@ -209,6 +214,7 @@ def main(argv=None) -> int:
                 up = nl + 2 + (1 if args.live else 0)
                 lead = f"\x1b[{up}A" if i > start_iter else ""
                 print(f"{lead}{pre}\n[Live] iter {i + 1}", flush=True)
+            state = new_state
 
         from .runtime.resilience import RenderSupervisor
 

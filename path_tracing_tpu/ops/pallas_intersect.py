@@ -272,7 +272,7 @@ def _stream_layout(scene: Scene):
 def _stream_can_block(scene: Scene, dielectrics_block: bool | None):
     nt = scene.num_triangles
     if dielectrics_block is None or dielectrics_block:
-        return jnp.ones((nt, 1))  # cpu rule: everything blocks
+        return jnp.ones((nt, 1))  # GPU rule: everything blocks
     return (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None]
 
 
@@ -301,8 +301,9 @@ def pack_scene_stream(scene: Scene, dielectrics_block: bool | None = None):
 
     ``dielectrics_block`` (for the blocker): bakes the per-triangle
     can-block flag by zeroing the ``a`` lanes of non-blocking triangles
-    (True = every surface blocks, the CPU-oracle rule; False = dielectrics
-    pass, the GPU rule — geometric.cuh:293-325 with Ks=0).
+    (True = every surface blocks, the GPU ``check_visibility`` rule —
+    geometric.cuh:293-325 with Ks=0; False = dielectrics pass, the
+    CPU-oracle rule — matching ``ops.intersect.transmittance``).
     """
     sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl = _stream_layout(scene)
 
@@ -610,27 +611,16 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                             lambda b: b, best)
 
     if use_super:
-        # tile octant from the lane-0 ray (tiles are octant-sorted by
-        # _sorted_call; a mixed boundary tile just gets a suboptimal ORDER,
-        # never a wrong result)
-        o_idx = ((dx[0, 0] >= 0.0).astype(jnp.int32)
-                 + (dy[0, 0] >= 0.0).astype(jnp.int32) * 2
-                 + (dz[0, 0] >= 0.0).astype(jnp.int32) * 4)
+        o_idx = _tile_octant(dx, dy, dz)
 
         def perm(si):
             """si-th super in this tile's front-to-back octant order."""
-            v = sup_ref[si, 8]
-            for o in range(1, 8):
-                v = jnp.where(o_idx == o, sup_ref[si, 8 + o], v)
-            return v.astype(jnp.int32)
+            return _octant_perm(sup_ref, o_idx, si)
 
         def child_perm(row):
             """Relative index of the k-th child (row = base + k) in this
             tile's front-to-back octant order (cl cols 8..15)."""
-            v = cl_ref[row, 8]
-            for o in range(1, 8):
-                v = jnp.where(o_idx == o, cl_ref[row, 8 + o], v)
-            return v.astype(jnp.int32)
+            return _octant_perm(cl_ref, o_idx, row)
 
         def super_body(si, best):
             s = perm(si)
@@ -757,15 +747,10 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
         # any-hit has no shrinking t, but blockers near the origin are the
         # common case and a fully-blocked tile skips every later super via
         # the ``blocked == 0`` term of the slab cull
-        o_idx = ((dx[0, 0] >= 0.0).astype(jnp.int32)
-                 + (dy[0, 0] >= 0.0).astype(jnp.int32) * 2
-                 + (dz[0, 0] >= 0.0).astype(jnp.int32) * 4)
+        o_idx = _tile_octant(dx, dy, dz)
 
         def perm(si):
-            v = sup_ref[si, 8]
-            for o in range(1, 8):
-                v = jnp.where(o_idx == o, sup_ref[si, 8 + o], v)
-            return v.astype(jnp.int32)
+            return _octant_perm(sup_ref, o_idx, si)
 
         def super_body(si, blocked):
             s = perm(si)
@@ -899,10 +884,7 @@ def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
     if use_super:
         def perm(si):
             """si-th super in this tile's front-to-back octant order."""
-            v = sup_ref[si, 8]
-            for o in range(1, 8):
-                v = jnp.where(o_idx == o, sup_ref[si, 8 + o], v)
-            return v.astype(jnp.int32)
+            return _octant_perm(sup_ref, o_idx, si)
 
         def super_body(si, z):
             s = perm(si)
@@ -912,10 +894,7 @@ def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
             def child_perm(row):
                 """k-th child (row = base + k) of this tile's front-to-back
                 octant order, as a relative index (cl cols 8..15)."""
-                v = cl_ref[row, 8]
-                for o in range(1, 8):
-                    v = jnp.where(o_idx == o, cl_ref[row, 8 + o], v)
-                return v.astype(jnp.int32)
+                return _octant_perm(cl_ref, o_idx, row)
 
             def descend(z):
                 # double-buffered children: cluster k+1's window streams
@@ -987,6 +966,17 @@ def _tile_octant(dx, dy, dz):
     return ((dx[0, 0] >= 0.0).astype(jnp.int32)
             + (dy[0, 0] >= 0.0).astype(jnp.int32) * 2
             + (dz[0, 0] >= 0.0).astype(jnp.int32) * 4)
+
+
+def _octant_perm(ref, o_idx, row):
+    """``row``-th entry of ``ref``'s baked per-octant order columns
+    (cols 8..15) for octant ``o_idx`` — the front-to-back traversal
+    permutation shared by the VMEM and streaming kernels (supers via
+    ``sup_ref``, children-within-super via ``cl_ref``)."""
+    v = ref[row, 8]
+    for o in range(1, 8):
+        v = jnp.where(o_idx == o, ref[row, 8 + o], v)
+    return v.astype(jnp.int32)
 
 
 def _mxu_block_eval(a_blk, bop, t_gate_lo):

@@ -381,8 +381,6 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
 def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
                        r2_scale=1.0, max_cells: int | None = None,
                        interpret: bool = False):
-    from .pallas_intersect import interp_forced
-    interpret = interpret or interp_forced()
     """Exact per-hitpoint flux gather.  Same contract as
     ``integrators.ppm.gather_flux`` -> (flux (B,3), count (B,), overflow ())
     except the gather is exact (no cell budget / stratification) and
@@ -390,6 +388,8 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     plus valid events dropped by ``cfg.ppm_event_cap_frac`` (0 means the
     gather covered everything).
     """
+    from .pallas_intersect import interp_forced
+    interpret = interpret or interp_forced()
     cmax = int(max_cells or cfg.ppm_max_cells)
     origin = scene.scene_min
     cell = _cell_size(scene, cfg)

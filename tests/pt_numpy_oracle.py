@@ -124,7 +124,7 @@ def check_visibility(scene, p1, p2):
     blocked = np.zeros(p1.shape[0], bool)
     tt = _isect_tris(p1, d, scene["tri_v0"], scene["tri_v1"],
                      scene["tri_v2"], max_d[:, None])
-    blocked |= np.any(tt > 1e-3, axis=1) & np.any(np.isfinite(tt), axis=1)
+    blocked |= np.any(np.isfinite(tt) & (tt > 1e-3), axis=1)
     ts = _isect_spheres(p1, d, scene["sph_c"], scene["sph_r"],
                         max_d[:, None])
     if ts.shape[1]:

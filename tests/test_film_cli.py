@@ -190,3 +190,51 @@ def test_cli_debug_nan_and_profile(tmp_path):
     # assert when it actually started (ADVICE r1)
     if "[Warn] jax.profiler unavailable" not in r.stderr:
         assert os.path.isdir(prof) and any(os.scandir(prof)), r.stderr[-500:]
+
+
+def test_cli_retry_does_not_double_count(tmp_path, monkeypatch, capsys):
+    """A RenderSupervisor retry triggered by a failing --live write must
+    re-run the iteration exactly once: the accumulation is committed only
+    after the fallible host reads / live I/O (round-2 review finding —
+    committing first double-counted the retried frame)."""
+    from path_tracing_tpu import cli, film
+
+    real_save = film.save_image
+    fails = {"n": 0}
+
+    def flaky_save(path, *a, **kw):
+        # only the live preview fails (once); the final --output succeeds
+        if "live" in os.path.basename(path) and fails["n"] == 0:
+            fails["n"] += 1
+            raise OSError("transient live-write failure")
+        return real_save(path, *a, **kw)
+
+    monkeypatch.setattr(film, "save_image", flaky_save)
+    out = str(tmp_path / "out.png")
+    live = str(tmp_path / "live.png")
+    ck = str(tmp_path / "ck.npz")
+    rc = cli.main([
+        "--input", INPUT_TXT, "--mode", "pt", "--spp", "1",
+        "--width", "16", "--height", "16", "--eye-depth", "2",
+        "--output", out, "--seed", "1", "--iters", "2",
+        "--live", live, "--retries", "1", "--checkpoint", ck])
+    assert rc == 0
+    assert fails["n"] == 1  # the transient failure actually happened
+    st, meta = load_checkpoint(ck)
+    assert int(st.n_iters) == 2  # NOT 3: the retried iter counted once
+    # deterministic frames: the sum equals exactly 2x one iteration
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.pt import render_pt
+    from path_tracing_tpu.scene.camera import make_camera
+    from path_tracing_tpu.scene.parser import load_scene
+    parsed = load_scene(INPUT_TXT)
+    scene = parsed.to_device()
+    cam = make_camera(parsed.eye, parsed.look_at, parsed.view_up,
+                      parsed.fov, 16, 16)
+    cfg = RenderConfig(width=16, height=16, spp=1, spl=8, eye_depth=2,
+                       seed=1)
+    key = jax.random.PRNGKey(1)
+    f0 = render_pt(scene, cam, 16, 16, 1, cfg, jax.random.fold_in(key, 0))
+    f1 = render_pt(scene, cam, 16, 16, 1, cfg, jax.random.fold_in(key, 1))
+    np.testing.assert_allclose(np.asarray(st.radiance_sum),
+                               np.asarray(f0 + f1), rtol=1e-5, atol=1e-6)
