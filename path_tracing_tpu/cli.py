@@ -69,6 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "ANSI half-blocks, COLS cells wide (default 80) — "
                          "the reference GUI's live window (main.cpp:399-500) "
                          "for a headless box / SSH session")
+    ap.add_argument("--live-http", nargs="?", const=8000, type=int,
+                    default=None, metavar="PORT",
+                    help="progressive viewing IN the browser: serve the "
+                         "accumulated frame at http://host:PORT/ (auto-"
+                         "refreshing page + /frame.png), updated after "
+                         "every iteration (runtime/live_http.py).  PORT 0 "
+                         "picks a free port (printed).  The interactive "
+                         "counterpart of the reference GUI window "
+                         "(main.cpp:60-600) for a display-less TPU host")
     ap.add_argument("--retries", type=int, default=1,
                     help="per-iteration retry budget for transient device "
                          "faults: on an exception the accumulated state is "
@@ -181,6 +190,13 @@ def main(argv=None) -> int:
                 stack.enter_context(jax.profiler.trace(args.profile))
             except Exception as e:
                 print(f"[Warn] jax.profiler unavailable: {e}", file=sys.stderr)
+        live_http = None
+        if args.live_http is not None:
+            from .runtime.live_http import LiveServer
+            live_http = LiveServer(args.live_http)
+            stack.callback(live_http.close)
+            print(f"[Live] serving http://0.0.0.0:{live_http.port}/")
+
         def on_frame(i, f):
             nonlocal state
             f.block_until_ready()
@@ -214,6 +230,12 @@ def main(argv=None) -> int:
                 up = nl + 2 + (1 if args.live else 0)
                 lead = f"\x1b[{up}A" if i > start_iter else ""
                 print(f"{lead}{pre}\n[Live] iter {i + 1}", flush=True)
+            if live_http is not None:
+                from .film import encode_png, tonemap_u8
+
+                live_http.update(encode_png(tonemap_u8(
+                    np.asarray(new_state.radiance_sum)
+                    / max(int(new_state.n_iters), 1), W, H)), i + 1)
             state = new_state
 
         from .runtime.resilience import RenderSupervisor

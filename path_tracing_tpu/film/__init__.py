@@ -58,8 +58,8 @@ def tonemap_u8(linear: np.ndarray, width: int, height: int) -> np.ndarray:
     return (img * 255.0).astype(np.uint8)
 
 
-def write_png(path: str, rgb_u8: np.ndarray) -> None:
-    """Minimal dependency-free PNG writer (RGB8)."""
+def encode_png(rgb_u8: np.ndarray) -> bytes:
+    """Minimal dependency-free PNG encoder (RGB8) -> bytes."""
     h, w, _ = rgb_u8.shape
     raw = b"".join(b"\x00" + rgb_u8[i].tobytes() for i in range(h))
 
@@ -68,10 +68,14 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, rgb_u8: np.ndarray) -> None:
+    """Minimal dependency-free PNG writer (RGB8)."""
     with open(path, "wb") as f:
-        f.write(png)
+        f.write(encode_png(rgb_u8))
 
 
 def read_png(path: str) -> np.ndarray:

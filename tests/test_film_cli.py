@@ -238,3 +238,67 @@ def test_cli_retry_does_not_double_count(tmp_path, monkeypatch, capsys):
     f1 = render_pt(scene, cam, 16, 16, 1, cfg, jax.random.fold_in(key, 1))
     np.testing.assert_allclose(np.asarray(st.radiance_sum),
                                np.asarray(f0 + f1), rtol=1e-5, atol=1e-6)
+
+
+def test_live_http_server():
+    """LiveServer serves the page, 404s before the first frame, then the
+    latest PNG + meta after update() (runtime/live_http.py)."""
+    import urllib.error
+    import urllib.request
+
+    from path_tracing_tpu.film import encode_png
+    from path_tracing_tpu.runtime.live_http import LiveServer
+
+    srv = LiveServer(0, host="127.0.0.1")
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"frame.png" in page
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(base + "/frame.png", timeout=10)
+        png = encode_png(np.zeros((4, 4, 3), np.uint8))
+        srv.update(png, 3)
+        got = urllib.request.urlopen(base + "/frame.png", timeout=10).read()
+        assert got == png and got[:8] == b"\x89PNG\r\n\x1a\n"
+        meta = urllib.request.urlopen(base + "/meta.json", timeout=10).read()
+        assert b'"iter": 3' in meta
+    finally:
+        srv.close()
+
+
+def test_cli_live_http(tmp_path):
+    """--live-http end-to-end: the frame served after the render loop runs
+    matches the iteration count."""
+    import threading
+    import urllib.request
+
+    from path_tracing_tpu import cli
+    from path_tracing_tpu.runtime import live_http as lh
+
+    captured = {}
+    orig_update = lh.LiveServer.update
+
+    def spy_update(self, png, iteration):
+        captured["png"], captured["iter"] = png, iteration
+        captured["port"] = self.port
+        orig_update(self, png, iteration)
+        # fetch through the real socket while the server is still up
+        captured["served"] = urllib.request.urlopen(
+            f"http://127.0.0.1:{self.port}/frame.png", timeout=10).read()
+
+    lh.LiveServer.update = spy_update
+    try:
+        out = str(tmp_path / "out.png")
+        rc = cli.main([
+            "--input", INPUT_TXT, "--mode", "pt", "--spp", "1",
+            "--width", "16", "--height", "16", "--eye-depth", "2",
+            "--output", out, "--seed", "1", "--iters", "2",
+            "--live-http", "0"])
+    finally:
+        lh.LiveServer.update = orig_update
+    assert rc == 0
+    assert captured["iter"] == 2
+    assert captured["served"] == captured["png"]
+    assert captured["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    img = read_png(out)
+    assert img.shape == (16, 16, 3)
