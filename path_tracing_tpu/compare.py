@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     ap.add_argument("--light-depth", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out-dir", default="compare_out")
+    ap.add_argument("--live-http", nargs="?", const=8000, type=int,
+                    default=None, metavar="PORT",
+                    help="serve the accumulating [ppm|bdpt|pt] 3-up frame "
+                         "at http://host:PORT/ after every iteration — the "
+                         "reference GUI's live side-by-side window "
+                         "(main.cpp:489-500) in a browser")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,6 +81,13 @@ def main(argv=None) -> int:
     acc = {k: np.zeros((W * H, 3)) for k in ("ppm", "bdpt", "pt")}
     prev_u8 = {k: None for k in ("ppm", "bdpt", "pt")}
     hist: list[dict] = []
+
+    live_http = None
+    if args.live_http is not None:
+        from .runtime.live_http import LiveServer
+
+        live_http = LiveServer(args.live_http)
+        print(f"[Live] serving http://0.0.0.0:{live_http.port}/")
 
     for it in range(args.iters):
         k = jax.random.fold_in(key, it)
@@ -109,6 +122,11 @@ def main(argv=None) -> int:
         print(f"iter {it}: " + "  ".join(
             f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
             for k, v in row.items()))
+        if live_http is not None:
+            from .film import encode_png
+
+            live_http.update(encode_png(np.concatenate(
+                [u8["ppm"], u8["bdpt"], u8["pt"]], axis=1)), it + 1)
 
     # side-by-side 3W x H frame: [ppm | bdpt | pt] (main.cpp:489-500 layout)
     combined = np.concatenate([u8["ppm"], u8["bdpt"], u8["pt"]], axis=1)
@@ -141,6 +159,8 @@ def main(argv=None) -> int:
     except Exception as e:  # matplotlib is optional
         print(f"[plot skipped: {e}]")
 
+    if live_http is not None:
+        live_http.close()
     print(f"[done] wrote {args.out_dir}/combined.png, {csv_path}")
     return 0
 

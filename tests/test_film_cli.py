@@ -302,3 +302,33 @@ def test_cli_live_http(tmp_path):
     assert captured["png"][:8] == b"\x89PNG\r\n\x1a\n"
     img = read_png(out)
     assert img.shape == (16, 16, 3)
+
+
+def test_compare_live_http(tmp_path):
+    """The comparator's --live-http serves the 3-up frame per iteration."""
+    from path_tracing_tpu import compare
+    from path_tracing_tpu.runtime import live_http as lh
+
+    captured = {}
+    orig_update = lh.LiveServer.update
+
+    def spy_update(self, png, iteration):
+        captured["png"], captured["iter"] = png, iteration
+        return orig_update(self, png, iteration)
+
+    lh.LiveServer.update = spy_update
+    try:
+        rc = compare.main([
+            "--input", INPUT_TXT, "--iters", "2", "--spp", "1", "--spl", "2",
+            "--ppm-photons", "256", "--width", "16", "--height", "16",
+            "--eye-depth", "2", "--out-dir", str(tmp_path / "cmp"),
+            "--live-http", "0"])
+    finally:
+        lh.LiveServer.update = orig_update
+    assert rc == 0
+    assert captured["iter"] == 2
+    assert captured["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    # 3W x H: the PNG IHDR width field reads 48 for a 16-wide render
+    import struct
+    w, h = struct.unpack(">II", captured["png"][16:24])
+    assert (w, h) == (48, 16)
