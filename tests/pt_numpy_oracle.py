@@ -8,8 +8,10 @@ tests/test_pt_oracle.py can catch structural estimator bugs (e.g. a missing
 throughput factor) that Pallas-vs-XLA A/B tests are blind to because both
 backends share the integrator logic.
 
-Scope: rough (non-delta) materials, sphere lights with cutoff == 0, stub
-MIS (quirk 2), binary shadow blocking (quirk 12).
+Scope: rough (non-delta) materials including metals (FrSchlick, VNDF-only
+sampling), sphere lights with spot-cone gates (scene keys ``light_dir`` /
+``light_cutoff``; omitted = cutoff 0), stub MIS (quirk 2), binary shadow
+blocking (quirk 12).
 """
 from __future__ import annotations
 
@@ -209,9 +211,13 @@ def _bsdf_eval_pdf(mtl, wo_w, wi_w, n):
     diffuse = np.where((wo[:, 2] * wi[:, 2] < 0.0)[:, None], 0.0, diffuse)
     D = _tr_d(wh, alpha)
     G = 1.0 / (1.0 + _tr_lambda(wo, alpha) + _tr_lambda(wi, alpha))
-    # metallic == 0 in the oracle scenes -> dielectric Fresnel
-    fr = _fr_dielectric(_dot(wo, wh), 1.0, eta)
-    spec = (fr * D * G / np.maximum(
+    # Fresnel (geometric.cuh:444-450): Schlick with base_color as F0 for
+    # metals, exact dielectric otherwise
+    fr = _fr_dielectric(_dot(wo, wh), 1.0, eta)[:, None]
+    cos5 = (1.0 - np.abs(wo[:, 2]))[:, None] ** 5
+    fr_s = base + (1.0 - base) * cos5
+    F = np.where((metal > 0.0)[:, None], fr_s, fr)
+    spec = F * (D * G / np.maximum(
         4.0 * np.abs(wo[:, 2]) * np.abs(wi[:, 2]), 1e-4))[:, None]
     f = np.where(same_hemi[:, None], diffuse + spec, diffuse)
     zero = (wo[:, 2] == 0.0) | (wi[:, 2] == 0.0) | (wh_len < 1e-6)
@@ -222,13 +228,16 @@ def _bsdf_eval_pdf(mtl, wo_w, wi_w, n):
     pdf_wh = _tr_d(wh, alpha) * g1 * np.maximum(0.0, _dot(wo, wh)) / \
         np.maximum(np.abs(wo[:, 2]), 1e-20)
     pdf_spec = pdf_wh / (4.0 * _dot(wo, wh) + 1e-7)
-    pdf = 0.5 * pdf_diff + 0.5 * pdf_spec
+    # spec_weight (geometric.cuh:481-483,543): metals sample VNDF only
+    sw = np.where(metal > 0.0, 1.0, 0.5)
+    pdf = (1.0 - sw) * pdf_diff + sw * pdf_spec
     pdf = np.where(same_hemi & ~zero, pdf, 0.0)
     return f, pdf
 
 
 def _bsdf_sample(mtl, wo_w, n, u_rr, u1, u2):
-    """bsdf_sample rough branch (geometric.cuh:539-561), spec_weight 0.5."""
+    """bsdf_sample rough branch (geometric.cuh:539-561); spec_weight 0.5,
+    or 1.0 for metals."""
     t, b = _frame(n)
     wo = _to_local(wo_w, t, b, n)
     alpha = np.maximum(mtl[:, 3], 1e-3) ** 2
@@ -262,7 +271,8 @@ def _bsdf_sample(mtl, wo_w, n, u_rr, u1, u2):
                        np.sqrt(np.maximum(0.0, 1.0 - u1))], axis=-1)
     wi_cos[:, 2] = np.where(wo[:, 2] < 0.0, -wi_cos[:, 2], wi_cos[:, 2])
 
-    take_spec = u_rr < 0.5
+    sw = np.where(mtl[:, 4] > 0.0, 1.0, 0.5)  # metals sample VNDF only
+    take_spec = u_rr < sw
     wi = np.where(take_spec[:, None], wi_spec, wi_cos)
     dead = take_spec & bad_spec
     wi_w = _to_world(wi, t, b, n)
@@ -305,16 +315,32 @@ def render_pt_numpy(scene, cam, W, H, spp, max_depth, seed=0):
         act = alive & hit
         wo = -rd
 
-        # light hit: emission = illum / area (cutoff == 0), only credited
-        # through a delta history (stub MIS); path terminates
+        # light hit: emission = illum / (area * cone_ratio), only credited
+        # through a delta history (stub MIS); path terminates.  Cone logic
+        # pt_cu.cu:62-94: depth 0 sees the whole ball, deeper hits from
+        # behind the cone are dark
         c2l = pos[:, None, :] - scene["light_pos"][None]
         match = np.abs(np.linalg.norm(c2l, axis=-1)
                        - scene["light_r"][None]) < 1e-2
         li = np.argmax(match, axis=1)
         has_match = match.any(axis=1)
         area = 4.0 * PI * scene["light_r"][li] ** 2
-        emission = np.where(has_match[:, None],
-                            scene["light_illum"][li] / area[:, None], 0.0)
+        cutoff = scene.get("light_cutoff",
+                           np.zeros(scene["light_pos"].shape[0]))[li]
+        cone_ratio = np.ones(B)
+        if "light_dir" in scene:
+            main = _norm(scene["light_dir"])[li]
+            c2h = _norm(pos - scene["light_pos"][li])
+            behind = _dot(main, c2h) < np.cos(cutoff)
+            cr = (1.0 - np.cos(cutoff)) / 2.0
+            cone_ratio = np.where(cutoff > 0.0,
+                                  np.where(_depth == 0, 1.0,
+                                           np.where(behind, 0.0, cr)),
+                                  1.0)
+        emission = np.where((has_match & (cone_ratio > 0.0))[:, None],
+                            scene["light_illum"][li]
+                            / (area * np.maximum(cone_ratio, 1e-20))[:, None],
+                            0.0)
         contrib = tp * emission
         add = act & is_light & last_delta & (emission > 0).any(axis=-1) \
             & _valid(contrib)
@@ -342,7 +368,17 @@ def render_pt_numpy(scene, cam, W, H, spp, max_depth, seed=0):
         mis = pdf_ld ** 2 / np.maximum(pdf_ld ** 2 + pdf_b ** 2, 1e-8)
         contrib = (tp * f * scene["light_illum"][l_idx]
                    * (tr * cos_s / pdf_ld * mis)[:, None])
-        gate = elig & (cos_s > 0) & (cos_l > 0) & (tr > 0) & _valid(contrib)
+        # spot-cone gate (pt_cu.cu:166-171): the sample direction must lie
+        # inside the light's cone when cutoff > 0
+        inside = np.ones(B, bool)
+        if "light_dir" in scene:
+            cut = scene.get(
+                "light_cutoff",
+                np.zeros(scene["light_pos"].shape[0]))[l_idx]
+            main = _norm(scene["light_dir"])[l_idx]
+            inside = (cut <= 0.0) | (_dot(main, -wi_l) >= np.cos(cut))
+        gate = elig & (cos_s > 0) & (cos_l > 0) & (tr > 0) & inside \
+            & _valid(contrib)
         color += np.where(gate[:, None], _clamp(contrib), 0.0)
 
         # bounce

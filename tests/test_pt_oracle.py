@@ -143,3 +143,104 @@ def test_nee_includes_throughput_directly():
     assert float(jnp.max(jnp.abs(full))) > 0.0
     np.testing.assert_allclose(np.asarray(half), 0.5 * np.asarray(full),
                                rtol=1e-5)
+
+
+def _veach_mini_scene():
+    """mis_test.txt-class fixture: rough-METAL slabs + spot-cone lights —
+    exercises FrSchlick, VNDF-only sampling (spec_weight 1) and the
+    NEE/emission cone gates that input.txt-class scenes never touch."""
+    import jax.numpy as jnp
+
+    tris = []
+    s = 3.0
+    _quad(tris, (-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s))  # floor
+    # two slabs tilted ~30 deg toward the camera
+    _quad(tris, (-2.4, 0.4, -1.0), (-0.4, 0.4, -1.0),
+          (-0.4, 1.4, -1.8), (-2.4, 1.4, -1.8))
+    _quad(tris, (0.4, 0.4, -1.0), (2.4, 0.4, -1.0),
+          (2.4, 1.4, -1.8), (0.4, 1.4, -1.8))
+    tri = np.array(tris, np.float32)
+    base = np.array([[0.7, 0.7, 0.7]] * 2          # diffuse floor
+                    + [[0.9, 0.7, 0.4]] * 2        # gold-ish slab
+                    + [[0.6, 0.7, 0.9]] * 2,       # blue-ish slab
+                    np.float32)
+    rough = np.array([1.0, 1.0, 0.15, 0.15, 0.45, 0.45], np.float32)
+    metal = np.array([0.0, 0.0, 1.0, 1.0, 1.0, 1.0], np.float32)
+    nt = tri.shape[0]
+
+    light_pos = np.array([[-1.4, 3.0, -1.0], [1.4, 3.0, -1.0]], np.float32)
+    light_dir = np.array([[0.0, -1.0, 0.0], [0.0, -1.0, 0.0]], np.float32)
+    light_r = np.array([0.15, 0.45], np.float32)
+    light_illum = np.array([[25.0, 24.0, 20.0], [10.0, 11.0, 13.0]],
+                           np.float32)
+    # narrow cones (~34 deg): the NEE inside-cone gate and the emission
+    # cone_ratio actually BITE on the off-axis slabs (a vacuous gate would
+    # not discriminate a sign/threshold error)
+    cutoff = np.full((2,), 0.6, np.float32)
+
+    import jax.numpy as jnp
+
+    mtl = Material(base_color=jnp.asarray(base),
+                   roughness=jnp.asarray(rough),
+                   metallic=jnp.asarray(metal),
+                   eta=jnp.zeros((nt,), jnp.float32))
+    scene = scene_from_numpy(
+        np.zeros((0, 3), np.float32), np.zeros((0,), np.float32),
+        Material(base_color=jnp.zeros((0, 3)), roughness=jnp.zeros((0,)),
+                 metallic=jnp.zeros((0,)), eta=jnp.zeros((0,))),
+        tri[:, 0], tri[:, 1], tri[:, 2], mtl,
+        light_pos, light_dir, light_illum,
+        cutoff, np.zeros((2,), np.int32), light_r)
+
+    np_scene = dict(
+        sph_c=np.zeros((0, 3)), sph_r=np.zeros((0,)),
+        sph_m=np.zeros((0, 6)),
+        tri_v0=np.asarray(scene.tri_v0, np.float64),
+        tri_v1=np.asarray(scene.tri_v1, np.float64),
+        tri_v2=np.asarray(scene.tri_v2, np.float64),
+        tri_m=np.concatenate(
+            [np.asarray(scene.tri_mtl.base_color),
+             np.stack([np.asarray(scene.tri_mtl.roughness),
+                       np.asarray(scene.tri_mtl.metallic),
+                       np.asarray(scene.tri_mtl.eta)], axis=1)], axis=1),
+        light_pos=light_pos.astype(np.float64),
+        light_dir=light_dir.astype(np.float64),
+        light_r=light_r.astype(np.float64),
+        light_illum=light_illum.astype(np.float64),
+        light_cutoff=cutoff.astype(np.float64),
+    )
+    eye = np.array([0.0, 1.6, 4.5], np.float32)
+    look = np.array([0.0, 0.9, 0.0], np.float32)
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    cam = make_camera(eye, look, up, 50.0, W, H)
+    np_cam = dict(eye=np.asarray(cam.eye, np.float64),
+                  ul=np.asarray(cam.ul, np.float64),
+                  dx=np.asarray(cam.dx, np.float64),
+                  dy=np.asarray(cam.dy, np.float64))
+    return scene, cam, np_scene, np_cam
+
+
+def test_pt_metal_cone_matches_numpy_oracle():
+    """config-2-class parity: metallic slabs + cone-gated lights."""
+    import jax
+
+    from path_tracing_tpu.integrators.pt import render_pt
+
+    scene, cam, np_scene, np_cam = _veach_mini_scene()
+    cfg = RenderConfig(width=W, height=H, eye_depth=4, delta_budget=0)
+    spp = 96
+
+    img = np.asarray(render_pt(scene, cam, W, H, spp, cfg,
+                               jax.random.PRNGKey(3)))
+    ref = render_pt_numpy(np_scene, np_cam, W, H, spp, max_depth=4, seed=5)
+
+    assert np.isfinite(img).all() and np.isfinite(ref).all()
+    m_img, m_ref = float(img.mean()), float(ref.mean())
+    print("means", m_img, m_ref)
+    assert m_ref > 0.02
+    rel = abs(m_img - m_ref) / m_ref
+    assert rel < 0.06, (m_img, m_ref, rel)
+    # glossy-metal highlights are the noisiest pixels at this spp; the
+    # mean is the structural pin, the RMSE only guards gross divergence
+    rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+    assert rmse < 0.75 * m_ref, (rmse, m_ref)
