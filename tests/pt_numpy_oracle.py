@@ -347,10 +347,27 @@ def render_pt_numpy(scene, cam, W, H, spp, max_depth, seed=0):
         color += np.where(add[:, None], _clamp(contrib), 0.0)
         alive = act & ~is_light
 
-        # NEE (pt_cu.cu:151-199, sphere lights; contrib INCLUDES throughput)
+        # NEE (pt_cu.cu:125-199; contrib INCLUDES throughput)
         elig = alive & (mtl[:, 5] <= 0.0) & ((mtl[:, 4] < 0.99)
                                              | (mtl[:, 3] > 0.01))
         l_idx = np.minimum((rng.random(B) * nl).astype(int), nl - 1)
+        par_flag = scene.get("light_parallel",
+                             np.zeros(nl, np.int64))[l_idx] != 0
+
+        # parallel branch (pt_cu.cu:130-149): no pdf, no MIS — just
+        # brdf * illum * transmittance * cos * num_lights
+        if par_flag.any():
+            pdir = _norm(-scene["light_dir"])[l_idx]
+            cos_p = np.maximum(0.0, _dot(normal, pdir))
+            tr_p = check_visibility(scene, pos + normal * EPS,
+                                    pos + pdir * 1e4)
+            f_p, _ = _bsdf_eval_pdf(mtl, wo, pdir, normal)
+            contrib = tp * f_p * scene["light_illum"][l_idx] \
+                * (tr_p * cos_p * float(nl))[:, None]
+            gate = elig & par_flag & (cos_p > 0) & (tr_p > 0) \
+                & _valid(contrib)
+            color += np.where(gate[:, None], _clamp(contrib), 0.0)
+        elig = elig & ~par_flag
         zc = 1.0 - 2.0 * rng.random(B)
         ph = 2.0 * PI * rng.random(B)
         sr = np.sqrt(np.maximum(0.0, 1.0 - zc * zc))

@@ -244,3 +244,89 @@ def test_pt_metal_cone_matches_numpy_oracle():
     # mean is the structural pin, the RMSE only guards gross divergence
     rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
     assert rmse < 0.75 * m_ref, (rmse, m_ref)
+
+
+def _sun_scene():
+    """Parallel-light fixture: neither reference scene file uses
+    is_parallel=1, so this branch (pt_cu.cu:130-149 — no pdf, no MIS,
+    x num_lights) had no quantitative anchor until now."""
+    import jax.numpy as jnp
+
+    tris = []
+    s = 2.5
+    _quad(tris, (-s, 0, -s), (s, 0, -s), (s, 0, s), (-s, 0, s))   # floor
+    _quad(tris, (-s, 0, -s), (s, 0, -s), (s, 3, -s), (-s, 3, -s))  # back
+    # a blocker slab floating above the floor casts a sun shadow
+    _quad(tris, (-1.0, 1.2, -0.6), (0.2, 1.2, -0.6),
+          (0.2, 1.2, 0.6), (-1.0, 1.2, 0.6))
+    tri = np.array(tris, np.float32)
+    base = np.array([[0.75, 0.72, 0.68]] * 4 + [[0.3, 0.5, 0.3]] * 2,
+                    np.float32)
+    nt = tri.shape[0]
+
+    light_pos = np.array([[0.0, 50.0, 0.0]], np.float32)  # ball far away
+    light_dir = np.array([[0.35, -1.0, 0.25]], np.float32)
+    light_r = np.array([0.1], np.float32)
+    light_illum = np.array([[1.1, 1.0, 0.9]], np.float32)
+
+    mtl = Material(base_color=jnp.asarray(base),
+                   roughness=jnp.ones((nt,), jnp.float32),
+                   metallic=jnp.zeros((nt,), jnp.float32),
+                   eta=jnp.zeros((nt,), jnp.float32))
+    scene = scene_from_numpy(
+        np.zeros((0, 3), np.float32), np.zeros((0,), np.float32),
+        Material(base_color=jnp.zeros((0, 3)), roughness=jnp.zeros((0,)),
+                 metallic=jnp.zeros((0,)), eta=jnp.zeros((0,))),
+        tri[:, 0], tri[:, 1], tri[:, 2], mtl,
+        light_pos, light_dir, light_illum,
+        np.zeros((1,), np.float32), np.ones((1,), np.int32), light_r)
+
+    np_scene = dict(
+        sph_c=np.zeros((0, 3)), sph_r=np.zeros((0,)),
+        sph_m=np.zeros((0, 6)),
+        tri_v0=np.asarray(scene.tri_v0, np.float64),
+        tri_v1=np.asarray(scene.tri_v1, np.float64),
+        tri_v2=np.asarray(scene.tri_v2, np.float64),
+        tri_m=np.concatenate(
+            [np.asarray(scene.tri_mtl.base_color),
+             np.stack([np.asarray(scene.tri_mtl.roughness),
+                       np.asarray(scene.tri_mtl.metallic),
+                       np.asarray(scene.tri_mtl.eta)], axis=1)], axis=1),
+        light_pos=light_pos.astype(np.float64),
+        light_dir=light_dir.astype(np.float64),
+        light_r=light_r.astype(np.float64),
+        light_illum=light_illum.astype(np.float64),
+        light_parallel=np.ones(1, np.int64),
+    )
+    eye = np.array([0.0, 1.8, 5.0], np.float32)
+    look = np.array([0.0, 0.8, 0.0], np.float32)
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    cam = make_camera(eye, look, up, 50.0, W, H)
+    np_cam = dict(eye=np.asarray(cam.eye, np.float64),
+                  ul=np.asarray(cam.ul, np.float64),
+                  dx=np.asarray(cam.dx, np.float64),
+                  dy=np.asarray(cam.dy, np.float64))
+    return scene, cam, np_scene, np_cam
+
+
+def test_pt_parallel_light_matches_numpy_oracle():
+    import jax
+
+    from path_tracing_tpu.integrators.pt import render_pt
+
+    scene, cam, np_scene, np_cam = _sun_scene()
+    cfg = RenderConfig(width=W, height=H, eye_depth=3, delta_budget=0)
+    spp = 64
+
+    img = np.asarray(render_pt(scene, cam, W, H, spp, cfg,
+                               jax.random.PRNGKey(2)))
+    ref = render_pt_numpy(np_scene, np_cam, W, H, spp, max_depth=3, seed=9)
+
+    assert np.isfinite(img).all() and np.isfinite(ref).all()
+    m_img, m_ref = float(img.mean()), float(ref.mean())
+    print("means", m_img, m_ref)
+    assert m_ref > 0.05
+    rel = abs(m_img - m_ref) / m_ref
+    assert rel < 0.05, (m_img, m_ref, rel)
+    rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+    assert rmse < 0.3 * m_ref, (rmse, m_ref)
