@@ -802,7 +802,18 @@ def render_bdpt(scene: Scene, cam: Camera, width: int, height: int, spp: int,
 
     lv = trace_light_paths(scene_used, cfg, num_paths, spl,
                            jax.random.fold_in(key, 0x0101))
+    return eye_pass(scene_used, lv, cam, cfg, px, py, spp, key,
+                    light_hit_scale, chunk, oracle=oracle)
 
+
+def eye_pass(scene_used: Scene, lv, cam: Camera, cfg: RenderConfig,
+             px, py, spp: int, key, light_hit_scale: float,
+             chunk: int = 128, oracle: bool = False) -> jnp.ndarray:
+    """Mean-over-spp eye trace + connect against a (possibly all-gathered)
+    light-vertex tensor — the tier dispatch shared by ``render_bdpt`` and
+    ``parallel.shard.render_bdpt_sharded`` so multi-chip BDPT rides the
+    same persistent eye megakernel as single-chip."""
+    B = px.shape[0]
     if (_use_bdpt_megakernel() and not oracle
             and cfg.bdpt_connection_samples == 0
             and not scene_used.has_textures

@@ -368,6 +368,18 @@ def gather_flux(scene: Scene, cfg: RenderConfig, hp: HitPoints,
     return flux, count, overflow
 
 
+def gather_flux_dispatch(scene: Scene, cfg: RenderConfig, hp: HitPoints,
+                         events: PhotonEvents, r2_scale=1.0):
+    """Tier dispatch for the photon gather: the exact cell-blocked Pallas
+    join on TPU (or under ``PT_TPU_INTERPRET``), the XLA hash-grid path
+    otherwise.  Shared by ``render_ppm_with_stats`` and the sharded renderer
+    so multi-chip PPM rides the same kernel as single-chip."""
+    if _use_gather_kernel():
+        from ..ops.pallas_ppm_gather import gather_flux_pallas
+        return gather_flux_pallas(scene, cfg, hp, events, r2_scale)
+    return gather_flux(scene, cfg, hp, events, r2_scale)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spl", "cfg"))
 def render_ppm_with_stats(scene: Scene, cam: Camera, width: int, height: int,
                           spl: int, cfg: RenderConfig, key, r2_scale=1.0):
@@ -388,12 +400,8 @@ def render_ppm_with_stats(scene: Scene, cam: Camera, width: int, height: int,
     num_photons = scene.num_lights * spl
     events = ppm_photon_trace(scene, cfg, num_photons, spl,
                               jax.random.fold_in(key, 2))
-    if _use_gather_kernel():
-        from ..ops.pallas_ppm_gather import gather_flux_pallas
-        flux, count, overflow = gather_flux_pallas(scene, cfg, hp, events,
-                                                   r2_scale)
-    else:
-        flux, count, overflow = gather_flux(scene, cfg, hp, events, r2_scale)
+    flux, count, overflow = gather_flux_dispatch(scene, cfg, hp, events,
+                                                 r2_scale)
 
     radiance = flux / jnp.maximum(
         PI * cfg.ppm_radius * cfg.ppm_radius * r2_scale, 1e-6)

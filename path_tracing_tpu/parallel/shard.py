@@ -96,8 +96,14 @@ def _linear_index(mesh: Mesh):
 
 def render_pt_sharded(scene: Scene, cam: Camera, width: int, height: int,
                       spp: int, cfg: RenderConfig, key, mesh: Mesh) -> jnp.ndarray:
-    """Pixel-sharded PT: each device traces ``W*H/n`` lanes; zero collectives."""
-    from ..integrators.pt import trace_paths
+    """Pixel-sharded PT: each device traces ``W*H/n`` lanes; zero collectives.
+
+    Each shard runs the SAME tier dispatch as single-chip ``render_pt``
+    (``wavefront_pt``): the persistent Pallas megakernel / fused-shade
+    pipeline on TPU, the XLA regenerating wavefront elsewhere — so per-chip
+    throughput on a slice matches the single-chip headline instead of
+    falling back to the scan tier."""
+    from ..integrators.pt import wavefront_pt
 
     n = mesh.devices.size
     B = width * height
@@ -112,15 +118,7 @@ def render_pt_sharded(scene: Scene, cam: Camera, width: int, height: int,
     def shard_fn(scene, cam, px_l, py_l, key):
         me = _linear_index(mesh)
         k = jax.random.fold_in(key, me)
-
-        def body(acc, s):
-            c = trace_paths(scene, cam, cfg, px_l, py_l,
-                            jax.random.fold_in(k, s))
-            return acc + c, None
-
-        acc, _ = jax.lax.scan(body, jnp.zeros((px_l.shape[0], 3)),
-                              jnp.arange(spp))
-        return acc / spp
+        return wavefront_pt(scene, cam, cfg, px_l, py_l, spp, k) / spp
 
     return shard_fn(scene, cam, px, py, key)
 
@@ -133,7 +131,7 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
     mesh axis — the TPU equivalent of the reference's global atomicAdd flux
     buffer (ppm_cu.cu:253-254).
     """
-    from ..integrators.ppm import (gather_flux, ppm_eye_trace,
+    from ..integrators.ppm import (gather_flux_dispatch, ppm_eye_trace,
                                    ppm_photon_trace)
     from ..ops.math3 import PI, clamp_radiance, is_valid_color
 
@@ -167,7 +165,8 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
         hp_all = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
             hp_local)
-        flux_part, count_part, _ = gather_flux(scene_s, cfg, hp_all, ev_local)
+        flux_part, count_part, _ = gather_flux_dispatch(scene_s, cfg, hp_all,
+                                                        ev_local)
         flux = jax.lax.psum_scatter(flux_part, ax, scatter_dimension=0,
                                     tiled=True)
         count = jax.lax.psum_scatter(count_part, ax, scatter_dimension=0,
@@ -186,8 +185,12 @@ def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
                         mesh: Mesh, light_sample: int = 0,
                         chunk: int = 32) -> jnp.ndarray:
     """BDPT over the mesh: light paths sharded + all_gather of the vertex
-    tensor over ICI; eye pixels sharded."""
-    from ..integrators.bdpt import eye_trace_and_connect, trace_light_paths
+    tensor over ICI; eye pixels sharded.
+
+    The per-shard eye pass reuses ``integrators.bdpt.eye_pass`` — the same
+    tier dispatch as single-chip (persistent eye megakernel + RIS
+    resampling on TPU, the scan + connection-kernel path elsewhere)."""
+    from ..integrators.bdpt import eye_pass, trace_light_paths
 
     n = mesh.devices.size
     B = width * height
@@ -215,17 +218,10 @@ def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
         lv = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
             lv_local)
-
-        def body(acc, s):
-            c = eye_trace_and_connect(
-                scene_s, cam_s, cfg, lv, px_l, py_l,
-                jax.random.fold_in(
-                    jax.random.fold_in(jax.random.fold_in(key, 0x0202), s), me),
-                float(ls), chunk)
-            return acc + c, None
-
-        acc, _ = jax.lax.scan(body, jnp.zeros((px_l.shape[0], 3)),
-                              jnp.arange(spp))
-        return acc / spp
+        # decorrelate eye sampling across shards via the mesh-linear index,
+        # then run the shared tier dispatch (megakernel on TPU, scan+kernel
+        # connections elsewhere) on this shard's pixels
+        return eye_pass(scene_s, lv, cam_s, cfg, px_l, py_l, spp,
+                        jax.random.fold_in(key, me), float(ls), chunk)
 
     return shard_fn(scene_used, cam, px, py, key)

@@ -5,9 +5,11 @@ which executes on the CPU backend — so the kernel bodies (nearest-hit,
 blockers, both HBM-streaming sweeps, the fused shade/connect kernels and
 the PPM gather) are correctness-tested on every CI run, not only when a
 TPU is attached (round-1 VERDICT: the TPU-gated tests were structurally
-blind whenever the chip was wedged).  The two persistent megakernels stay
-TPU-only (``pltpu.prng_seed`` has no CPU lowering) and keep their
-statistical tests in tests/test_pallas.py.
+blind whenever the chip was wedged).  The two persistent megakernels run
+here too: under the knob they substitute a deterministic counter-hash draw
+for the on-core PRNG (``pltpu.prng_seed`` has no CPU lowering), so their
+equivalence checks are statistical (different stream) but reproducible;
+their bit-exact on-core tests stay in tests/test_pallas.py.
 
 Tolerances: the Pallas nearest-hit resolves ~0.05% of knife-edge hits
 differently from the XLA sweep (documented tie-break divergence, same
@@ -331,3 +333,65 @@ def test_ppm_render_interpret_statistical(cornell, interp_env):
 
     assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 5e-3
     np.testing.assert_allclose(a, b, atol=0.05)
+
+
+def test_sharded_renderers_ride_pallas_tiers(cornell, interp_env,
+                                             monkeypatch):
+    """Multi-chip x Pallas: the sharded renderers dispatch the SAME fast
+    tiers as single-chip (PT/BDPT persistent megakernels, the PPM
+    cell-blocked gather) inside ``shard_map`` — proven by running all three
+    on the 8-device virtual mesh with every kernel in interpret mode, with
+    trace-time spies pinning that the Pallas tier (not an XLA fallback) was
+    the one dispatched.  PT additionally checks statistical agreement with
+    the single-device interpret render (different per-shard counter-hash
+    streams, so mean-level only); BDPT/PPM keep minimal shapes — their
+    sharded-vs-single agreement is pinned at 5% by test_sharding.py on the
+    XLA path, which shares all math with the kernels via the per-bounce
+    equivalence tests above."""
+    from path_tracing_tpu.integrators.pt import render_pt
+    from path_tracing_tpu.ops import (pallas_bdpt_eye, pallas_ppm_gather,
+                                      pallas_shade)
+    from path_tracing_tpu.parallel.shard import (make_mesh,
+                                                 render_bdpt_sharded,
+                                                 render_ppm_sharded,
+                                                 render_pt_sharded)
+
+    scene, cam, cfg = cornell
+    mesh = make_mesh(8)
+    key = jax.random.PRNGKey(0)
+    interp_env("interpret")
+
+    called = set()
+
+    def spy(module, name, tag):
+        orig = getattr(module, name)
+
+        def wrapper(*a, **kw):
+            called.add(tag)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(module, name, wrapper)
+
+    spy(pallas_shade, "render_wavefront_pallas", "pt_megakernel")
+    spy(pallas_bdpt_eye, "bdpt_eye_pallas", "bdpt_eye_megakernel")
+    spy(pallas_ppm_gather, "gather_flux_pallas", "ppm_gather")
+
+    spp = 8
+    s_pt = np.asarray(render_pt_sharded(scene, cam, W, H, spp, cfg, key,
+                                        mesh))
+    r_pt = np.asarray(render_pt(scene, cam, W, H, spp, cfg,
+                                jax.random.PRNGKey(1)))
+    assert "pt_megakernel" in called
+    assert np.isfinite(s_pt).all() and s_pt.max() > 0
+    a, b = np.clip(s_pt, 0, 1).mean(), np.clip(r_pt, 0, 1).mean()
+    assert abs(a - b) / max(b, 1e-6) < 0.15, (a, b)
+
+    s_bd = np.asarray(render_bdpt_sharded(scene, cam, W, H, 1, 4, cfg, key,
+                                          mesh, chunk=16))
+    assert "bdpt_eye_megakernel" in called
+    assert np.isfinite(s_bd).all() and s_bd.max() > 0
+
+    s_pp = np.asarray(render_ppm_sharded(scene, cam, W, H, 64, cfg, key,
+                                         mesh))
+    assert "ppm_gather" in called
+    assert np.isfinite(s_pp).all() and s_pp.max() > 0
