@@ -105,12 +105,22 @@ SUPER = 16
 SUPER_MIN_CLUSTERS = 64   # below this the flat loop is already cheap
 
 
-def mega_rows() -> int:
+def mega_rows(nlanes: int | None = None) -> int:
     """Ray-tile rows for the persistent megakernels (PT and BDPT eye share
-    the knob so A/B sweeps stay comparable)."""
+    the env knob so A/B sweeps stay comparable).  Measured sweep (PT
+    megakernel, mis_test): 8 rows 4x SLOWER than 32, 128 ~1.5x faster than
+    32, 256 OOMs the 16M VMEM scoped limit; 160 is +2% at 1080p but -14%
+    at 512^2 (ragged last tile).  Callers that know their lane count pass
+    it to get the shape-aware default: 160 only where it was the measured
+    winner (>=1.5M lanes), 128 otherwise."""
     import os
 
-    return int(os.environ.get("PT_TPU_MEGA_ROWS", "128"))
+    env = os.environ.get("PT_TPU_MEGA_ROWS")
+    if env:
+        return int(env)
+    if nlanes is not None and nlanes >= 1_500_000:
+        return 160
+    return 128
 
 
 def tile_rows(stream: bool) -> int:

@@ -1142,7 +1142,7 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
     cam_row = cam_row.at[0, 9:12].set(cam.dy)
     seed_arr = jnp.asarray([seed], jnp.int32)
 
-    rows = mega_rows()
+    rows = mega_rows(px.shape[0])
     pxt = _tile(px.astype(jnp.float32), rows)[0]
     pyt = _tile(py.astype(jnp.float32), rows)[0]
     rows_total = pxt.shape[0]

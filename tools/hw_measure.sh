@@ -1,0 +1,73 @@
+#!/bin/bash
+# Hardware measurement runbook: run the full BASELINE sweep + pending A/Bs
+# the moment the TPU is reachable.  Every step is timeout-bounded (a hung
+# step through the tunnel is how the chip gets wedged) and appends to
+# $LOG; steps are ordered cheapest-first so a mid-run wedge still leaves
+# the headline numbers on disk.
+#
+# Usage:  tools/hw_measure.sh [logdir]     (default /tmp/hw_measure)
+# One-shot; safe to re-run.  Watch with:  tail -f /tmp/hw_measure/run.log
+set -u
+cd "$(dirname "$0")/.."
+D="${1:-/tmp/hw_measure}"
+mkdir -p "$D"
+LOG="$D/run.log"
+
+say() { echo "=== $* [$(date +%H:%M:%S)] ===" | tee -a "$LOG"; }
+run() { # run <tag> <timeout-s> <cmd...>
+  local tag="$1" to="$2"; shift 2
+  say "$tag"
+  timeout "$to" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  echo "--- $tag rc=$rc" | tee -a "$LOG"
+  return $rc
+}
+
+say "liveness probe"
+timeout 150 python -c "
+import jax, jax.numpy as jnp, time
+t0=time.time(); x=jnp.ones((1024,1024)); s=float((x@x).sum())
+print('TPU OK sum', s, 'dt', time.time()-t0)" >> "$LOG" 2>&1 || {
+  say "chip unreachable — aborting"; exit 1; }
+
+# headline + the cheap configs first
+run "bench headline (config0)"   1800 python bench.py
+run "config2 mis_test spp256"    1800 python bench.py --config 2
+run "config1 oracle"             1800 python bench.py --config 1
+run "config5 BDPT RIS (default)" 2400 python bench.py --config 5
+run "config4 PPM fast (1 pass)"  2400 python bench.py --config 4 --fast
+
+# PPM A/B: current kernel (EV_ROWS=14 pad row + register chunk partials)
+# vs round-1 measured 1.03 Mphotons/s.  If the fast pass regresses, the
+# pad-row DMA lost — revert EV_ROWS to 13 per CLAUDE.md.
+run "config4 PPM full (10x1M)"   3600 python bench.py --config 4
+
+# streaming sweep A/B at 249k tris (round-2 pending measurement):
+#   A = MXU sweep HIGHEST (round-1 default, measured 0.63)
+#   B = MXU sweep default precision
+#   C = VPU sweep backend (round-2, bit-identical to _mt_core)
+run "stream A: mxu HIGHEST"      2400 python bench.py --config 3 --gen-tris 249000 --spp 4
+run "stream B: mxu MT_FAST"      2400 env PT_TPU_MT_FAST=1 python bench.py --config 3 --gen-tris 249000 --spp 4
+run "stream C: vpu sweep"        2400 env PT_TPU_STREAM_SWEEP=vpu python bench.py --config 3 --gen-tris 249000 --spp 4
+
+# textured fast tier (round-2: fused Pallas shade + batched atlas gather)
+run "config3 textured 50k"       2400 python bench.py --config 3 --gen-tris 50000 --gen-tex --spp 16
+# VMEM-resident untextured megakernel reference point
+run "config3 vmem 100k"          2400 python bench.py --config 3 --gen-tris 100000 --spp 16
+
+# config5 exact-sweep reference (RIS denominator for the 11x claim)
+run "config5 exact sweep 512^2"  2400 python bench.py --config 5 --resample 0 --res 512x512
+
+# profiler trace of the headline shape — raw material for the next
+# optimization round (where do the megakernel's cycles actually go)
+run "headline profile trace"     1800 python -m path_tracing_tpu.cli \
+    --input /root/reference/mis_test.txt --mode pt --spp 4 \
+    --width 1920 --height 1080 --iters 2 --profile "$D/trace" \
+    --output "$D/profile_frame.png"
+
+# TPU-gated test suites last (longest, least perishable)
+run "TPU-gated pallas+golden"    5400 env PT_TPU_TESTS_ON_TPU=1 PT_TPU_GOLDEN=1 \
+    python -m pytest tests/test_pallas.py tests/test_golden.py -q
+
+say "ALL DONE"
+grep -h '"metric"' "$LOG" | tee "$D/results.jsonl"
