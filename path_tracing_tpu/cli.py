@@ -94,7 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.live_term is not None and args.live_term < 2:
+        parser.error("--live-term COLS must be >= 2")
 
     if args.device in ("cpu", "oracle"):
         os.environ["JAX_PLATFORM_NAME"] = "cpu"  # axon plugin ignores JAX_PLATFORMS
@@ -195,7 +198,8 @@ def main(argv=None) -> int:
             from .runtime.live_http import LiveServer
             live_http = LiveServer(args.live_http)
             stack.callback(live_http.close)
-            print(f"[Live] serving http://0.0.0.0:{live_http.port}/")
+            print(f"[Live] serving http://{live_http.host}:"
+                  f"{live_http.port}/")
 
         def on_frame(i, f):
             nonlocal state
@@ -208,19 +212,28 @@ def main(argv=None) -> int:
             new_state = state.add(f)
             dt = time.perf_counter() - t0
             print(f"[Render] iter {i + 1}: {dt * 1000:.1f} ms cumulative")
+            any_live = (args.live or args.live_term is not None
+                        or live_http is not None)
+            if any_live:
+                # ONE device->host transfer + tonemap shared by all sinks
+                # (each np.asarray is a full-frame read through the tunnel)
+                linear = (np.asarray(new_state.radiance_sum)
+                          / max(int(new_state.n_iters), 1))
             if args.live:
-                live = (args.live.format(i=i + 1) if "{i}" in args.live
-                        else args.live)
+                # substitute only the literal {i} token — .format() would
+                # raise on paths with any other brace construct
+                live = args.live.replace("{i}", str(i + 1))
                 tmp = live + ".tmp"
-                save_image(tmp, np.asarray(new_state.radiance_sum)
-                           / max(int(new_state.n_iters), 1), W, H)
+                save_image(tmp, linear, W, H)
                 os.replace(tmp, live)
                 print(f"[Live] wrote {live}")
-            if args.live_term:
-                from .film import ansi_preview, tonemap_u8
+            if args.live_term is not None or live_http is not None:
+                from .film import tonemap_u8
 
-                u8 = tonemap_u8(np.asarray(new_state.radiance_sum)
-                                / max(int(new_state.n_iters), 1), W, H)
+                u8 = tonemap_u8(linear, W, H)
+            if args.live_term is not None:
+                from .film import ansi_preview
+
                 pre = ansi_preview(u8, max_cols=int(args.live_term))
                 nl = pre.count("\n") + 1
                 # redraw in place: the previous block was nl+1 lines
@@ -231,11 +244,9 @@ def main(argv=None) -> int:
                 lead = f"\x1b[{up}A" if i > start_iter else ""
                 print(f"{lead}{pre}\n[Live] iter {i + 1}", flush=True)
             if live_http is not None:
-                from .film import encode_png, tonemap_u8
+                from .film import encode_png
 
-                live_http.update(encode_png(tonemap_u8(
-                    np.asarray(new_state.radiance_sum)
-                    / max(int(new_state.n_iters), 1), W, H)), i + 1)
+                live_http.update(encode_png(u8), i + 1)
             state = new_state
 
         from .runtime.resilience import RenderSupervisor

@@ -87,46 +87,52 @@ def main(argv=None) -> int:
         from .runtime.live_http import LiveServer
 
         live_http = LiveServer(args.live_http)
-        print(f"[Live] serving http://0.0.0.0:{live_http.port}/")
+        print(f"[Live] serving http://{live_http.host}:{live_http.port}/")
 
-    for it in range(args.iters):
-        k = jax.random.fold_in(key, it)
-        with tel.phase("ppm", paths=args.ppm_photons, iter=it):
-            img, _, _ = render_ppm_with_stats(
-                scene, cam, W, H, args.ppm_photons, cfg,
-                jax.random.fold_in(k, 1))
-            img.block_until_ready()
-        acc["ppm"] += np.asarray(img)
-        with tel.phase("bdpt", paths=W * H * args.spp, iter=it):
-            img = render_bdpt(scene, cam, W, H, args.spp, args.spl, cfg,
-                              jax.random.fold_in(k, 2))
-            img.block_until_ready()
-        acc["bdpt"] += np.asarray(img)
-        with tel.phase("pt", paths=W * H * args.spp, iter=it):
-            img = render_pt(scene, cam, W, H, args.spp, cfg,
-                            jax.random.fold_in(k, 3))
-            img.block_until_ready()
-        acc["pt"] += np.asarray(img)
+    try:
+        for it in range(args.iters):
+            k = jax.random.fold_in(key, it)
+            with tel.phase("ppm", paths=args.ppm_photons, iter=it):
+                img, _, _ = render_ppm_with_stats(
+                    scene, cam, W, H, args.ppm_photons, cfg,
+                    jax.random.fold_in(k, 1))
+                img.block_until_ready()
+            acc["ppm"] += np.asarray(img)
+            with tel.phase("bdpt", paths=W * H * args.spp, iter=it):
+                img = render_bdpt(scene, cam, W, H, args.spp, args.spl,
+                                  cfg, jax.random.fold_in(k, 2))
+                img.block_until_ready()
+            acc["bdpt"] += np.asarray(img)
+            with tel.phase("pt", paths=W * H * args.spp, iter=it):
+                img = render_pt(scene, cam, W, H, args.spp, cfg,
+                                jax.random.fold_in(k, 3))
+                img.block_until_ready()
+            acc["pt"] += np.asarray(img)
 
-        row = {"iter": it}
-        u8 = {}
-        for name in ("ppm", "bdpt", "pt"):
-            u8[name] = tonemap_u8(acc[name] / (it + 1), W, H)
-            row[f"rms_{name}"] = (
-                rms_8bit(u8[name], prev_u8[name])
-                if prev_u8[name] is not None else float("nan"))
-            prev_u8[name] = u8[name]
-        row["diff_rms"] = rms_8bit(u8["ppm"], u8["bdpt"])
-        hist.append(row)
-        tel.emit(**row)
-        print(f"iter {it}: " + "  ".join(
-            f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
-            for k, v in row.items()))
+            row = {"iter": it}
+            u8 = {}
+            for name in ("ppm", "bdpt", "pt"):
+                u8[name] = tonemap_u8(acc[name] / (it + 1), W, H)
+                row[f"rms_{name}"] = (
+                    rms_8bit(u8[name], prev_u8[name])
+                    if prev_u8[name] is not None else float("nan"))
+                prev_u8[name] = u8[name]
+            row["diff_rms"] = rms_8bit(u8["ppm"], u8["bdpt"])
+            hist.append(row)
+            tel.emit(**row)
+            print(f"iter {it}: " + "  ".join(
+                f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in row.items()))
+            if live_http is not None:
+                from .film import encode_png
+
+                live_http.update(encode_png(np.concatenate(
+                    [u8["ppm"], u8["bdpt"], u8["pt"]], axis=1)), it + 1)
+    finally:
+        # close even when an iteration raises — a leaked LiveServer keeps
+        # its port bound for the rest of the (possibly library) process
         if live_http is not None:
-            from .film import encode_png
-
-            live_http.update(encode_png(np.concatenate(
-                [u8["ppm"], u8["bdpt"], u8["pt"]], axis=1)), it + 1)
+            live_http.close()
 
     # side-by-side 3W x H frame: [ppm | bdpt | pt] (main.cpp:489-500 layout)
     combined = np.concatenate([u8["ppm"], u8["bdpt"], u8["pt"]], axis=1)
@@ -159,8 +165,6 @@ def main(argv=None) -> int:
     except Exception as e:  # matplotlib is optional
         print(f"[plot skipped: {e}]")
 
-    if live_http is not None:
-        live_http.close()
     print(f"[done] wrote {args.out_dir}/combined.png, {csv_path}")
     return 0
 

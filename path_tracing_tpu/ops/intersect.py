@@ -375,7 +375,10 @@ def transmittance_rgb(scene: Scene, p1: jnp.ndarray,
     B = p1.shape[0]
     n_prims = max(scene.num_triangles + scene.num_spheres, 1)
     # ~16M-element (chunk, N) budget; triangle_ts peaks at 3x that in f32.
-    chunk = max(1024, min(65536, (1 << 24) // n_prims))
+    # floor 8 (not 1024: a 250k-tri mesh would make the floor the binding
+    # term and re-materialize the multi-GB transient this chunking exists
+    # to prevent)
+    chunk = max(8, min(65536, (1 << 24) // n_prims))
     if B <= chunk:
         return _transmittance_rgb_block(scene, p1, p2)
     pad = -B % chunk

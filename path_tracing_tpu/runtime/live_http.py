@@ -45,7 +45,14 @@ setInterval(async () => {
 class LiveServer:
     """Background HTTP server publishing the latest rendered frame."""
 
-    def __init__(self, port: int, host: str = "0.0.0.0"):
+    def __init__(self, port: int, host: str | None = None):
+        if host is None:
+            # default loopback: the frames are unauthenticated, so binding
+            # all interfaces must be an explicit opt-in (for viewing from
+            # another machine set PT_TPU_HTTP_HOST=0.0.0.0 or ssh -L)
+            import os
+
+            host = os.environ.get("PT_TPU_HTTP_HOST", "127.0.0.1")
         self._lock = threading.Lock()
         self._png: bytes = b""
         self._iter = 0
@@ -85,6 +92,10 @@ class LiveServer:
         self._thread = threading.Thread(target=self._httpd.serve_forever,
                                         daemon=True)
         self._thread.start()
+
+    @property
+    def host(self) -> str:
+        return self._httpd.server_address[0]
 
     @property
     def port(self) -> int:
