@@ -117,17 +117,27 @@ class LightVertices:
 
 
 def trace_light_paths(scene: Scene, cfg: RenderConfig, num_paths: int,
-                      spl: int, key) -> LightVertices:
+                      spl: int, key, start=0, total: int | None = None
+                      ) -> LightVertices:
     """Trace ``num_paths`` light subpaths (path i uses light ``i % Nl``).
 
     bdpt_cu.cu:15-201 / cpu_bdpt.cpp:218-325 semantics: vertex 0 is the
     emitter sample; bounce vertices are stored only for successful non-delta
     bounces; hitting another light ball stores a terminal light vertex;
     delta bounces don't consume depth (budgeted by cfg.delta_budget).
+
+    ``start``/``total`` support sharding: these lanes are rows
+    [start, start+num_paths) of a GLOBAL ``total``-path trace, so the
+    light assignment ``global_index % Nl`` matches the single-device
+    sequence (each light keeps its exact share of subpaths across the
+    whole mesh) and lanes past ``total`` (mesh-rounding pad) store no
+    vertices at all.  Defaults reproduce the unsharded call exactly.
     """
     P, L = num_paths, cfg.light_depth
     nl = scene.num_lights
-    li = jnp.arange(P, dtype=jnp.int32) % nl
+    gi = start + jnp.arange(P, dtype=jnp.int32)
+    li = gi % nl
+    real = jnp.ones((P,), bool) if total is None else gi < total
 
     k_emit = jax.random.fold_in(key, 0xE817)
     u1, u2 = rng.uniforms(k_emit, (P,), 2)
@@ -163,7 +173,7 @@ def trace_light_paths(scene: Scene, cfg: RenderConfig, num_paths: int,
         is_parallel=lv.is_parallel.at[:, 0].set(
             scene.light_is_parallel[li] != 0),
         emit_dir=lv.emit_dir.at[:, 0].set(normalize(scene.light_dir[li])),
-        valid=lv.valid.at[:, 0].set(True),
+        valid=lv.valid.at[:, 0].set(real),
     )
 
     state = dict(
@@ -171,7 +181,7 @@ def trace_light_paths(scene: Scene, cfg: RenderConfig, num_paths: int,
         ro=emit.origin, rd=emit.direction, tp=tp0,
         eta=jnp.ones((P,)),
         slot=jnp.ones((P,), jnp.int32),
-        alive=jnp.ones((P,), bool) & (L > 1),
+        alive=real & (L > 1),
         last_normal=emit.direction, last_pos=emit.origin,
         last_pdf=jnp.full((P,), 1.0 / PI),  # bdpt_cu.cu:103
     )

@@ -189,11 +189,22 @@ def ppm_eye_trace(scene: Scene, cam: Camera, cfg: RenderConfig, px, py, key):
 
 
 def ppm_photon_trace(scene: Scene, cfg: RenderConfig, num_photons: int,
-                     spl: int, key) -> PhotonEvents:
-    """Photon pass recording deposit events.  ppm_cu.cu:156-295."""
+                     spl: int, key, start=0, total: int | None = None
+                     ) -> PhotonEvents:
+    """Photon pass recording deposit events.  ppm_cu.cu:156-295.
+
+    ``start``/``total`` support sharding: photon lanes here are rows
+    [start, start+num_photons) of a GLOBAL ``total``-photon pass, so the
+    light assignment ``global_index % num_lights`` matches the
+    single-device sequence (each light gets exactly spl photons across
+    the whole mesh) and lanes past ``total`` (mesh-rounding pad) emit
+    nothing.  Defaults reproduce the unsharded call exactly.
+    """
     P = num_photons
     nl = scene.num_lights
-    li = jnp.arange(P, dtype=jnp.int32) % nl
+    gi = start + jnp.arange(P, dtype=jnp.int32)
+    li = gi % nl
+    real = jnp.ones((P,), bool) if total is None else gi < total
 
     u1, u2 = rng.uniforms(jax.random.fold_in(key, 0x407), (P,), 2)
     emit = sample_light_emission(
@@ -206,7 +217,7 @@ def ppm_photon_trace(scene: Scene, cfg: RenderConfig, num_photons: int,
 
     state = dict(ro=emit.origin, rd=emit.direction, flux=flux0,
                  eta=jnp.ones((P,)), depth=jnp.zeros((P,), jnp.int32),
-                 alive=jnp.ones((P,), bool))
+                 alive=real)
 
     def body(state, it):
         k = rng.iter_key(jax.random.fold_in(key, 0x408), it)

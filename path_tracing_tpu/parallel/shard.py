@@ -139,8 +139,8 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
     B = width * height
     assert B % n == 0
     ax, lane = _mesh_axes(mesh)
-    num_photons = scene.num_lights * spl
-    num_photons = ((num_photons + n - 1) // n) * n
+    true_photons = scene.num_lights * spl
+    num_photons = ((true_photons + n - 1) // n) * n  # mesh-rounding pad
 
     idx = jnp.arange(B, dtype=jnp.int32)
     px = idx % width
@@ -159,9 +159,14 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
         # per-hitpoint flux (B, 3) is merged with a psum_scatter back to the
         # pixel owner — a true reduction over ICI, the TPU equivalent of the
         # reference's global atomicAdd flux buffer (ppm_cu.cu:253-254).
+        # global start/total keep the light assignment (global photon
+        # index % num_lights) identical to single-device — each light gets
+        # exactly spl photons across the WHOLE mesh — and kill the
+        # mesh-rounding pad lanes (no silent flux inflation)
         ev_local = ppm_photon_trace(
             scene_s, cfg, num_photons // n, spl,
-            jax.random.fold_in(jax.random.fold_in(key, 2), me))
+            jax.random.fold_in(jax.random.fold_in(key, 2), me),
+            start=me * (num_photons // n), total=true_photons)
         hp_all = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
             hp_local)
@@ -197,8 +202,8 @@ def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
     assert B % n == 0
     ax, lane = _mesh_axes(mesh)
     ls = light_sample or spl
-    num_paths = scene.num_lights * ls * spl
-    num_paths = ((num_paths + n - 1) // n) * n  # pad to the mesh
+    true_paths = scene.num_lights * ls * spl
+    num_paths = ((true_paths + n - 1) // n) * n  # pad to the mesh
     scene_used = scene.with_illum_scaled(1.0 / ls)
 
     idx = jnp.arange(B, dtype=jnp.int32)
@@ -212,9 +217,12 @@ def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
         # each shard traces its slice of the light paths with a decorrelated
         # key, then the vertex tensor is gathered over ICI (it is small:
         # paths*light_depth vertices)
+        # global start/total: light assignment (global path index % Nl)
+        # matches single-device, and mesh-rounding pad lanes store nothing
         lv_local = trace_light_paths(
             scene_s, cfg, num_paths // n, spl,
-            jax.random.fold_in(jax.random.fold_in(key, 0x0101), me))
+            jax.random.fold_in(jax.random.fold_in(key, 0x0101), me),
+            start=me * (num_paths // n), total=true_paths)
         lv = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
             lv_local)
