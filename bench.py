@@ -36,13 +36,19 @@ import sys
 import threading
 import time
 
-_RESULT_PRINTED = threading.Event()
+_EMIT_LOCK = threading.Lock()
+_RESULT_PRINTED = False
 
 
 def _emit(rec: dict) -> None:
-    if not _RESULT_PRINTED.is_set():
-        _RESULT_PRINTED.set()
-        print(json.dumps(rec), flush=True)
+    # atomic test-and-set: the watchdog thread and the main thread can race
+    # to print; the exactly-one-JSON-line contract must hold either way
+    global _RESULT_PRINTED
+    with _EMIT_LOCK:
+        if _RESULT_PRINTED:
+            return
+        _RESULT_PRINTED = True
+    print(json.dumps(rec), flush=True)
 
 
 def _sync(x) -> float:

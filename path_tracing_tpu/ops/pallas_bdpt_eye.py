@@ -231,6 +231,10 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
     scal = jnp.stack([jnp.asarray(seed, jnp.int32),
                       jnp.asarray(n_valid, jnp.int32)])
 
+    # deliberately NOT shape-aware (no lane count passed): the 160-row tile
+    # was only measured a win on the PT megakernel; the committed config-5
+    # RIS numbers were taken at 128 rows, so this stays 128 until the
+    # runbook A/Bs 160 on the eye kernel specifically.
     rows = mega_rows()
     pxt = _tile(px.astype(jnp.float32), rows)[0]
     pyt = _tile(py.astype(jnp.float32), rows)[0]

@@ -582,10 +582,7 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
     best = jax.lax.fori_loop(0, ns + nl, sph_body, best)
 
     # safe reciprocal direction for the cluster slab tests
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
-                               jnp.where(d >= 0.0, 1e-12, -1e-12), d)
-    invx, invy, invz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+    invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
 
     tri_test = _make_tri_test(rox, roy, roz, rdx, rdy, rdz, keep, with_uv)
 
@@ -709,10 +706,7 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
 
     blocked = jax.lax.fori_loop(0, ns + nl, sph_body, blocked)
 
-    def safe_inv(d):
-        return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
-                               jnp.where(d >= 0.0, 1e-12, -1e-12), d)
-    invx, invy, invz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+    invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
 
     def tri_shadow(blocked, read, extra_ok=None):
         ok, _, _, t = _mt_core(read, rox, roy, roz, rdx, rdy, rdz)

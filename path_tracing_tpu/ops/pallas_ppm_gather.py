@@ -139,7 +139,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                 Loop order: hitpoint sub-block OUTER, event block inner —
                 the (SUB,1) hitpoint-column loads and the material-branch
                 decision hoist out of the event loop, and the frame
-                rotation + normal dot run as one (4*SUB,6)x(6,128) MXU
+                rotation + normal dot run as one (4*SUB,8)x(8,128) MXU
                 matmul per (sub-block, event block) instead of ~20 VPU
                 broadcast ops."""
                 evb = ev_vmem[buf_slot]                    # (EV_ROWS, EB, 128)
@@ -473,7 +473,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
                hp.mtl.base_color[:, 2] * kd]
     sperm = jnp.argsort(hkey).astype(jnp.int32)
     shkey = hkey[sperm]
-    hp_mat = jnp.stack(hp_cols, axis=1)[sperm]             # (B, 25)
+    hp_mat = jnp.stack(hp_cols, axis=1)[sperm]             # (B, 33)
     Bp = ((B + HP_CHUNK - 1) // HP_CHUNK + 1) * HP_CHUNK
     # last dim padded to a full 128-lane tile: Mosaic requires DMA slices
     # to cover whole lane tiles

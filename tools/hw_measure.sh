@@ -35,12 +35,18 @@ run "bench headline (config0)"   1800 python bench.py
 run "config2 mis_test spp256"    1800 python bench.py --config 2
 run "config1 oracle"             1800 python bench.py --config 1
 run "config5 BDPT RIS (default)" 2400 python bench.py --config 5
+# eye-megakernel tile-height A/B (160 was only ever measured on the PT
+# megakernel; bdpt_eye stays 128 until this says otherwise)
+run "config5 RIS rows=160"       2400 env PT_TPU_MEGA_ROWS=160 python bench.py --config 5
 run "config4 PPM fast (1 pass)"  2400 python bench.py --config 4 --fast
 
 # PPM A/B: current kernel (EV_ROWS=14 pad row + register chunk partials)
 # vs round-1 measured 1.03 Mphotons/s.  If the fast pass regresses, the
 # pad-row DMA lost — revert EV_ROWS to 13 per CLAUDE.md.
-run "config4 PPM full (10x1M)"   3600 python bench.py --config 4
+# bench.py's internal watchdog defaults to 2400s — raise it to match the
+# step budget or it os._exit(3)s the honest 10-pass shape at 2400s.
+run "config4 PPM full (10x1M)"   3600 env PT_TPU_BENCH_TIMEOUT=3500 \
+    python bench.py --config 4
 
 # streaming sweep A/B at 249k tris (round-2 pending measurement):
 #   A = MXU sweep HIGHEST (round-1 default, measured 0.63)
