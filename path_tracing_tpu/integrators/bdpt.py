@@ -39,6 +39,18 @@ Architecture:
 - **Connections** run as chunked pairwise ``(B, C)`` tensor ops with batched
   shadow rays, instead of an O(V) inner loop per thread.
 
+- **Connection-end MIS pdfs are dist-scaled (reference quirk).**  Both
+  references pass the UNNORMALIZED connection vector ``d_vec`` into
+  ``bsdf_pdf`` (bdpt_cu.cu:443-449, cpu_bdpt.cpp:130-137) and ``bsdf_pdf``
+  never normalizes its inputs (geometric.cuh:458-484), so the diffuse lobe
+  scales by ``dist`` and the specular half-vector skews toward ``wi``; the
+  area-measure conversion then uses ``dot(n, d_vec)`` cosines (another
+  ``dist`` factor).  Net effect: the diffuse-lobe ratio terms carry NO
+  1/dist^2 falloff.  We reproduce this exactly by feeding ``wi * dist``
+  into the (scale-transparent) ``_pdf_local`` and multiplying the
+  conversion cosines by ``dist`` — pinned by a literal NumPy transcription
+  test (tests/test_bdpt.py::test_connection_matches_reference_transcription).
+
 Multi-chip: light paths shard over the mesh and the vertex tensor is
 all-gathered (small) before the pixel-sharded eye pass — see parallel/shard.py.
 """
@@ -428,19 +440,26 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
             < jnp.cos(lv.source_cutoff)[None, :])
         gate &= ~cone_bad
 
-        # eye side: one eval (wo_e) + one pdf (wo_s) in the hoisted frame
+        # eye side: one eval (wo_e) + one pdf (wo_s) in the hoisted frame.
+        # MIS-pdf quirk: the reference passes the UNNORMALIZED connection
+        # vector d_vec into bsdf_pdf and converts with dist-scaled cosines
+        # (bdpt_cu.cu:443-449 / cpu_bdpt.cpp:130-137; bsdf_pdf never
+        # normalizes, geometric.cuh:458-484) — feed wi*dist so the skewed
+        # half-vector and the dist-scaled diffuse pdf match exactly
         lv_mtl_b = jax.tree.map(lambda x: x[None], lv.mtl)       # (1,C,...)
         wi_e_l = to_local_pairs(wi, et[:, None], eb[:, None],
                                 ev_normal[:, None])
         wh_e, ok_e = _half_vector(wo_e_l, wi_e_l)
         f_e = _eval_local(ev_mtl_b, jnp.broadcast_to(wo_e_l, wi_e_l.shape),
                           wi_e_l, alpha_e, wh_e, ok_e)
-        wh_s, ok_s = _half_vector(wo_s_l, wi_e_l)
+        wi_s_l = wi_e_l * dist[..., None]
+        wh_s, ok_s = _half_vector(wo_s_l, wi_s_l)
         pdf_s = jnp.maximum(
-            _pdf_local(ev_mtl_b, jnp.broadcast_to(wo_s_l, wi_e_l.shape),
-                       wi_e_l, alpha_e, wh_s, ok_s), PDF_OMEGA_FLOOR)
+            _pdf_local(ev_mtl_b, jnp.broadcast_to(wo_s_l, wi_s_l.shape),
+                       wi_s_l, alpha_e, wh_s, ok_s), PDF_OMEGA_FLOOR)
 
-        # light side: eval + pdf share wo AND the half-vector
+        # light side: eval uses the unit wi (bdpt_cu.cu:430), the MIS pdf
+        # the dist-scaled one (same quirk)
         wi_l_l = to_local_pairs(-wi, ch["lt"][None], ch["lb"][None],
                                 lv.normal[None])
         wo_t_b = jnp.broadcast_to(ch["wo_t_l"][None], wi_l_l.shape)
@@ -450,9 +469,11 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
             jnp.ones((B, chunk, 3)),
             _eval_local(lv_mtl_b, wo_t_b, wi_l_l, ch["alpha_l"][None],
                         wh_l, ok_l))
+        wi_t_l = wi_l_l * dist[..., None]
+        wh_t, ok_t = _half_vector(wo_t_b, wi_t_l)
         pdf_t = jnp.maximum(
-            _pdf_local(lv_mtl_b, wo_t_b, wi_l_l, ch["alpha_l"][None],
-                       wh_l, ok_l), PDF_OMEGA_FLOOR)
+            _pdf_local(lv_mtl_b, wo_t_b, wi_t_l, ch["alpha_l"][None],
+                       wh_t, ok_t), PDF_OMEGA_FLOOR)
         gate &= jnp.any(f_e > 0.0, -1) & jnp.any(f_l > 0.0, -1)
 
         p1 = jnp.broadcast_to(
@@ -469,9 +490,10 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
 
         g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
 
-        # O(1) MIS (module docstring)
-        pdf_s_to_t = pdf_s * cos_l / jnp.maximum(dist2, 1e-20)
-        pdf_t_to_s = pdf_t * cos_e / jnp.maximum(dist2, 1e-20)
+        # O(1) MIS (module docstring); cos_t/cos_s are the reference's
+        # dist-scaled dot(n, d_vec) forms (bdpt_cu.cu:217-218,236-237)
+        pdf_s_to_t = pdf_s * cos_l * dist / jnp.maximum(dist2, 1e-20)
+        pdf_t_to_s = pdf_t * cos_e * dist / jnp.maximum(dist2, 1e-20)
         sum_ratios = (1.0 + pdf_t_to_s * eye_f[:, None]
                       + pdf_s_to_t * lv.mis_a[None, :])
         mis_ok = jnp.isfinite(sum_ratios) & (sum_ratios > 0.0)
@@ -580,22 +602,27 @@ def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
         return jnp.stack([jnp.sum(w * t, -1), jnp.sum(w * b, -1),
                           jnp.sum(w * n, -1)], axis=-1)
 
+    # MIS pdfs take the dist-scaled wi (reference passes the unnormalized
+    # d_vec into bsdf_pdf — see _connect); evals take the unit wi
     wi_e_l = to_local(wi, et[:, None], eb[:, None], ev_normal[:, None])
     wh_e, ok_e = _half_vector(wo_e_l, wi_e_l)
     f_e = _eval_local(ev_mtl_b, jnp.broadcast_to(wo_e_l, wi_e_l.shape),
                       wi_e_l, alpha_e, wh_e, ok_e)
-    wh_s, ok_s = _half_vector(wo_s_l, wi_e_l)
+    wi_s_l = wi_e_l * dist[..., None]
+    wh_s, ok_s = _half_vector(wo_s_l, wi_s_l)
     pdf_s = jnp.maximum(
-        _pdf_local(ev_mtl_b, jnp.broadcast_to(wo_s_l, wi_e_l.shape),
-                   wi_e_l, alpha_e, wh_s, ok_s), PDF_OMEGA_FLOOR)
+        _pdf_local(ev_mtl_b, jnp.broadcast_to(wo_s_l, wi_s_l.shape),
+                   wi_s_l, alpha_e, wh_s, ok_s), PDF_OMEGA_FLOOR)
 
     wi_l_l = to_local(-wi, lt, lb, lvg.normal)
     wh_l, ok_l = _half_vector(wo_t_l, wi_l_l)
     f_l = jnp.where(lvg.is_light_source[..., None],
                     jnp.ones((B, M, 3)),
                     _eval_local(lvg.mtl, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l))
+    wi_t_l = wi_l_l * dist[..., None]
+    wh_t, ok_t = _half_vector(wo_t_l, wi_t_l)
     pdf_t = jnp.maximum(
-        _pdf_local(lvg.mtl, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l),
+        _pdf_local(lvg.mtl, wo_t_l, wi_t_l, alpha_l, wh_t, ok_t),
         PDF_OMEGA_FLOOR)
     gate &= jnp.any(f_e > 0.0, -1) & jnp.any(f_l > 0.0, -1)
 
@@ -608,8 +635,8 @@ def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
     gate &= jnp.any(trans > 0.0, axis=-1)
 
     g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
-    pdf_s_to_t = pdf_s * cos_l / jnp.maximum(dist2, 1e-20)
-    pdf_t_to_s = pdf_t * cos_e / jnp.maximum(dist2, 1e-20)
+    pdf_s_to_t = pdf_s * cos_l * dist / jnp.maximum(dist2, 1e-20)
+    pdf_t_to_s = pdf_t * cos_e * dist / jnp.maximum(dist2, 1e-20)
     sum_ratios = (1.0 + pdf_t_to_s * eye_f[:, None]
                   + pdf_s_to_t * lvg.mis_a)
     mis_ok = jnp.isfinite(sum_ratios) & (sum_ratios > 0.0)
@@ -623,7 +650,7 @@ def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
 
 
 def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
-                          lv: LightVertices, px, py, key,
+                          lv_flat: LightVertices, n_valid, px, py, key,
                           light_hit_scale: float, chunk: int) -> jnp.ndarray:
     """One eye path per lane, connecting at every non-delta vertex.
 
@@ -641,7 +668,8 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
         return jax.default_backend() == "tpu" or interp_forced()
 
     B = px.shape[0]
-    lv_flat, n_valid = compact_flat(lv.flat())
+    # lv_flat arrives pre-compacted (eye_pass hoists the O(V log V) argsort
+    # out of the per-spp scan); the RIS re-draw stays per-sample
     if cfg.bdpt_resample_vertices > 0:
         lv_flat, n_valid = resample_light_vertices(
             lv_flat, n_valid, cfg.bdpt_resample_vertices,
@@ -848,9 +876,13 @@ def eye_pass(scene_used: Scene, lv, cam: Camera, cfg: RenderConfig,
                               spp, cfg, seed, light_hit_scale)
         return acc / spp
 
+    # hoist the O(V log V) compaction out of the per-spp scan (the vertex
+    # set is sample-invariant; only the RIS re-draw is per-sample)
+    lv_flat, n_valid = compact_flat(lv.flat())
+
     def body(acc, sidx):
         c = eye_trace_and_connect(
-            scene_used, cam, cfg, lv, px, py,
+            scene_used, cam, cfg, lv_flat, n_valid, px, py,
             jax.random.fold_in(jax.random.fold_in(key, 0x0202), sidx),
             light_hit_scale, chunk)
         return acc + c, None

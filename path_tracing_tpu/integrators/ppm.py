@@ -293,7 +293,6 @@ def gather_flux(scene: Scene, cfg: RenderConfig, hp: HitPoints,
     e_key = jnp.where(events.valid, e_hash, jnp.int32(table))
     order = jnp.argsort(e_key)
     se = jax.tree.map(lambda x: x[order], events)
-    s_key = e_key[order]
 
     h_cells = _cell_coords(hp.pos, origin, cell)           # (B, 3)
     offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3),
@@ -321,7 +320,7 @@ def gather_flux(scene: Scene, cfg: RenderConfig, hp: HitPoints,
         # dynamic bound: iterate only to the true max cell occupancy (<= K)
         kmax = jnp.minimum(jnp.max(counts_q), K)
 
-    E = s_key.shape[0]
+    E = e_key.shape[0]
     B = hp.pos.shape[0]
 
     # hoist the per-hitpoint BSDF frame out of the candidate loop: only the

@@ -64,7 +64,7 @@ def _take_light(table: jnp.ndarray, li: jnp.ndarray):
                 cutoff=row[:, 9], is_par=row[:, 10] != 0.0, r=row[:, 11])
 
 
-def _light_emission_radiance(scene: Scene, hit_pos, depth, clamp_val):
+def _light_emission_radiance(scene: Scene, hit_pos, depth):
     """Flux -> radiance for a light-ball hit.  pt_cu.cu:59-94.
 
     Finds the first light whose ball surface matches the hit position within
@@ -205,7 +205,7 @@ def trace_paths(scene: Scene, cam: Camera, cfg: RenderConfig,
 
         # --- 1. BSDF ray hit a light ball (pt_cu.cu:59-121) ---
         emission, li, okl = _light_emission_radiance(
-            scene, hit.pos, state["depth"], cfg.clamp)
+            scene, hit.pos, state["depth"])
         has_e = jnp.any(emission > 0.0, axis=-1)
         c_delta = state["throughput"] * emission
         c_delta = jnp.where(is_valid_color(c_delta)[:, None],
@@ -452,8 +452,7 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         act = alive & hit.hit
         wo = -rd
 
-        emission, li, okl = _light_emission_radiance(scene, hit.pos, depth,
-                                                     cfg.clamp)
+        emission, li, okl = _light_emission_radiance(scene, hit.pos, depth)
         has_e = jnp.any(emission > 0.0, axis=-1)
         c_delta = throughput * emission
         c_delta = jnp.where(is_valid_color(c_delta)[:, None],

@@ -200,7 +200,6 @@ def bsdf_sample(mtl: Material, wo_w: jnp.ndarray, n: jnp.ndarray,
     take_spec = u_rr < spec_weight
     rough_wi_l = jnp.where(take_spec[..., None], spec_wi, diff_wi)
     rough_dead = take_spec & spec_bad
-    rough_wi_w = local_to_world(rough_wi_l, t, b, n)
     # evaluate + pdf directly in the already-built local frame
     wh_r, wh_r_valid = _half_vector(wo, rough_wi_l)
     rough_pdf = jnp.where(
@@ -213,8 +212,7 @@ def bsdf_sample(mtl: Material, wo_w: jnp.ndarray, n: jnp.ndarray,
     # ---- select ----------------------------------------------------------
     wi_l = jnp.where(m_dielectric[..., None], diel_wi,
                      jnp.where(m_conductor[..., None], cond_wi, rough_wi_l))
-    wi_w = local_to_world(wi_l, t, b, n)
-    wi_w = jnp.where(is_delta[..., None], wi_w, rough_wi_w)
+    wi_w = local_to_world(wi_l, t, b, n)  # non-delta lanes: wi_l IS rough_wi_l
     value = jnp.where(m_dielectric[..., None], diel_val,
                       jnp.where(m_conductor[..., None], cond_val, rough_val))
     pdf = jnp.where(m_dielectric, diel_pdf,

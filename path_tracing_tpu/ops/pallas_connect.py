@@ -98,13 +98,17 @@ def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
                     & (dot3(emit, -wi) < jnp.cos(cutoff)))
         gate &= ~cone_bad
 
-        # eye side: eval with wo_e, pdf with wo_s (hoisted frame)
+        # eye side: eval with wo_e, pdf with wo_s (hoisted frame).  MIS-pdf
+        # quirk: the reference feeds the UNNORMALIZED d_vec into bsdf_pdf
+        # (bdpt_cu.cu:443-449; bsdf_pdf never normalizes) — the pdf wi is
+        # dist-scaled, the eval wi stays unit (bdpt_cu.cu:423,430)
         wi_e_l = to_local(wi, et, eb, ev_n)
         wh_e, ok_e = half_vector(wo_e_l, wi_e_l)
         f_e = eval_local(m_e, wo_e_l, wi_e_l, alpha_e, wh_e, ok_e)
-        wh_s, ok_s = half_vector(wo_s_l, wi_e_l)
+        wi_s_l = wi_e_l.scale(dist)
+        wh_s, ok_s = half_vector(wo_s_l, wi_s_l)
         pdf_s = jnp.maximum(
-            pdf_local(m_e, wo_s_l, wi_e_l, alpha_e, wh_s, ok_s),
+            pdf_local(m_e, wo_s_l, wi_s_l, alpha_e, wh_s, ok_s),
             PDF_OMEGA_FLOOR)
 
         # light side: per-vertex frame is scalar math broadcast per lane
@@ -116,8 +120,10 @@ def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
         one = jnp.ones_like(zero)
         f_l = where3(is_src, V3(one, one, one),
                      eval_local(m_l, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l))
+        wi_t_l = wi_l_l.scale(dist)
+        wh_t, ok_t = half_vector(wo_t_l, wi_t_l)
         pdf_t = jnp.maximum(
-            pdf_local(m_l, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l),
+            pdf_local(m_l, wo_t_l, wi_t_l, alpha_l, wh_t, ok_t),
             PDF_OMEGA_FLOOR)
         gate &= ((f_e.x > 0.0) | (f_e.y > 0.0) | (f_e.z > 0.0))
         gate &= ((f_l.x > 0.0) | (f_l.y > 0.0) | (f_l.z > 0.0))
@@ -138,8 +144,9 @@ def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
         gate &= tr > 0.0
 
         g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
-        pdf_s_to_t = pdf_s * cos_l / jnp.maximum(dist2, 1e-20)
-        pdf_t_to_s = pdf_t * cos_e / jnp.maximum(dist2, 1e-20)
+        # dist-scaled cosines: the reference's dot(n, d_vec) forms
+        pdf_s_to_t = pdf_s * cos_l * dist / jnp.maximum(dist2, 1e-20)
+        pdf_t_to_s = pdf_t * cos_e * dist / jnp.maximum(dist2, 1e-20)
         sum_ratios = 1.0 + pdf_t_to_s * eye_f + pdf_s_to_t * mis_a
         mis_ok = jnp.isfinite(sum_ratios) & (sum_ratios > 0.0)
         mis_w = jnp.where(mis_ok, 1.0 / jnp.maximum(sum_ratios, 1e-30), 0.0)

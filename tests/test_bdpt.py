@@ -118,6 +118,128 @@ def test_oracle_regression_fixture(setup):
     assert abs(img.mean() - ref.mean()) / ref.mean() < 0.05
 
 
+def _ref_connection_numpy(ev_pos, ev_n, ev_tp, ev_mtl, wo_e, wo_s,
+                          eye_fwd1, lv_pos, lv_n, lv_tp, lv_mtl, lv_wo,
+                          lv_fwd1, clamp=15.0):
+    """Literal NumPy transcription of ONE reference connection
+    (bdpt_cu.cu:384-457 + calculate_mis_weight :204-284) for a clear
+    visibility segment, eye walk s_idx in {0, 1} (``eye_fwd1=None`` for
+    s_idx=0), light walk t_idx=1 with a surface vertex of pdf_fwd
+    ``lv_fwd1``.  Reuses the PT oracle's literal bsdf transcription —
+    crucially ``_bsdf_eval_pdf`` is scale-transparent like the reference's
+    ``bsdf_pdf``, so the UNNORMALIZED ``d_vec`` goes straight in."""
+    from tests.pt_numpy_oracle import _bsdf_eval_pdf
+
+    d_vec = lv_pos - ev_pos
+    dist2 = float(np.dot(d_vec, d_vec))
+    dist = np.sqrt(dist2)
+    wi = d_vec / dist
+    cosE = max(0.0, float(np.dot(ev_n, wi)))
+    cosL = max(0.0, float(np.dot(lv_n, -wi)))
+    assert cosE > 0.0 and cosL > 0.0 and dist2 >= 1e-6
+
+    def eval_unit(mtl, wo, w, n):
+        f, _ = _bsdf_eval_pdf(mtl[None], wo[None], w[None], n[None])
+        return f[0]
+
+    def pdf_scaled(mtl, wo, w, n):   # reference passes UNNORMALIZED w
+        _, p = _bsdf_eval_pdf(mtl[None], wo[None], w[None], n[None])
+        return float(p[0])
+
+    fE = eval_unit(ev_mtl, wo_e, wi, ev_n)
+    fL = eval_unit(lv_mtl, lv_wo, -wi, lv_n)
+    G = cosE * cosL / max(dist2, 1e-4)
+
+    # calculate_mis_weight: dir_e_to_l is the UNNORMALIZED d_vec
+    cos_s = max(0.0, float(np.dot(ev_n, d_vec)))
+    cos_t = max(0.0, float(np.dot(lv_n, -d_vec)))
+    pdf_omega_s = max(pdf_scaled(ev_mtl, wo_s, d_vec, ev_n), 1e-6)
+    pdf_omega_t = max(pdf_scaled(lv_mtl, lv_wo, -d_vec, lv_n), 1e-6)
+    pdf_s_to_t = pdf_omega_s * cos_t / dist2
+    pdf_t_to_s = pdf_omega_t * cos_s / dist2
+    sum_ratios = 1.0
+    if eye_fwd1 is not None:         # s_idx=1: one eye-walk iteration
+        sum_ratios += pdf_t_to_s / max(eye_fwd1, 1e-8)
+    sum_ratios += pdf_s_to_t / max(lv_fwd1, 1e-8)  # t_idx=1 surface vertex
+    mis_w = 1.0 / sum_ratios
+
+    contrib = ev_tp * fE * G * fL * lv_tp * mis_w
+    return np.minimum(contrib, clamp)
+
+
+@pytest.mark.parametrize("eye_fwd1", [None, 0.0])
+def test_connection_matches_reference_transcription(eye_fwd1):
+    """_connect vs a literal transcription of the reference connection —
+    including the dist-scaled MIS end pdfs (the reference passes the
+    UNNORMALIZED d_vec into bsdf_pdf, bdpt_cu.cu:443-449 /
+    cpu_bdpt.cpp:130-137, and converts with dot(n, d_vec) cosines).
+    ``eye_fwd1=0.0`` is the reference's eye-vertex pdf_fwd placeholder
+    (clamped to 1e-8 -> eye_f = 1e8), ``None`` the depth-0 case."""
+    from path_tracing_tpu.integrators.bdpt import LightVertices, _connect
+    from path_tracing_tpu.scene.parser import parse_scene_text
+    from path_tracing_tpu.scene.types import Material
+
+    # far-away geometry: the connection segment is unoccluded
+    p = parse_scene_text("""
+E 0 5 10
+V 0 0 0  0 1 0
+F 50
+R 8 8
+M 0.8 0.8 0.8 1.0 0.0 0.0
+T -90 -50 -90  90 -50 -90  90 -50 90
+L 0 40 0  0 -1 0  10 10 10  60 0 0.5
+""")
+    scene = p.to_device()
+    cfg = RenderConfig(width=8, height=8, eye_depth=2, light_depth=2)
+
+    def nrm(v):
+        v = np.asarray(v, np.float64)
+        return v / np.linalg.norm(v)
+
+    ev_pos = np.array([0.0, 0.0, 0.0])
+    ev_n = np.array([0.0, 0.0, 1.0])
+    ev_tp = np.array([1.2, 1.0, 0.7])
+    wo_e = nrm([0.3, -0.2, 1.0])
+    wo_s = nrm([-0.5, 0.1, 1.0])
+    ev_mtl_row = np.array([0.6, 0.5, 0.4, 0.8, 0.0, 0.0])  # rgb,rough,met,eta
+
+    lv_pos = np.array([1.5, 0.7, 2.0])   # dist ~2.6: scale effects visible
+    lv_n = nrm([-0.3, 0.1, -1.0])
+    lv_tp = np.array([0.9, 0.8, 1.1])
+    lv_wo = nrm([0.2, -0.4, -0.8])
+    lv_mtl_row = np.array([0.3, 0.7, 0.2, 0.5, 0.0, 0.0])
+    lv_fwd1 = 0.53                        # light-side walk: A = 1/0.53
+
+    ref = _ref_connection_numpy(ev_pos, ev_n, ev_tp, ev_mtl_row, wo_e, wo_s,
+                                eye_fwd1, lv_pos, lv_n, lv_tp, lv_mtl_row,
+                                lv_wo, lv_fwd1, clamp=cfg.clamp)
+
+    f32 = lambda a: jnp.asarray(np.asarray(a, np.float32))
+    lv_flat = LightVertices(
+        pos=f32(lv_pos[None]), normal=f32(lv_n[None]),
+        throughput=f32(lv_tp[None]),
+        mtl=Material(base_color=f32(lv_mtl_row[None, :3]),
+                     roughness=f32([lv_mtl_row[3]]),
+                     metallic=f32([lv_mtl_row[4]]),
+                     eta=f32([lv_mtl_row[5]])),
+        pdf_fwd=f32([lv_fwd1]), pdf_rev=f32([0.0]),
+        is_light_source=jnp.zeros((1,), bool),
+        source_cutoff=f32([0.0]), is_parallel=jnp.zeros((1,), bool),
+        emit_dir=f32(np.zeros((1, 3))), wo=f32(lv_wo[None]),
+        mis_a=f32([1.0 / lv_fwd1]), valid=jnp.ones((1,), bool))
+    ev_mtl = Material(base_color=f32(ev_mtl_row[None, :3]),
+                      roughness=f32([ev_mtl_row[3]]),
+                      metallic=f32([ev_mtl_row[4]]),
+                      eta=f32([ev_mtl_row[5]]))
+    eye_f = 0.0 if eye_fwd1 is None else 1.0 / max(eye_fwd1, 1e-8)
+    got = np.asarray(_connect(
+        scene, cfg, lv_flat, jnp.int32(1), f32(ev_pos[None]),
+        f32(ev_n[None]), f32(ev_tp[None]), ev_mtl, f32(wo_e[None]),
+        f32(wo_s[None]), f32([eye_f]), 8))[0]
+
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-7)
+
+
 def test_connection_subsampling_unbiased():
     """bdpt_connection_samples (stratified O(M) connections) has the same
     expectation as the exact all-pairs sweep; with the SAME light subpaths

@@ -64,6 +64,12 @@ run "config3 vmem 100k"          2400 python bench.py --config 3 --gen-tris 1000
 # config5 exact-sweep reference (RIS denominator for the 11x claim)
 run "config5 exact sweep 512^2"  2400 python bench.py --config 5 --resample 0 --res 512x512
 
+# BASELINE's second metric: time-to-target-RMSE.  --regen-rmse-target
+# first: the committed 128^2 converged-oracle fixture predates the
+# dist-scaled connection-MIS parity fix (the oracle brightened ~4%)
+run "rmse time-to-target (regen)" 3600 env PT_TPU_BENCH_TIMEOUT=3500 \
+    python bench.py --config rmse --regen-rmse-target
+
 # profiler trace of the headline shape — raw material for the next
 # optimization round (where do the megakernel's cycles actually go)
 run "headline profile trace"     1800 python -m path_tracing_tpu.cli \
