@@ -240,6 +240,132 @@ L 0 40 0  0 -1 0  10 10 10  60 0 0.5
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-7)
 
 
+DIFFUSE_BOX = """
+E 0 2 8
+V 0 0 0  0 1 0
+F 50
+R 8 8
+// closed diffuse box (no delta materials: stored vertices are adjacent)
+M 0.7 0.7 0.7 1.0 0.0 0.0
+T -5 -3 -5  5 -3 -5  5 -3 5
+T -5 -3 -5  5 -3 5  -5 -3 5
+T -5 5 -5  5 5 5  5 5 -5
+T -5 5 -5  -5 5 5  5 5 5
+T -5 -3 -5  5 -3 -5  5 5 -5
+T -5 -3 -5  5 5 -5  -5 5 -5
+M 0.6 0.3 0.3 0.8 0.0 0.0
+T -5 -3 -5  -5 5 -5  -5 5 5
+T -5 -3 -5  -5 5 5  -5 -3 5
+T 5 -3 -5  5 5 5  5 5 -5
+T 5 -3 -5  5 -3 5  5 5 5
+L -2 3 0  0.3 -1 0.2  9 7 5  80 0 0.4
+L  2 3 1  -0.2 -1 0   4 6 8  80 0 0.3
+"""
+
+
+def _traced_table(light_depth=4, paths=24, spl=4):
+    from path_tracing_tpu.scene.parser import parse_scene_text
+
+    p = parse_scene_text(DIFFUSE_BOX)
+    scene = p.to_device()
+    cfg = RenderConfig(width=8, height=8, eye_depth=2,
+                       light_depth=light_depth, delta_budget=2)
+    lv = trace_light_paths(scene, cfg, paths, spl, jax.random.PRNGKey(11))
+    np_lv = {f: np.asarray(getattr(lv, f)) for f in
+             ("pos", "normal", "throughput", "pdf_fwd", "pdf_rev",
+              "is_light_source", "wo", "mis_a", "valid")}
+    np_lv["mtl"] = np.concatenate(
+        [np.asarray(lv.mtl.base_color),
+         np.asarray(lv.mtl.roughness)[..., None],
+         np.asarray(lv.mtl.metallic)[..., None],
+         np.asarray(lv.mtl.eta)[..., None]], axis=-1)
+    return np_lv
+
+
+def test_light_trace_stored_pdfs_match_literal_recomputation():
+    """Stored pdf_fwd/pdf_rev vs literal reference math recomputed from the
+    stored geometry (bdpt_cu.cu:133-141,183-184): on a delta-free scene,
+    consecutive stored vertices are physically adjacent, so
+      pdf_fwd[t] = pdf_omega(prev) * |dot(n_t, dir)| / dist2
+      pdf_rev[t] = bsdf_pdf(mtl_t, dir_{t+1}, wo_t) * |dot(n_{t-1}, dir_t)|
+                   / dist2
+    with pdf_omega(vertex 0) = 1/pi (bdpt_cu.cu:102) and bsdf_sample's
+    returned rough pdf == bsdf_pdf (geometric.cuh:539-561).  Same class of
+    check that caught the dist-scaled connection-pdf quirk."""
+    from tests.pt_numpy_oracle import _bsdf_eval_pdf
+
+    t = _traced_table()
+    P, L = t["pdf_fwd"].shape
+    checked_fwd = checked_rev = 0
+    for p_i in range(P):
+        for ti in range(1, L):
+            if not t["valid"][p_i, ti] or t["is_light_source"][p_i, ti]:
+                continue
+            pos_p, pos_t = t["pos"][p_i, ti - 1], t["pos"][p_i, ti]
+            d = pos_t - pos_p
+            dist2 = float(np.dot(d, d))
+            if dist2 < 1e-6:
+                continue
+            dirn = d / np.sqrt(dist2)
+            n_t, n_p = t["normal"][p_i, ti], t["normal"][p_i, ti - 1]
+            if ti == 1:
+                pdf_omega = 1.0 / np.pi
+            else:
+                _, pdf_omega = _bsdf_eval_pdf(
+                    t["mtl"][p_i, ti - 1][None], t["wo"][p_i, ti - 1][None],
+                    dirn[None], n_p[None])
+                pdf_omega = float(pdf_omega[0])
+            want_fwd = pdf_omega * abs(float(np.dot(n_t, dirn))) / dist2
+            np.testing.assert_allclose(t["pdf_fwd"][p_i, ti], want_fwd,
+                                       rtol=2e-4, atol=1e-7)
+            checked_fwd += 1
+
+            # pdf_rev needs the direction actually sampled at t: the next
+            # stored vertex (delta-free scene)
+            if ti + 1 < L and t["valid"][p_i, ti + 1] \
+                    and not t["is_light_source"][p_i, ti + 1]:
+                d2 = t["pos"][p_i, ti + 1] - pos_t
+                wi = d2 / np.linalg.norm(d2)
+                _, pdf_rev_omega = _bsdf_eval_pdf(
+                    t["mtl"][p_i, ti][None], wi[None],
+                    t["wo"][p_i, ti][None], n_t[None])
+                want_rev = (float(pdf_rev_omega[0])
+                            * abs(float(np.dot(n_p, dirn))) / dist2)
+                np.testing.assert_allclose(t["pdf_rev"][p_i, ti], want_rev,
+                                           rtol=2e-4, atol=1e-7)
+                checked_rev += 1
+    assert checked_fwd >= 10 and checked_rev >= 3, (checked_fwd, checked_rev)
+
+
+def test_mis_prefactor_matches_literal_reference_walk():
+    """mis_a[t] (the O(1) light-side suffix factor) vs the literal
+    reference ratio walk (cpu_bdpt.cpp:152-166) run on the SAME stored
+    pdf_fwd/pdf_rev table: sum_light(t, x=1) must equal mis_a[t]."""
+    t = _traced_table()
+    P, L = t["pdf_fwd"].shape
+    eta = t["mtl"][..., 5]
+    checked = 0
+    for p_i in range(P):
+        for ti in range(1, L):
+            if not t["valid"][p_i, ti]:
+                continue
+            ratio, prev, total = 1.0, 1.0, 0.0
+            for i in range(ti, 0, -1):
+                if t["is_light_source"][p_i, i]:
+                    ratio *= prev / max(t["pdf_fwd"][p_i, i], 1e-8)
+                    total += ratio
+                    break
+                if eta[p_i, i] > 0.0:
+                    break
+                ratio *= prev / max(t["pdf_fwd"][p_i, i], 1e-8)
+                total += ratio
+                prev = t["pdf_rev"][p_i, i]
+            np.testing.assert_allclose(t["mis_a"][p_i, ti], total,
+                                       rtol=2e-4, atol=1e-6)
+            checked += 1
+    assert checked >= 10, checked
+
+
 def test_connection_subsampling_unbiased():
     """bdpt_connection_samples (stratified O(M) connections) has the same
     expectation as the exact all-pairs sweep; with the SAME light subpaths

@@ -5,6 +5,8 @@ The full 200x200 spp8 spl8 BDPT render takes minutes of XLA compile on this
 seconds of device time on a real chip).  Last measured on TPU v5:
 8-bit RMSE 12.87 vs /root/reference/output.png (means 89.7 vs 90.2) —
 i.e. the golden output.png is a BDPT render and we reproduce it.
+Re-run on CPU (30 min) after the dist-scaled connection-MIS parity fix:
+still passes; the runbook re-measures the exact RMSE on hardware.
 """
 import os
 
