@@ -24,7 +24,7 @@ run() { # run <tag> <timeout-s> <cmd...>
 }
 
 say "liveness probe"
-timeout 150 python -c "
+timeout 600 python -c "
 import jax, jax.numpy as jnp, time
 t0=time.time(); x=jnp.ones((1024,1024)); s=float((x@x).sum())
 print('TPU OK sum', s, 'dt', time.time()-t0)" >> "$LOG" 2>&1 || {

@@ -17,15 +17,19 @@ DEADLINE=$(( $(date +%s) + MAXH * 3600 ))
 LOG=/tmp/tpu_watch.log
 echo "tpu_watch start $(date -u +%H:%M:%S) deadline +${MAXH}h" >> "$LOG"
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  if timeout 150 python -c "
+  # 600s probe budget: after a long wedge the tunnel answers SLOWLY
+  # (first revival took ~130s for a 1k matmul; a 150s budget then killed
+  # the next probe mid-op, which is exactly how the chip re-wedges)
+  if timeout 600 python -c "
 import jax.numpy as jnp
 x = jnp.ones((1024, 1024)); print('alive', float((x @ x).sum()))" \
       >> "$LOG" 2>&1; then
     echo "TPU ALIVE $(date -u +%H:%M:%S) — launching runbook" >> "$LOG"
     bash tools/hw_measure.sh /tmp/hw_measure >> "$LOG" 2>&1
-    echo "runbook done rc=$? $(date -u +%H:%M:%S)" >> "$LOG"
-    rm -f "$PIDF"
-    exit 0
+    rc=$?
+    echo "runbook done rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
+    if [ "$rc" -eq 0 ]; then rm -f "$PIDF"; exit 0; fi
+    # runbook aborted (chip flaked mid-run): keep watching, retry later
   fi
   echo "still wedged $(date -u +%H:%M:%S)" >> "$LOG"
   sleep 600
