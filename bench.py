@@ -302,7 +302,11 @@ def main() -> int:
     # the remote side) hangs EVERY op, including backend init — detect it in
     # minutes instead of burning the whole watchdog budget.  A healthy chip
     # answers the 1024^2 matmul in seconds (incl. first-connect).
-    probe_budget = float(os.environ.get("PT_TPU_BENCH_PROBE", "240"))
+    # 480s default: after ANY previous client disconnect (clean or killed)
+    # the tunnel takes minutes to release its grant, and a probe killed
+    # mid-wait re-wedges the chip — measured 2026-08-19: a probe started
+    # seconds after a clean exit still hung >150s
+    probe_budget = float(os.environ.get("PT_TPU_BENCH_PROBE", "480"))
     if probe_budget > 0:
         box: list = []
 

@@ -16,10 +16,20 @@ LOG="$D/run.log"
 say() { echo "=== $* [$(date +%H:%M:%S)] ===" | tee -a "$LOG"; }
 run() { # run <tag> <timeout-s> <cmd...>
   local tag="$1" to="$2"; shift 2
+  # clean mid-run stop: `touch $D/STOP` halts BETWEEN steps (never kill a
+  # TPU process mid-op — that wedges the chip)
+  if [ -f "$D/STOP" ]; then say "STOP file present — halting cleanly"; exit 0; fi
   say "$tag"
-  timeout "$to" "$@" >> "$LOG" 2>&1
+  # PT_TPU_BENCH_PROBE=600: consecutive steps each reconnect through the
+  # tunnel, and the grant from the PREVIOUS step's exit takes minutes to
+  # release — a short probe budget here kills the probe mid-wait, which
+  # re-wedges the chip (observed 2026-08-19)
+  PT_TPU_BENCH_PROBE=600 timeout "$to" "$@" >> "$LOG" 2>&1
   local rc=$?
   echo "--- $tag rc=$rc" | tee -a "$LOG"
+  # incremental results: a partial run (session end, mid-run wedge) must
+  # still leave every completed step's JSON line on disk
+  grep -h '"metric"' "$LOG" > "$D/results.jsonl" 2>/dev/null
   return $rc
 }
 
@@ -30,31 +40,34 @@ t0=time.time(); x=jnp.ones((1024,1024)); s=float((x@x).sum())
 print('TPU OK sum', s, 'dt', time.time()-t0)" >> "$LOG" 2>&1 || {
   say "chip unreachable — aborting"; exit 1; }
 
-# headline + the cheap configs first
+# DECISION-CRITICAL steps first (pending A/Bs gate code defaults):
+# headline, then the PPM EV_ROWS check, then the streaming-sweep backend.
 run "bench headline (config0)"   1800 python bench.py
-run "config2 mis_test spp256"    1800 python bench.py --config 2
-run "config1 oracle"             1800 python bench.py --config 1
-run "config5 BDPT RIS (default)" 2400 python bench.py --config 5
-# eye-megakernel tile-height A/B (160 was only ever measured on the PT
-# megakernel; bdpt_eye stays 128 until this says otherwise)
-run "config5 RIS rows=160"       2400 env PT_TPU_MEGA_ROWS=160 python bench.py --config 5
-run "config4 PPM fast (1 pass)"  2400 python bench.py --config 4 --fast
 
 # PPM A/B: current kernel (EV_ROWS=14 pad row + register chunk partials)
-# vs round-1 measured 1.03 Mphotons/s.  If the fast pass regresses, the
-# pad-row DMA lost — revert EV_ROWS to 13 per CLAUDE.md.
-# bench.py's internal watchdog defaults to 2400s — raise it to match the
-# step budget or it os._exit(3)s the honest 10-pass shape at 2400s.
-run "config4 PPM full (10x1M)"   3600 env PT_TPU_BENCH_TIMEOUT=3500 \
-    python bench.py --config 4
+# vs round-1 measured 1.03 Mphotons/s on the same 1-pass shape.  If this
+# regresses, the pad-row DMA lost — revert EV_ROWS to 13 per CLAUDE.md.
+run "config4 PPM fast (1 pass)"  2400 python bench.py --config 4 --fast
 
 # streaming sweep A/B at 249k tris (round-2 pending measurement):
 #   A = MXU sweep HIGHEST (round-1 default, measured 0.63)
 #   B = MXU sweep default precision
 #   C = VPU sweep backend (round-2, bit-identical to _mt_core)
-run "stream A: mxu HIGHEST"      2400 python bench.py --config 3 --gen-tris 249000 --spp 4
-run "stream B: mxu MT_FAST"      2400 env PT_TPU_MT_FAST=1 python bench.py --config 3 --gen-tris 249000 --spp 4
 run "stream C: vpu sweep"        2400 env PT_TPU_STREAM_SWEEP=vpu python bench.py --config 3 --gen-tris 249000 --spp 4
+run "stream B: mxu MT_FAST"      2400 env PT_TPU_MT_FAST=1 python bench.py --config 3 --gen-tris 249000 --spp 4
+run "stream A: mxu HIGHEST"      2400 python bench.py --config 3 --gen-tris 249000 --spp 4
+
+run "config2 mis_test spp256"    1800 python bench.py --config 2
+run "config5 BDPT RIS (default)" 2400 python bench.py --config 5
+run "config1 oracle"             1800 python bench.py --config 1
+# eye-megakernel tile-height A/B (160 was only ever measured on the PT
+# megakernel; bdpt_eye stays 128 until this says otherwise)
+run "config5 RIS rows=160"       2400 env PT_TPU_MEGA_ROWS=160 python bench.py --config 5
+
+# bench.py's internal watchdog defaults to 2400s — raise it to match the
+# step budget or it os._exit(3)s the honest 10-pass shape at 2400s.
+run "config4 PPM full (10x1M)"   3600 env PT_TPU_BENCH_TIMEOUT=3500 \
+    python bench.py --config 4
 
 # textured fast tier (round-2: fused Pallas shade + batched atlas gather)
 run "config3 textured 50k"       2400 python bench.py --config 3 --gen-tris 50000 --gen-tex --spp 16
