@@ -1,0 +1,125 @@
+"""Single-process hardware measurement sweep.
+
+Why one process: through this environment's tunneled TPU, a NEW client
+connecting after ANY previous client exits (cleanly or killed) waits
+many minutes for the old grant to release — measured 2026-08-19: a probe
+started seconds after a clean exit hung >9 min.  The shell runbook
+(tools/hw_measure.sh) pays that wait on EVERY step; this driver connects
+once and runs every step in-process, toggling the A/B env knobs (all
+read at trace time) with ``jax.clear_caches()`` between toggles.
+
+Usage:  python tools/hw_sweep.py [--deadline-min M] [--steps a,b,...]
+
+Emits one JSON line per completed step (stdout + incremental append to
+/tmp/hw_measure/results.jsonl).  Steps are ordered decision-critical
+first; the deadline is checked BETWEEN steps only (never kill a TPU op
+mid-flight — that wedges the chip).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _ns(**kw):
+    base = dict(config="0", obj="tests/fixtures/sphere.obj", gen_tris=0,
+                gen_tex=False, spp=0, res="", fast=False, conn_samples=0,
+                resample=None, regen_rmse_target=False)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+# (tag, env overrides, bench-args) — decision-critical steps first
+STEPS = [
+    ("headline",        {}, _ns()),
+    ("ppm_fast",        {}, _ns(config="4", fast=True)),
+    ("stream_vpu",      {"PT_TPU_STREAM_SWEEP": "vpu"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("stream_mxu_fast", {"PT_TPU_MT_FAST": "1"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("stream_mxu_hi",   {}, _ns(config="3", gen_tris=249000, spp=4)),
+    ("config2",         {}, _ns(config="2")),
+    ("config5_ris",     {}, _ns(config="5")),
+    ("config1",         {}, _ns(config="1")),
+    ("config5_rows160", {"PT_TPU_MEGA_ROWS": "160"}, _ns(config="5")),
+    ("tex50k",          {}, _ns(config="3", gen_tris=50000, gen_tex=True,
+                                spp=16)),
+    ("vmem100k",        {}, _ns(config="3", gen_tris=100000, spp=16)),
+    ("ppm_full",        {}, _ns(config="4")),
+    ("config5_exact",   {}, _ns(config="5", resample=0, res="512x512")),
+]
+
+_AB_KEYS = ("PT_TPU_STREAM_SWEEP", "PT_TPU_MT_FAST", "PT_TPU_MEGA_ROWS",
+            "PT_TPU_NO_PALLAS", "PT_TPU_NO_FUSED_SHADE")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deadline-min", type=float, default=50.0,
+                    help="stop starting new steps after this many minutes")
+    ap.add_argument("--steps", default="",
+                    help="comma-separated subset of step tags")
+    ap.add_argument("--out", default="/tmp/hw_measure/results.jsonl")
+    args = ap.parse_args()
+    t_end = time.time() + args.deadline_min * 60
+    want = set(s for s in args.steps.split(",") if s)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    from path_tracing_tpu.runtime import setup_jax_cache
+    setup_jax_cache()
+    import jax
+    import jax.numpy as jnp
+
+    import bench
+
+    def emit(rec):
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+
+    # patient first contact: wait out any lingering grant instead of
+    # killing (a killed probe renews the wedge)
+    t0 = time.time()
+    s = float((jnp.ones((1024, 1024)) @ jnp.ones((1024, 1024))).sum())
+    emit({"metric": "sweep: first-contact matmul", "value":
+          round(time.time() - t0, 1), "unit": "s", "vs_baseline": 0,
+          "note": f"sum={s}"})
+
+    prev_env: dict = {}
+    for tag, env, ns in STEPS:
+        if want and tag not in want:
+            continue
+        if time.time() > t_end:
+            emit({"metric": f"sweep: {tag}", "value": 0, "unit": "",
+                  "vs_baseline": 0, "error": "deadline — not started"})
+            continue
+        if env != prev_env:
+            for k in _AB_KEYS:
+                os.environ.pop(k, None)
+            os.environ.update(env)
+            jax.clear_caches()  # per-CLAUDE.md: traces cache per fn object
+            prev_env = dict(env)
+        t0 = time.time()
+        try:
+            rec = bench.run(ns)
+            rec["step"] = tag
+            rec["wall_s"] = round(time.time() - t0, 1)
+            if env:
+                rec["env"] = env
+            emit(rec)
+        except Exception as e:  # noqa: BLE001 — keep sweeping
+            emit({"metric": f"sweep: {tag}", "value": 0, "unit": "",
+                  "vs_baseline": 0, "wall_s": round(time.time() - t0, 1),
+                  "error": f"{type(e).__name__}: {e}"})
+    emit({"metric": "sweep: done", "value": 1, "unit": "", "vs_baseline": 0})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 x = jnp.ones((1024, 1024)); print('alive', float((x @ x).sum()))" \
       >> "$LOG" 2>&1; then
     echo "TPU ALIVE $(date -u +%H:%M:%S) — launching runbook" >> "$LOG"
-    bash tools/hw_measure.sh /tmp/hw_measure >> "$LOG" 2>&1
+    # single-process sweep: each fresh client pays a multi-minute
+    # grant-release wait after the previous one exits, so per-step
+    # subprocesses (hw_measure.sh) crawl; hw_sweep.py connects once
+    python tools/hw_sweep.py --deadline-min 180 >> "$LOG" 2>&1
     rc=$?
     echo "runbook done rc=$rc $(date -u +%H:%M:%S)" >> "$LOG"
     if [ "$rc" -eq 0 ]; then rm -f "$PIDF"; exit 0; fi
