@@ -82,10 +82,12 @@ VPU_WINDOW = 32                    # rows per DMA chunk = 8 blocks
 
 
 def stream_sweep() -> str:
-    """Streaming triangle-sweep backend: 'mxu' (determinant-form
-    dot_generals) or 'vpu' (per-slot Moller-Trumbore, a quarter of the DMA
-    bytes).  Env knob for A/B; see the module docstring."""
-    return os.environ.get("PT_TPU_STREAM_SWEEP", "mxu")
+    """Streaming triangle-sweep backend: 'vpu' (per-slot Moller-Trumbore,
+    a quarter of the MXU form's DMA bytes) or 'mxu' (determinant-form
+    dot_generals).  Hardware A/B 2026-08-19, 327k-tri icosphere, 1080p
+    spp=4: vpu 1.003 Mpaths/s, mxu HIGHEST 0.475, mxu DEFAULT-precision
+    0.155 — vpu is the measured default.  Env knob for A/B."""
+    return os.environ.get("PT_TPU_STREAM_SWEEP", "vpu")
 
 
 def interp_forced() -> bool:
