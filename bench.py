@@ -132,6 +132,29 @@ def run(args) -> dict:
             "value": round(dt, 2), "unit": "s",
             "vs_baseline": round(dt / 60.0, 4)}
 
+    if args.config == "golden":
+        # golden-image parity ON HARDWARE: the same render as
+        # tests/test_golden.py (200^2 spp8 spl8 BDPT vs the reference's
+        # committed output.png), reported as the exact 8-bit RMSE so every
+        # sweep session refreshes the number (VERDICT r2 item 5)
+        import numpy as np
+
+        from path_tracing_tpu.film import read_png, tonemap_u8
+        from path_tracing_tpu.integrators.bdpt import render_bdpt
+
+        W = H = 200
+        scene, cam, cfg = setup("/root/reference/input.txt", W, H,
+                                delta_budget=4)
+        img = np.asarray(render_bdpt(scene, cam, W, H, 8, 8, cfg,
+                                     jax.random.PRNGKey(0)))
+        u8 = tonemap_u8(img, W, H)
+        g = read_png("/root/reference/output.png").astype(np.float32)
+        rmse = float(np.sqrt(np.mean((g - u8.astype(np.float32)) ** 2)))
+        return {"metric": "golden-image 8-bit RMSE vs reference output.png "
+                          "(200^2 BDPT spp8 spl8)",
+                "value": round(rmse, 2), "unit": "rmse",
+                "vs_baseline": round(rmse / 20.0, 4)}
+
     c = int(args.config)
     if c in (0, 2, 3):
         from path_tracing_tpu.integrators.pt import render_pt
@@ -162,9 +185,10 @@ def run(args) -> dict:
             name = f"config2 PT+NEE+MIS mis_test 512^2 spp={spp}"
         else:
             W, H, spp = 1920, 1080, args.spp or 4
-            scene, cam, cfg = setup("/root/reference/mis_test.txt", W, H,
-                                    eye_depth=4, delta_budget=4)
-            name = ("1080p unidirectional PT (NEE+MIS), mis_test.txt, "
+            path = args.scene or "/root/reference/mis_test.txt"
+            scene, cam, cfg = setup(path, W, H, eye_depth=4, delta_budget=4)
+            sname = os.path.basename(path)
+            name = (f"1080p unidirectional PT (NEE+MIS), {sname}, "
                     f"spp={spp}, eye_depth=4")
         # big shapes: one timed pass is plenty (the estimator is a spp loop)
         iters = 1 if W * H * spp > 600_000_000 else 3
@@ -258,7 +282,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="0",
                     help="0 = headline 1080p PT; 1-5 = BASELINE configs; "
-                         "'rmse' = time-to-target-RMSE vs the oracle")
+                         "'rmse' = time-to-target-RMSE vs the oracle; "
+                         "'golden' = 8-bit RMSE vs the reference's "
+                         "committed output.png")
+    ap.add_argument("--scene", default="",
+                    help="config 0: scene file override (default "
+                         "mis_test.txt; input.txt guards against masked-"
+                         "contribution perf regressions — VERDICT r2 "
+                         "item 8)")
     ap.add_argument("--obj", default="tests/fixtures/sphere.obj")
     ap.add_argument("--gen-tris", type=int, default=0,
                     help="config 3: render a synthetic icosphere with >= N "
@@ -302,11 +333,12 @@ def main() -> int:
     # the remote side) hangs EVERY op, including backend init — detect it in
     # minutes instead of burning the whole watchdog budget.  A healthy chip
     # answers the 1024^2 matmul in seconds (incl. first-connect).
-    # 480s default: after ANY previous client disconnect (clean or killed)
-    # the tunnel takes minutes to release its grant, and a probe killed
-    # mid-wait re-wedges the chip — measured 2026-08-19: a probe started
-    # seconds after a clean exit still hung >150s
-    probe_budget = float(os.environ.get("PT_TPU_BENCH_PROBE", "480"))
+    # 600s default (matches tools/hw_measure.sh and tools/tpu_watch.sh):
+    # after ANY previous client disconnect (clean or killed) the tunnel
+    # takes minutes to release its grant — 171 s measured after a clean
+    # exit, 10+ min after a mid-op kill — and a probe killed mid-wait
+    # re-wedges the chip (ADVICE r2)
+    probe_budget = float(os.environ.get("PT_TPU_BENCH_PROBE", "600"))
     if probe_budget > 0:
         box: list = []
 

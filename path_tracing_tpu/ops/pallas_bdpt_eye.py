@@ -44,7 +44,8 @@ from ..scene.types import Scene
 from .math3 import EPSILON
 from .pallas_connect import connect_core
 from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
-                               interp_forced, mega_rows, pack_scene)
+                               interp_forced, mega_rows, pack_scene,
+                               super_table)
 from .pallas_shade import (Mtl, V3, _draws, bsdf_sample_k, build_frame,
                            dot3, half_vector, nearest_hit_inline,
                            normalize3, pdf_local, roughness_to_alpha,
@@ -53,11 +54,12 @@ from .pallas_shade import (Mtl, V3, _draws, bsdf_sample_k, build_frame,
 PDF_FWD_FLOOR = 1e-8   # cpu_bdpt.cpp:145,155,160
 
 
-def _bdpt_eye_kernel(sph_ref, tri_ref, cl_ref, lv_ref, cam_ref, scal_ref,
-                     pxr, pyr,
+def _bdpt_eye_kernel(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, cam_ref,
+                     scal_ref, pxr, pyr,
                      img_x, img_y, img_z, iters_out,
                      *, ns, nl_lights, nt, clamp_val, blocks_col, spp,
-                     eye_depth, max_path_iters, max_total, light_hit_scale):
+                     eye_depth, max_path_iters, max_total, light_hit_scale,
+                     use_super):
     seed = scal_ref[0] + pl.program_id(0)
     if not interp_forced():
         pltpu.prng_seed(seed)
@@ -111,7 +113,8 @@ def _bdpt_eye_kernel(sph_ref, tri_ref, cl_ref, lv_ref, cam_ref, scal_ref,
 
         # ---- nearest hit ----
         t_hit, n, m, flag = nearest_hit_inline(
-            sph_ref, tri_ref, cl_ref, ro, rd, ns=ns, nl=nl_lights, nt=nt)
+            sph_ref, tri_ref, cl_ref, sup_ref, ro, rd, ns=ns, nl=nl_lights,
+            nt=nt, use_super=use_super)
         pos = ro + rd.scale(t_hit)
         hit_ok = flag > 0
         is_light = flag == 2
@@ -130,9 +133,10 @@ def _bdpt_eye_kernel(sph_ref, tri_ref, cl_ref, lv_ref, cam_ref, scal_ref,
         eye_f = jnp.where((dep == 0) | (m.eta > 0.0), 0.0,
                           (1.0 / PDF_FWD_FLOOR) * (1.0 + g_mis))
         total = connect_core(
-            sph_ref, tri_ref, cl_ref, lv_ref, n_valid, pos, n, tp, m,
-            wo_e, wo_s, eye_f, act, ns=ns, nl=nl_lights, nt=nt,
-            clamp_val=clamp_val, blocks_col=blocks_col)
+            sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, n_valid, pos, n, tp,
+            m, wo_e, wo_s, eye_f, act, ns=ns, nl=nl_lights, nt=nt,
+            clamp_val=clamp_val, blocks_col=blocks_col,
+            use_super=use_super)
         rad = rad + where3(act, total, V3(zero, zero, zero))
 
         # ---- bounce (bdpt_cu.cu:460-526) ----
@@ -223,6 +227,7 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
     per-tile while-loop trip counts (diagnostics)."""
     B = px.shape[0]
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
     cam_row = jnp.zeros((1, LANE), jnp.float32)
     cam_row = cam_row.at[0, 0:3].set(cam.eye)
     cam_row = cam_row.at[0, 3:6].set(cam.ul)
@@ -247,7 +252,7 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
         blocks_col=4 if cfg.shadow_dielectrics_block else 5,
         spp=spp, eye_depth=cfg.eye_depth,
         max_path_iters=cfg.max_eye_iters, max_total=max_total,
-        light_hit_scale=light_hit_scale)
+        light_hit_scale=light_hit_scale, use_super=use_super)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -257,6 +262,8 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
             pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lv_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -271,7 +278,7 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
                     for _ in range(3)]
                    + [jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32)]),
         interpret=interp_forced(),
-    )(sph_tab, tri_tab, cl_tab, lv_tab, cam_row, scal, pxt, pyt)
+    )(sph_tab, tri_tab, cl_tab, sup_tab, lv_tab, cam_row, scal, pxt, pyt)
     img = jnp.stack([o.reshape(-1)[:B] for o in outs[:3]], -1)
     if return_iters:
         return img, outs[3][::rows, 0]

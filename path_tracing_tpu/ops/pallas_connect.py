@@ -9,7 +9,11 @@ registers.  Output: the per-lane contribution sum (B, 3).
 
 Vertex table rows (see ``pack_light_vertices``):
   [pos3, normal3, tp3, bc3, rough, metal, eta, is_src, cutoff, is_par,
-   emit_dir3, wo3, mis_a, valid]  (26 used, padded to 32)
+   emit_dir3, wo3, mis_a, valid, tangent3, bitangent3, wo_local3,
+   alpha, cos_cutoff]  (37 used, padded to 40) — the per-vertex shading
+  frame, local outgoing direction, GGX alpha and cone cosine are hoisted
+  to pack time (XLA), so the kernel's per-(vertex, tile) body skips
+  ~40 broadcast ops of frame building per vertex.
 
 Semantics identical to bdpt._connect (bdpt_cu.cu:384-457 / cpu_bdpt.cpp:
 389-439 with the linear-prefactor MIS); equivalence is tested against the
@@ -27,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.types import Scene
 from .math3 import EPSILON, PI
 from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
-                               interp_forced, pack_scene)
+                               interp_forced, pack_scene, super_table)
 from .pallas_shade import (Mtl, V3, build_frame, clamp3, dot3, eval_local,
                            half_vector, normalize3, pdf_local,
                            roughness_to_alpha, shadow_blocked, to_local,
@@ -37,8 +41,13 @@ PDF_OMEGA_FLOOR = 1e-6
 
 
 def pack_light_vertices(lv_flat) -> jnp.ndarray:
-    """Flat LightVertices -> (V, 32) f32 VMEM table (column layout above)."""
+    """Flat LightVertices -> (V, 40) f32 VMEM table (column layout above)."""
+    from ..ops.frame import build_local_frame, world_to_local
+    from ..ops.microfacet import roughness_to_alpha as r2a
+
     V = lv_flat.pos.shape[0]
+    lt, lb = build_local_frame(lv_flat.normal)
+    wo_t_l = world_to_local(lv_flat.wo, lt, lb, lv_flat.normal)
     cols = [
         lv_flat.pos, lv_flat.normal, lv_flat.throughput,
         lv_flat.mtl.base_color,
@@ -50,18 +59,22 @@ def pack_light_vertices(lv_flat) -> jnp.ndarray:
         lv_flat.emit_dir, lv_flat.wo,
         lv_flat.mis_a[:, None],
         lv_flat.valid.astype(jnp.float32)[:, None],
+        lt, lb, wo_t_l,
+        r2a(lv_flat.mtl.roughness)[:, None],
+        jnp.cos(lv_flat.source_cutoff)[:, None],
     ]
-    tab = jnp.concatenate(cols, axis=1)                      # (V, 26)
-    pad_cols = 32 - tab.shape[1]
+    tab = jnp.concatenate(cols, axis=1)                      # (V, 37)
+    pad_cols = 40 - tab.shape[1]
     tab = jnp.concatenate([tab, jnp.zeros((V, pad_cols))], axis=1)
     pad_rows = (-V) % 8
-    return jnp.concatenate([tab, jnp.zeros((pad_rows, 32))], axis=0)
+    return jnp.concatenate([tab, jnp.zeros((pad_rows, 40))], axis=0)
 
 
-def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
+def connect_core(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, n_valid,
                  ev_pos: V3, ev_n: V3, ev_tp: V3, m_e: Mtl, wo_e: V3,
                  wo_s: V3, eye_f, act,
-                 *, ns, nl, nt, clamp_val, blocks_col) -> V3:
+                 *, ns, nl, nt, clamp_val, blocks_col,
+                 use_super=False) -> V3:
     """Sum of all light-vertex connection contributions for one eye vertex
     per lane, entirely in registers.  Shared by the standalone connection
     kernel and the BDPT eye megakernel (ops/pallas_bdpt_eye.py)."""
@@ -82,9 +95,14 @@ def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
         cutoff = lv_ref[c, 16]
         is_par = lv_ref[c, 17] > 0.0
         emit = V3(lv_ref[c, 18], lv_ref[c, 19], lv_ref[c, 20])
-        lwo = V3(lv_ref[c, 21], lv_ref[c, 22], lv_ref[c, 23])
         mis_a = lv_ref[c, 24]
         v_ok = lv_ref[c, 25] > 0.0
+        # pack-time hoisted per-vertex shading frame (cols 26-36)
+        lt = V3(lv_ref[c, 26], lv_ref[c, 27], lv_ref[c, 28])
+        lb = V3(lv_ref[c, 29], lv_ref[c, 30], lv_ref[c, 31])
+        wo_t_l = V3(lv_ref[c, 32], lv_ref[c, 33], lv_ref[c, 34])
+        alpha_l = lv_ref[c, 35]
+        cos_cut = lv_ref[c, 36]
 
         d_vec = lp - ev_pos
         dist2 = dot3(d_vec, d_vec)
@@ -95,7 +113,7 @@ def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
         cos_l = jnp.maximum(0.0, dot3(-ln, wi))
         gate = act & v_ok & (dist2 >= 1e-6) & (cos_e > 0.0) & (cos_l > 0.0)
         cone_bad = (is_src & (cutoff > 0.0) & ~is_par
-                    & (dot3(emit, -wi) < jnp.cos(cutoff)))
+                    & (dot3(emit, -wi) < cos_cut))
         gate &= ~cone_bad
 
         # eye side: eval with wo_e, pdf with wo_s (hoisted frame).  MIS-pdf
@@ -111,10 +129,9 @@ def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
             pdf_local(m_e, wo_s_l, wi_s_l, alpha_e, wh_s, ok_s),
             PDF_OMEGA_FLOOR)
 
-        # light side: per-vertex frame is scalar math broadcast per lane
-        lt, lb = build_frame(ln)
-        wo_t_l = to_local(lwo, lt, lb, ln)
-        alpha_l = roughness_to_alpha(m_l.rough)
+        # light side: the per-vertex frame / local wo / alpha come hoisted
+        # from the table (pack-time XLA — identical math to the in-kernel
+        # build_frame, so equivalence vs the XLA sweep is unchanged)
         wi_l_l = to_local(-wi, lt, lb, ln)
         wh_l, ok_l = half_vector(wo_t_l, wi_l_l)
         one = jnp.ones_like(zero)
@@ -133,10 +150,10 @@ def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
         # iterations, behind-cone vertices, fully back-facing tiles...)
         def run_shadow(_):
             return shadow_blocked(
-                sph_ref, tri_ref, cl_ref,
+                sph_ref, tri_ref, cl_ref, sup_ref,
                 ev_pos + ev_n.scale(EPSILON), lp + ln.scale(EPSILON),
-                ns=ns, nl=nl, nt=nt,
-                blocks_col=blocks_col).astype(jnp.int32)
+                ns=ns, nl=nl, nt=nt, blocks_col=blocks_col,
+                use_super=use_super).astype(jnp.int32)
 
         blocked = jax.lax.cond(jnp.any(gate), run_shadow,
                                lambda _: jnp.ones_like(zero, jnp.int32), 0)
@@ -166,14 +183,14 @@ def connect_core(sph_ref, tri_ref, cl_ref, lv_ref, n_valid,
                         lambda _: V3(zero, zero, zero), 0)
 
 
-def _connect_kernel(sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref,
+def _connect_kernel(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, nvalid_ref,
                     epx, epy, epz, enx, eny, enz,
                     etx, ety, etz, bcr, bcg, bcb, rough, metal, meta,
                     woex, woey, woez, wosx, wosy, wosz, eyef, act_in,
                     out_x, out_y, out_z,
-                    *, ns, nl, nt, clamp_val, blocks_col):
+                    *, ns, nl, nt, clamp_val, blocks_col, use_super):
     acc = connect_core(
-        sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref[0, 0],
+        sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, nvalid_ref[0, 0],
         V3(epx[...], epy[...], epz[...]),
         V3(enx[...], eny[...], enz[...]),
         V3(etx[...], ety[...], etz[...]),
@@ -182,7 +199,8 @@ def _connect_kernel(sph_ref, tri_ref, cl_ref, lv_ref, nvalid_ref,
         V3(woex[...], woey[...], woez[...]),
         V3(wosx[...], wosy[...], wosz[...]),
         eyef[...], act_in[...] != 0,
-        ns=ns, nl=nl, nt=nt, clamp_val=clamp_val, blocks_col=blocks_col)
+        ns=ns, nl=nl, nt=nt, clamp_val=clamp_val, blocks_col=blocks_col,
+        use_super=use_super)
     out_x[...] = acc.x
     out_y[...] = acc.y
     out_z[...] = acc.z
@@ -194,6 +212,7 @@ def connect_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid,
     """Sum of connection contributions per eye lane, (B, 3)."""
     B = ev_pos.shape[0]
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
 
     comps = [ev_pos[:, 0], ev_pos[:, 1], ev_pos[:, 2],
              ev_normal[:, 0], ev_normal[:, 1], ev_normal[:, 2],
@@ -210,7 +229,7 @@ def connect_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid,
 
     kernel = functools.partial(
         _connect_kernel, ns=ns, nl=nl, nt=nt, clamp_val=clamp_val,
-        blocks_col=4 if dielectrics_block else 5)
+        blocks_col=4 if dielectrics_block else 5, use_super=use_super)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -220,6 +239,8 @@ def connect_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid,
             pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(lv_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -231,6 +252,6 @@ def connect_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid,
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
                    for _ in range(3)],
         interpret=interp_forced(),
-    )(sph_tab, tri_tab, cl_tab, lv_tab,
+    )(sph_tab, tri_tab, cl_tab, sup_tab, lv_tab,
       jnp.asarray(n_valid, jnp.int32).reshape(1, 1), *tiled)
     return jnp.stack([o.reshape(-1)[:B] for o in outs], axis=-1)

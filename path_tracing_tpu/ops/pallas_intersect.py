@@ -30,12 +30,10 @@ wrapper; padded lanes get degenerate rays and their results are discarded.
 from __future__ import annotations
 
 import functools
-import math
 import os
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,47 +45,26 @@ LANE = 128
 SUB = 8          # f32 sublane
 TILE_ROWS = 32   # rows of 128 lanes per grid step -> 4096 rays/tile
 
-# HBM-streamed triangle tables (meshes too large for a VMEM-resident table)
-# are packed as MXU blocks of determinant-form Moller-Trumbore constants:
-# with m = ro x rd,
-#   a  = -rd.n      ua =  m.e2 + rd.c2      (c2 = v0 x e2)
-#   ta =  n.ro - d0 va = -m.e1 - rd.c1      (c1 = v0 x e1, d0 = n.v0)
-# so all four are linear in the per-ray K=16 vector [m, rd, ro, 1, pad6].
-# A 32-triangle block is ONE (16,128) x (16,128) dot_general per ray row
-# (lanes = [ua|va|ta|a] x 32 tris) instead of ~58 VPU ops per triangle —
-# measured 1.3x on the raw sweep BEFORE dropping the per-triangle
-# attribute selects (the winner's normal/material/uv resolve moved to one
-# XLA row-gather per wavefront outside the kernel, which costs ~the same
-# as one texture fetch).  f32 exactness requires Precision.HIGHEST (the
-# default TPU f32 matmul runs bf16 passes and breaks the t agreement).
-TB = 32            # triangles per block (both streaming table forms)
-BLK_ROWS = 16      # K rows per block in the MXU A table
-STREAM_ROWS = 128  # MXU rows per DMA chunk = 8 blocks = 256 triangles
-
-
-def _mt_precision():
-    """MXU sweep precision — read per trace (not at import) so the
-    PT_TPU_MT_FAST A/B toggle composes with jax.clear_caches() like every
-    other env knob.  HIGHEST keeps f32 t-agreement; DEFAULT runs the
-    single bf16 pass for speed A/Bs."""
-    return (jax.lax.Precision.DEFAULT
-            if os.environ.get("PT_TPU_MT_FAST") == "1"
-            else jax.lax.Precision.HIGHEST)
+# HBM-streamed triangle tables (meshes too large for a VMEM-resident
+# table) pack as VPU slot rows; clusters stay whole numbers of TB-triangle
+# blocks so per-cluster DMA windows are block-aligned.
+#
+# HISTORY: a determinant-form MXU sweep backend (per-32-triangle
+# (16,128)x(16,128) dot_generals, PT_TPU_STREAM_SWEEP=mxu) existed through
+# round 2 and was REMOVED: hardware A/Bs 2026-08-19 (327k-tri icosphere,
+# 1080p spp=4, docs/measurements_r2.jsonl) measured vpu 1.003 Mpaths/s vs
+# mxu-HIGHEST 0.475 and mxu-bf16 0.155 (4x the DMA bytes + triple-pass
+# HIGHEST matmuls), and the MXU form's DMA crashed the TPU worker with a
+# kernel fault at 163k tris / 1080p spp16 (the `vmem100k` sweep step).
+# Slower in both precision forms AND the only knob that could fault the
+# worker -> deleted rather than guarded (VERDICT r2 item 1).
+TB = 32            # triangles per block (cluster alignment unit)
 
 # VPU-sweep streaming table: 8 slots of 16 lanes per row
 VPU_SLOT = 16
 VPU_TPR = 128 // VPU_SLOT          # triangles per row
 VPU_ROWS_PER_BLK = TB // VPU_TPR   # rows per 32-triangle block
 VPU_WINDOW = 32                    # rows per DMA chunk = 8 blocks
-
-
-def stream_sweep() -> str:
-    """Streaming triangle-sweep backend: 'vpu' (per-slot Moller-Trumbore,
-    a quarter of the MXU form's DMA bytes) or 'mxu' (determinant-form
-    dot_generals).  Hardware A/B 2026-08-19, 327k-tri icosphere, 1080p
-    spp=4: vpu 1.003 Mpaths/s, mxu HIGHEST 0.475, mxu DEFAULT-precision
-    0.155 — vpu is the measured default.  Env knob for A/B."""
-    return os.environ.get("PT_TPU_STREAM_SWEEP", "vpu")
 
 
 def interp_forced() -> bool:
@@ -162,7 +139,7 @@ def pack_scene(scene: Scene, with_uv: bool = False):
     id (col 30) so the nearest-hit kernel can interpolate texture coordinates
     in-register (textured OBJ scenes, ops/texture.py).
 
-    Meshes beyond the VMEM ceiling use ``pack_scene_stream`` instead.
+    Meshes beyond the VMEM ceiling use ``pack_scene_stream_vpu`` instead.
     """
     ns, nl, nt = scene.num_spheres, scene.num_lights, scene.num_triangles
     s_rows = ns + nl
@@ -288,71 +265,32 @@ def _stream_can_block(scene: Scene, dielectrics_block: bool | None):
     return (scene.tri_mtl.eta <= 0.0).astype(jnp.float32)[:, None]
 
 
-def pack_scene_stream(scene: Scene, dielectrics_block: bool | None = None):
+def pack_scene_stream_vpu(scene: Scene,
+                          dielectrics_block: bool | None = None):
     """Packing for the HBM-streaming kernels (meshes beyond the VMEM
-    ceiling).  Returns (sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl,
-    nt):
+    ceiling): 8 slots of 16 lanes per row, slot = ``[v0(3), e1(3), e2(3),
+    can_block, pad(6)]`` with the edges precomputed at pack time (same f32
+    subtraction the VMEM kernel's ``_mt_core`` performs in-register, so
+    u/v/t stay bit-identical).  A 32-triangle block is
+    ``VPU_ROWS_PER_BLK`` = 4 rows; padding slots are all-zero (e1 = e2 = 0
+    -> determinant 0 -> parallel -> never hit).
 
-    - ``a_tab`` (rows, 128): per-32-triangle MXU blocks of determinant-form
-      Moller-Trumbore constants (see module docstring).  Sublanes = the
-      K=16 contraction slots ``[m, rd, ro, 1, pad]``; lanes =
-      ``[ua | va | ta | a]`` x 32 triangles.  Each cluster's triangles are
-      re-scattered to a 32-aligned ``padded_start`` so a cluster is a whole
-      number of blocks; padding rows are all-zero (a == 0 -> parallel ->
-      never hit).
+    Returns (sph_tab, v_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt):
+
     - ``attr_tab`` (Tp, 16): winner attributes in PADDED index space
       ``[n^(3), base_color(3), rough, metal, eta, uv6(6), tex]`` — the
       kernel returns (t, idx) and ONE XLA row-gather resolves these
-      outside (costs ~a texture fetch; the in-kernel per-triangle
-      attribute selects it replaces cost ~25% of the sweep).
+      outside (the in-kernel per-triangle attribute selects it replaces
+      cost ~25% of the sweep).
     - ``vert_tab`` (Tp, 9): raw v0,v1,v2 in padded space, used by the
-      with_uv wrappers to recompute the winner's barycentrics in XLA
-      (cheaper than extracting per-block winner u,v inside the kernel).
+      with_uv wrappers to recompute the winner's barycentrics in XLA.
     - ``cl_tab`` rows: [min3, max3, padded_start, count] (f32; exact below
       2^24 triangles).
 
-    ``dielectrics_block`` (for the blocker): bakes the per-triangle
-    can-block flag by zeroing the ``a`` lanes of non-blocking triangles
-    (True = every surface blocks, the GPU ``check_visibility`` rule —
-    geometric.cuh:293-325 with Ks=0; False = dielectrics pass, the
-    CPU-oracle rule — matching ``ops.intersect.transmittance``).
-    """
-    sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl = _stream_layout(scene)
-
-    v0, v1, v2 = scene.tri_v0, scene.tri_v1, scene.tri_v2
-    e1 = v1 - v0
-    e2 = v2 - v0
-    n = jnp.cross(e1, e2)
-    c1 = jnp.cross(v0, e1)
-    c2 = jnp.cross(v0, e2)
-    d0 = jnp.sum(n * v0, axis=-1, keepdims=True)
-    can_block = _stream_can_block(scene, dielectrics_block)
-    z6, z10 = jnp.zeros((nt, 6)), jnp.zeros((nt, 10))
-    C_tri = jnp.stack([
-        jnp.concatenate([e2, c2, z10], 1),                       # ua
-        jnp.concatenate([-e1, -c1, z10], 1),                     # va
-        jnp.concatenate([z6, n, -d0, z6], 1),                    # ta
-        jnp.concatenate([jnp.zeros((nt, 3)), -n * can_block, z10], 1),  # a
-    ], axis=1)                                                   # (nt,4,16)
-    C = jnp.zeros((Tp, 4, BLK_ROWS)).at[dest].set(C_tri)
-    a_tab = C.reshape(Tp // TB, TB, 4, BLK_ROWS).transpose(0, 3, 2, 1) \
-        .reshape(Tp // TB * BLK_ROWS, 128)
-    # pad by a full DMA window so fixed-size cluster fetches never run off
-    a_tab = jnp.concatenate(
-        [a_tab, jnp.zeros((STREAM_ROWS, 128), a_tab.dtype)], 0)
-    return sph, a_tab, attr_tab, vert_tab, cl, ns, nl, nt
-
-
-def pack_scene_stream_vpu(scene: Scene,
-                          dielectrics_block: bool | None = None):
-    """VPU-sweep packing for the HBM-streaming kernels: 8 slots of 16 lanes
-    per row, slot = ``[v0(3), e1(3), e2(3), can_block, pad(6)]`` with the
-    edges precomputed at pack time (same f32 subtraction the VMEM kernel's
-    ``_mt_core`` performs in-register, so u/v/t stay bit-identical).  A
-    32-triangle block is ``VPU_ROWS_PER_BLK`` = 4 rows, a quarter of the
-    determinant-form table's DMA bytes; padding slots are all-zero
-    (e1 = e2 = 0 -> determinant 0 -> parallel -> never hit).  Same padded
-    index space / attr / vert / cluster tables as ``pack_scene_stream``."""
+    ``dielectrics_block`` (for the blocker): True = every surface blocks,
+    the GPU ``check_visibility`` rule (geometric.cuh:293-325 with Ks=0);
+    False = dielectrics pass, the CPU-oracle rule (matching
+    ``ops.intersect.transmittance``).  The flag rides in slot lane 9."""
     sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl = _stream_layout(scene)
 
     v0 = scene.tri_v0
@@ -512,9 +450,9 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                     dz, t_out, nx_out, ny_out, nz_out,
                     bcr_out, bcg_out, bcb_out, rough_out, metal_out, eta_out,
                     flags_out, *rest, ns, nl, nt, with_uv=False,
-                    use_super=False):
+                    use_super=False, sr=None):
     """Nearest hit + in-kernel attribute resolution (VMEM-resident tables;
-    big meshes go through ``_nearest_stream_kernel``).
+    big meshes go through ``_nearest_stream_kernel_vpu``).
 
     Carrying the winning primitive's normal/material through the loop
     avoids (B,) HBM gathers afterwards (they cost more than the whole
@@ -524,8 +462,15 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
     carries the texture id (outputs iu, iv, tex appended) — the texture
     FETCH stays outside (per-lane atlas gathers don't exist in Mosaic; the
     host does one batched XLA gather instead, ops/texture.py).
+
+    ``sr``: sub-tile height for the cluster walk — mesh scenes (cluster
+    count >= 16, decided by the wrapper) run the whole triangle traversal
+    once per ``sr``-row window so the slab cull tests each window against
+    ITS OWN best-t and windows that can't improve skip the sweep.
     """
     uv_outs = rest
+    rows = ox.shape[0]
+    sr = sr or rows
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
 
@@ -537,25 +482,30 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
     if with_uv:
         best.update(iu=f0, iv=f0, tex=f0 - 1.0)
 
-    def keep(best, closer, t, nx, ny, nz, row_mtl, flag, uvt=None):
-        sel = lambda a, b: jnp.where(closer, a, b)
-        out = dict(
-            t=sel(t, best["t"]),
-            nx=sel(nx, best["nx"]), ny=sel(ny, best["ny"]),
-            nz=sel(nz, best["nz"]),
-            bcr=sel(row_mtl[0], best["bcr"]), bcg=sel(row_mtl[1],
-                                                      best["bcg"]),
-            bcb=sel(row_mtl[2], best["bcb"]),
-            rough=sel(row_mtl[3], best["rough"]),
-            metal=sel(row_mtl[4], best["metal"]),
-            eta=sel(row_mtl[5], best["eta"]),
-            flag=jnp.where(closer, flag, best["flag"]),
-        )
-        if with_uv:
-            iu, iv, tex = uvt if uvt is not None else (f0, f0, f0 - 1.0)
-            out.update(iu=sel(iu, best["iu"]), iv=sel(iv, best["iv"]),
-                       tex=sel(tex, best["tex"]))
-        return out
+    def make_keep(z0):
+        def keep(best, closer, t, nx, ny, nz, row_mtl, flag, uvt=None):
+            sel = lambda a, b: jnp.where(closer, a, b)
+            out = dict(
+                t=sel(t, best["t"]),
+                nx=sel(nx, best["nx"]), ny=sel(ny, best["ny"]),
+                nz=sel(nz, best["nz"]),
+                bcr=sel(row_mtl[0], best["bcr"]), bcg=sel(row_mtl[1],
+                                                          best["bcg"]),
+                bcb=sel(row_mtl[2], best["bcb"]),
+                rough=sel(row_mtl[3], best["rough"]),
+                metal=sel(row_mtl[4], best["metal"]),
+                eta=sel(row_mtl[5], best["eta"]),
+                flag=jnp.where(closer, flag, best["flag"]),
+            )
+            if with_uv:
+                iu, iv, tex = uvt if uvt is not None else (z0, z0, z0 - 1.0)
+                out.update(iu=sel(iu, best["iu"]), iv=sel(iv, best["iv"]),
+                           tex=sel(tex, best["tex"]))
+            return out
+
+        return keep
+
+    keep_full = make_keep(f0)
 
     # spheres then light balls (geometric.cuh:240-259, order = tie-break)
     def sph_body(i, best):
@@ -579,78 +529,92 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
         nz = (ocz + rdz * t) * inv_r
         row = [sph_ref[i, 8 + j] for j in range(6)]
         flag = jnp.where(sph_ref[i, 14] > 0.0, 2, 1)
-        return keep(best, closer, t, nx, ny, nz, row, flag)
+        return keep_full(best, closer, t, nx, ny, nz, row, flag)
 
     best = jax.lax.fori_loop(0, ns + nl, sph_body, best)
 
-    # safe reciprocal direction for the cluster slab tests
-    invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
-
-    tri_test = _make_tri_test(rox, roy, roz, rdx, rdy, rdz, keep, with_uv)
-
-    def tri_body(i, best):
-        return tri_test(best, lambda col: tri_ref[i, col])
-
     n_clusters = cl_ref.shape[0]
+    o_idx = _tile_octant(dx, dy, dz)
 
-    def aabb_hit(ref, c, tlimit):
-        t0x = (ref[c, 0] - rox) * invx
-        t1x = (ref[c, 3] - rox) * invx
-        t0y = (ref[c, 1] - roy) * invy
-        t1y = (ref[c, 4] - roy) * invy
-        t0z = (ref[c, 2] - roz) * invz
-        t1z = (ref[c, 5] - roz) * invz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        return (tn <= tf) & (tn < tlimit)
+    def walk(best, wx, wy, wz, wdx, wdy, wdz):
+        """Cluster/super traversal over one row window's state."""
+        invx, invy, invz = _safe_inv3(wdx, wdy, wdz)
+        keep = make_keep(jnp.zeros_like(wx))
+        tri_test = _make_tri_test(wx, wy, wz, wdx, wdy, wdz, keep, with_uv)
 
-    def cluster_body(c, best):
-        could_hit = aabb_hit(cl_ref, c, best["t"])
-        start = cl_ref[c, 6].astype(jnp.int32)
-        count = cl_ref[c, 7].astype(jnp.int32)
+        def tri_body(i, best):
+            return tri_test(best, lambda col: tri_ref[i, col])
 
-        def run(best):
-            return jax.lax.fori_loop(start, start + count, tri_body, best)
+        def aabb_hit(ref, c, tlimit):
+            t0x = (ref[c, 0] - wx) * invx
+            t1x = (ref[c, 3] - wx) * invx
+            t0y = (ref[c, 1] - wy) * invy
+            t1y = (ref[c, 4] - wy) * invy
+            t0z = (ref[c, 2] - wz) * invz
+            t1z = (ref[c, 5] - wz) * invz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            return (tn <= tf) & (tn < tlimit)
 
-        return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
-                            lambda b: b, best)
+        def cluster_body(c, best):
+            could_hit = aabb_hit(cl_ref, c, best["t"])
+            start = cl_ref[c, 6].astype(jnp.int32)
+            count = cl_ref[c, 7].astype(jnp.int32)
 
-    if use_super:
-        o_idx = _tile_octant(dx, dy, dz)
+            def run(best):
+                return jax.lax.fori_loop(start, start + count, tri_body,
+                                         best)
 
-        def perm(si):
-            """si-th super in this tile's front-to-back octant order."""
-            return _octant_perm(sup_ref, o_idx, si)
-
-        def child_perm(row):
-            """Relative index of the k-th child (row = base + k) in this
-            tile's front-to-back octant order (cl cols 8..15)."""
-            return _octant_perm(cl_ref, o_idx, row)
-
-        def super_body(si, best):
-            s = perm(si)
-            could = aabb_hit(sup_ref, s, best["t"])
-            cnt = sup_ref[s, 7].astype(jnp.int32)
-
-            def descend(b):
-                # children front-to-back too: near hits shrink best.t
-                # before the far children's slab tests
-                def kbody(k, b):
-                    return cluster_body(
-                        s * SUPER + child_perm(s * SUPER + k), b)
-
-                return jax.lax.fori_loop(0, SUPER, kbody, b)
-
-            return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+            return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                                 lambda b: b, best)
 
-        best = jax.lax.fori_loop(0, n_clusters // SUPER, super_body, best)
+        if use_super:
+            def perm(si):
+                """si-th super in this tile's front-to-back octant order."""
+                return _octant_perm(sup_ref, o_idx, si)
+
+            def child_perm(row):
+                """Relative index of the k-th child (row = base + k) in
+                this tile's front-to-back octant order (cl cols 8..15)."""
+                return _octant_perm(cl_ref, o_idx, row)
+
+            def super_body(si, best):
+                s = perm(si)
+                could = aabb_hit(sup_ref, s, best["t"])
+                cnt = sup_ref[s, 7].astype(jnp.int32)
+
+                def descend(b):
+                    # children front-to-back too: near hits shrink best.t
+                    # before the far children's slab tests
+                    def kbody(k, b):
+                        return cluster_body(
+                            s * SUPER + child_perm(s * SUPER + k), b)
+
+                    return jax.lax.fori_loop(0, SUPER, kbody, b)
+
+                return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+                                    lambda b: b, best)
+
+            return jax.lax.fori_loop(0, n_clusters // SUPER, super_body,
+                                     best)
+        return jax.lax.fori_loop(0, n_clusters, cluster_body, best)
+
+    if sr == rows:
+        best = walk(best, rox, roy, roz, rdx, rdy, rdz)
     else:
-        best = jax.lax.fori_loop(0, n_clusters, cluster_body, best)
+        parts = []
+        for st in range(rows // sr):
+            r0 = st * sr
+            w = slice(r0, r0 + sr)
+            parts.append(walk(
+                {k: v[w] for k, v in best.items()},
+                rox[w], roy[w], roz[w], rdx[w], rdy[w], rdz[w]))
+        best = {k: jnp.concatenate([p[k] for p in parts], axis=0)
+                for k in best}
 
     # flip the normal toward the ray (geometric.cuh:350,365,383)
     ndotd = best["nx"] * rdx + best["ny"] * rdy + best["nz"] * rdz
@@ -676,11 +640,14 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
 
 def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
                     dz, maxd, blocked_out, *, ns, nl, nt, blocks_col,
-                    use_super=False):
+                    use_super=False, sr=None):
     """any-hit in (1e-3, maxd) honoring the per-prim blocks flag
     (VMEM-resident tables; big meshes go through
-    ``_blocker_stream_kernel``).  Light balls are excluded by their blocks
-    flag being 0."""
+    ``_blocker_stream_kernel_vpu``).  Light balls are excluded by their
+    blocks flag being 0.  ``sr``: sub-tile height for the cluster walk
+    (see ``_nearest_kernel``)."""
+    rows = ox.shape[0]
+    sr = sr or rows
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     md = maxd[...]
@@ -708,73 +675,82 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
 
     blocked = jax.lax.fori_loop(0, ns + nl, sph_body, blocked)
 
-    invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
+    o_idx = _tile_octant(dx, dy, dz)
 
-    def tri_shadow(blocked, read, extra_ok=None):
-        ok, _, _, t = _mt_core(read, rox, roy, roz, rdx, rdy, rdz)
-        can_block = read(blocks_col + 5)  # tri flags live at cols 9/10
-        ok &= (t < md) & (can_block > 0.0)
-        if extra_ok is not None:
-            ok &= extra_ok
-        return blocked | (ok & (t > MIN_D)).astype(jnp.int32)
+    def walk(blocked, wx, wy, wz, wdx, wdy, wdz, wmd):
+        invx, invy, invz = _safe_inv3(wdx, wdy, wdz)
 
-    def tri_body(i, blocked):
-        return tri_shadow(blocked, lambda col: tri_ref[i, col])
+        def tri_shadow(blocked, read, extra_ok=None):
+            ok, _, _, t = _mt_core(read, wx, wy, wz, wdx, wdy, wdz)
+            can_block = read(blocks_col + 5)  # tri flags live at cols 9/10
+            ok &= (t < wmd) & (can_block > 0.0)
+            if extra_ok is not None:
+                ok &= extra_ok
+            return blocked | (ok & (t > MIN_D)).astype(jnp.int32)
 
-    def aabb_hit(ref, c, blocked):
-        t0x = (ref[c, 0] - rox) * invx
-        t1x = (ref[c, 3] - rox) * invx
-        t0y = (ref[c, 1] - roy) * invy
-        t1y = (ref[c, 4] - roy) * invy
-        t0z = (ref[c, 2] - roz) * invz
-        t1z = (ref[c, 5] - roz) * invz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        return (tn <= tf) & (tn < md) & (blocked == 0)
+        def tri_body(i, blocked):
+            return tri_shadow(blocked, lambda col: tri_ref[i, col])
 
-    def cluster_body(c, blocked):
-        could_hit = aabb_hit(cl_ref, c, blocked)
-        start = cl_ref[c, 6].astype(jnp.int32)
-        count = cl_ref[c, 7].astype(jnp.int32)
+        def aabb_hit(ref, c, blocked):
+            t0x = (ref[c, 0] - wx) * invx
+            t1x = (ref[c, 3] - wx) * invx
+            t0y = (ref[c, 1] - wy) * invy
+            t1y = (ref[c, 4] - wy) * invy
+            t0z = (ref[c, 2] - wz) * invz
+            t1z = (ref[c, 5] - wz) * invz
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            return (tn <= tf) & (tn < wmd) & (blocked == 0)
 
-        def run(blocked):
-            return jax.lax.fori_loop(start, start + count, tri_body,
-                                     blocked)
+        def cluster_body(c, blocked):
+            could_hit = aabb_hit(cl_ref, c, blocked)
+            start = cl_ref[c, 6].astype(jnp.int32)
+            count = cl_ref[c, 7].astype(jnp.int32)
 
-        return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
-                            lambda b: b, blocked)
+            def run(blocked):
+                return jax.lax.fori_loop(start, start + count, tri_body,
+                                         blocked)
 
-    if use_super:
-        # near-first traversal (same order machinery as _nearest_kernel):
-        # any-hit has no shrinking t, but blockers near the origin are the
-        # common case and a fully-blocked tile skips every later super via
-        # the ``blocked == 0`` term of the slab cull
-        o_idx = _tile_octant(dx, dy, dz)
-
-        def perm(si):
-            return _octant_perm(sup_ref, o_idx, si)
-
-        def super_body(si, blocked):
-            s = perm(si)
-            could = aabb_hit(sup_ref, s, blocked)
-            cnt = sup_ref[s, 7].astype(jnp.int32)
-
-            def descend(b):
-                return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
-                                         cluster_body, b)
-
-            return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+            return jax.lax.cond(jnp.any(could_hit) & (count > 0), run,
                                 lambda b: b, blocked)
 
-        blocked = jax.lax.fori_loop(0, cl_ref.shape[0] // SUPER, super_body,
-                                    blocked)
+        if use_super:
+            # near-first traversal (same order machinery as
+            # _nearest_kernel): any-hit has no shrinking t, but blockers
+            # near the origin are the common case and a fully-blocked
+            # window skips every later super via the ``blocked == 0`` term
+            def perm(si):
+                return _octant_perm(sup_ref, o_idx, si)
+
+            def super_body(si, blocked):
+                s = perm(si)
+                could = aabb_hit(sup_ref, s, blocked)
+                cnt = sup_ref[s, 7].astype(jnp.int32)
+
+                def descend(b):
+                    return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
+                                             cluster_body, b)
+
+                return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+                                    lambda b: b, blocked)
+
+            return jax.lax.fori_loop(0, cl_ref.shape[0] // SUPER,
+                                     super_body, blocked)
+        return jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, blocked)
+
+    if sr == rows:
+        blocked = walk(blocked, rox, roy, roz, rdx, rdy, rdz, md)
     else:
-        blocked = jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body,
-                                    blocked)
+        parts = []
+        for st in range(rows // sr):
+            w = slice(st * sr, st * sr + sr)
+            parts.append(walk(blocked[w], rox[w], roy[w], roz[w],
+                              rdx[w], rdy[w], rdz[w], md[w]))
+        blocked = jnp.concatenate(parts, axis=0)
     blocked_out[...] = blocked
 
 
@@ -800,7 +776,7 @@ def _stream_mode(nt: int, force_stream: bool) -> bool:
     return force_stream or nt > max_vmem_tris()
 
 
-def _stream_scratch(window_rows: int = STREAM_ROWS):
+def _stream_scratch(window_rows: int = VPU_WINDOW):
     """Triangle-window scratch + DMA semaphores for the streaming kernels:
     slots 0/1 double-buffer across a super's children, slot 2 serves the
     flat path and straddling extra chunks."""
@@ -808,32 +784,16 @@ def _stream_scratch(window_rows: int = STREAM_ROWS):
             pltpu.SemaphoreType.DMA((3,))]
 
 
-def _bop_table(tox, toy, toz, tdx, tdy, tdz):
-    """Per-ray MXU operands for the determinant-form sweep: for ray row r,
-    rows [16r, 16r+16) hold the K=16 vector [m, rd, ro, 1, pad6] per lane
-    (m = ro x rd).  Built in XLA (fused; ~64 B/ray extra HBM read, noise
-    next to the sweep) so the kernel runs straight (16,128)x(16,128)
-    dot_generals per triangle block."""
-    mx = toy * tdz - toz * tdy
-    my = toz * tdx - tox * tdz
-    mz = tox * tdy - toy * tdx
-    one = jnp.ones_like(tox)
-    zero = jnp.zeros_like(tox)
-    rows = jnp.stack(
-        [mx, my, mz, tdx, tdy, tdz, tox, toy, toz, one] + [zero] * 6,
-        axis=1)                                        # (R, 16, 128)
-    return rows.reshape(-1, LANE)
-
-
 def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
                      process_chunk, use_super, o_idx,
-                     rows_per_blk=BLK_ROWS):
+                     rows_per_blk=VPU_ROWS_PER_BLK):
     """Shared cluster walk for the streaming kernels: 2-level culling +
-    per-cluster DMA of (STREAM_ROWS, 128) A-block windows, double-buffered
-    across a descended super's children (slots 0/1; slot 2 serves the flat
-    path and rare straddling chunks).  ``could_hit(ref, c)`` reads the
-    kernel's live state from its output refs; ``process_chunk(sl, nb,
-    base, z)`` sweeps ``nb`` (BLK_ROWS, 128) blocks from VMEM slot ``sl``
+    per-cluster DMA of (window_rows, 128) slot-table windows,
+    double-buffered across a descended super's children (slots 0/1; slot 2
+    serves the flat path and rare straddling chunks).  ``could_hit(ref,
+    c)`` reads the kernel's live state from its output refs;
+    ``process_chunk(sl, nb, base, c, z)`` sweeps ``nb`` blocks of
+    ``rows_per_blk`` rows from VMEM slot ``sl``
     (first padded triangle index ``base``) — handing the kernel a whole
     chunk lets it keep its ray loop OUTER and carry best-hit state in
     registers across the chunk's blocks (one output-ref RMW per chunk
@@ -859,7 +819,7 @@ def _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
 
         def chunk_from(sl, ch, z):
             nb = jnp.minimum(nblk - ch * BPC, BPC)
-            return process_chunk(sl, nb, pstart + ch * BPC * TB, z)
+            return process_chunk(sl, nb, pstart + ch * BPC * TB, c, z)
 
         z = chunk_from(slot, 0, z)
 
@@ -985,26 +945,6 @@ def _octant_perm(ref, o_idx, row):
     return v.astype(jnp.int32)
 
 
-def _mxu_block_eval(a_blk, bop, t_gate_lo):
-    """One (16,128)x(16,128) determinant-form sweep of 32 triangles against
-    one 128-lane ray row.  Returns scaled-free (ok, t) as (TB, 128)."""
-    out = jax.lax.dot_general(
-        a_blk, bop, (((0,), (0,)), ((), ())),
-        precision=_mt_precision(), preferred_element_type=jnp.float32)
-    ua = out[0:TB]
-    va = out[TB:2 * TB]
-    ta = out[2 * TB:3 * TB]
-    aq = out[3 * TB:4 * TB]
-    parallel = (aq > -1e-6) & (aq < 1e-6)
-    f = 1.0 / jnp.where(parallel, 1.0, aq)
-    u = ua * f
-    v = va * f
-    t = ta * f
-    ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-          & (u + v <= 1.0) & (t > t_gate_lo))
-    return ok, t
-
-
 def _vpu_slot_eval(read, rox, roy, roz, rdx, rdy, rdz, t_gate_lo):
     """One triangle (a 16-lane slot: v0, e1, e2 precomputed) against the
     whole ray tile via the shared ``_mt_from_edges`` body, so u/v/t agree
@@ -1016,12 +956,26 @@ def _vpu_slot_eval(read, rox, roy, roz, rdx, rdy, rdz, t_gate_lo):
     return ok, t
 
 
+def sub_rows(rows: int) -> int:
+    """Compute sub-tile height for the predicated cluster sweeps: the slab
+    cull tests every sub-tile separately and only live sub-tiles sweep the
+    cluster's triangles, so compute selectivity improves 4x at 8 rows vs a
+    32-row tile while the DMA stays tile-granular.  PT_TPU_SUBROWS
+    overrides (0 disables = whole-tile sweeps)."""
+    env = os.environ.get("PT_TPU_SUBROWS")
+    sr = int(env) if env else 8
+    if sr <= 0 or sr >= rows:
+        return rows
+    return sr
+
+
 def _nearest_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz,
                              t_out, idx_out, kind_out, ns, nl):
     """Shared nearest-hit init for the streaming sweeps: output refs
     initialized, spheres+light balls swept (geometric.cuh:240-259, order =
     tie-break), and the t-limited cluster slab cull returned as a closure
-    over the live best-t state."""
+    over the live best-t state.  The closure takes an optional static row
+    window ``(r0, nr)`` so the kernels can re-test per sub-tile."""
     t_out[...] = jnp.full(rox.shape, INF, jnp.float32)
     idx_out[...] = jnp.full(rox.shape, -1, jnp.int32)
     kind_out[...] = jnp.zeros(rox.shape, jnp.int32)
@@ -1052,14 +1006,24 @@ def _nearest_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz,
 
     invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
 
-    def could_hit(ref, c):
-        tlim = t_out[...]
-        t0x = (ref[c, 0] - rox) * invx
-        t1x = (ref[c, 3] - rox) * invx
-        t0y = (ref[c, 1] - roy) * invy
-        t1y = (ref[c, 4] - roy) * invy
-        t0z = (ref[c, 2] - roz) * invz
-        t1z = (ref[c, 5] - roz) * invz
+    def could_hit(ref, c, win=None):
+        if win is None:
+            tlim = t_out[...]
+            ox, oy, oz = rox, roy, roz
+            ix, iy, iz = invx, invy, invz
+        else:
+            r0, nr = win
+            tlim = t_out[r0:r0 + nr, :]
+            ox, oy, oz = (rox[r0:r0 + nr], roy[r0:r0 + nr],
+                          roz[r0:r0 + nr])
+            ix, iy, iz = (invx[r0:r0 + nr], invy[r0:r0 + nr],
+                          invz[r0:r0 + nr])
+        t0x = (ref[c, 0] - ox) * ix
+        t1x = (ref[c, 3] - ox) * ix
+        t0y = (ref[c, 1] - oy) * iy
+        t1y = (ref[c, 4] - oy) * iy
+        t0z = (ref[c, 2] - oz) * iz
+        t1z = (ref[c, 5] - oz) * iz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
@@ -1071,83 +1035,39 @@ def _nearest_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz,
     return could_hit
 
 
-def _nearest_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
-                           ox, oy, oz, dx, dy, dz,
-                           t_out, idx_out, kind_out, tri_vmem, dma_sem,
-                           *, ns, nl, use_super):
-    """Nearest hit for HBM-streamed meshes: triangles sweep as
-    determinant-form MXU blocks (``pack_scene_stream``) and the kernel
-    returns only (t, index, kind); winner attributes resolve OUTSIDE via
-    one XLA row-gather (the in-kernel per-triangle attribute selects they
-    replace cost ~25% of the old sweep).  kind: 0 miss, 1 sphere,
-    2 light ball, 3 triangle; idx is the sphere row or PADDED triangle
-    index.  State lives in the output refs (read-modify-write), so the
-    traversal loops carry nothing."""
-    rox, roy, roz = ox[...], oy[...], oz[...]
-    rdx, rdy, rdz = dx[...], dy[...], dz[...]
-    rows = ox.shape[0]
-    could_hit = _nearest_stream_prologue(
-        sph_ref, rox, roy, roz, rdx, rdy, rdz,
-        t_out, idx_out, kind_out, ns, nl)
-
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (TB, LANE), 0)
-
-    def process_chunk(sl, nb, base, z):
-        def row_body(r, z):
-            bop = bop_ref[pl.ds(pl.multiple_of(r * BLK_ROWS, BLK_ROWS),
-                                BLK_ROWS), :]
-            bt = t_out[pl.ds(r, 1), :]
-            bi = idx_out[pl.ds(r, 1), :]
-            bk = kind_out[pl.ds(r, 1), :]
-
-            def blk(b, carry):
-                bt, bi, bk = carry
-                a_blk = tri_vmem[
-                    sl, pl.ds(pl.multiple_of(b * BLK_ROWS, BLK_ROWS),
-                              BLK_ROWS), :]
-                ok, t = _mxu_block_eval(a_blk, bop, EPSILON)
-                t = jnp.where(ok, t, INF)
-                tmin = jnp.min(t, axis=0, keepdims=True)
-                li = jnp.min(jnp.where(t == tmin, iota_t,
-                                       jnp.int32(1 << 30)),
-                             axis=0, keepdims=True)
-                closer = tmin < bt
-                return (jnp.where(closer, tmin, bt),
-                        jnp.where(closer, li + base + b * TB, bi),
-                        jnp.where(closer, 3, bk))
-
-            bt, bi, bk = jax.lax.fori_loop(0, nb, blk, (bt, bi, bk))
-            t_out[pl.ds(r, 1), :] = bt
-            idx_out[pl.ds(r, 1), :] = bi
-            kind_out[pl.ds(r, 1), :] = bk
-            return z
-
-        return jax.lax.fori_loop(0, rows, row_body, z)
-
-    _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
-                     process_chunk, use_super, _tile_octant(dx, dy, dz))
-
-
 def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
                                ox, oy, oz, dx, dy, dz,
                                t_out, idx_out, kind_out, tri_vmem, dma_sem,
                                *, ns, nl, use_super):
-    """VPU-sweep variant of ``_nearest_stream_kernel``: triangles stream as
-    8x16-lane slot rows (``pack_scene_stream_vpu``) and each slot sweeps
-    the WHOLE ray tile with the ``_mt_core`` arithmetic, best (t, idx,
-    kind) carried in registers across a chunk (one output-ref RMW per
-    chunk).  Same (t, index, kind) contract and outside attribute resolve
-    as the MXU form."""
+    """Nearest hit for HBM-streamed meshes: triangles stream as 8x16-lane
+    slot rows (``pack_scene_stream_vpu``) and each slot sweeps one SUB-TILE
+    of rays with the ``_mt_core`` arithmetic, best (t, idx, kind) carried
+    in registers across a chunk (one output-ref RMW per sub-tile per
+    chunk).  The kernel returns only (t, index, kind); winner attributes
+    resolve OUTSIDE via one XLA row-gather (in-kernel per-triangle
+    attribute selects cost ~25% of the sweep).  kind: 0 miss, 1 sphere,
+    2 light ball, 3 triangle; idx is the sphere row or PADDED triangle
+    index.
+
+    Sub-tile predication: the cluster slab cull re-tests every
+    ``sub_rows()`` row window against ITS OWN best-t before sweeping, so a
+    chunk's triangle math only runs for the row windows that can still
+    improve — the big win for incoherent secondary rays, where one stray
+    lane used to drag the whole 32-row tile through the sweep."""
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
+    rows = ox.shape[0]
+    sr = sub_rows(rows)
     could_hit = _nearest_stream_prologue(
         sph_ref, rox, roy, roz, rdx, rdy, rdz,
         t_out, idx_out, kind_out, ns, nl)
 
-    def process_chunk(sl, nb, base, z):
-        bt = t_out[...]
-        bi = idx_out[...]
-        bk = kind_out[...]
+    def sweep_window(sl, nb, base, r0, nr, z):
+        bt = t_out[r0:r0 + nr, :]
+        bi = idx_out[r0:r0 + nr, :]
+        bk = kind_out[r0:r0 + nr, :]
+        sx, sy, sz = rox[r0:r0 + nr], roy[r0:r0 + nr], roz[r0:r0 + nr]
+        sdx, sdy, sdz = rdx[r0:r0 + nr], rdy[r0:r0 + nr], rdz[r0:r0 + nr]
 
         def row_body(r, carry):
             bt, bi, bk = carry
@@ -1155,7 +1075,7 @@ def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
                 def rd(col, k=k, r=r):
                     return tri_vmem[sl, r, k * VPU_SLOT + col]
 
-                ok, t = _vpu_slot_eval(rd, rox, roy, roz, rdx, rdy, rdz,
+                ok, t = _vpu_slot_eval(rd, sx, sy, sz, sdx, sdy, sdz,
                                        EPSILON)
                 t = jnp.where(ok, t, INF)
                 closer = t < bt
@@ -1166,9 +1086,23 @@ def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
 
         bt, bi, bk = jax.lax.fori_loop(0, nb * VPU_ROWS_PER_BLK, row_body,
                                        (bt, bi, bk))
-        t_out[...] = bt
-        idx_out[...] = bi
-        kind_out[...] = bk
+        t_out[r0:r0 + nr, :] = bt
+        idx_out[r0:r0 + nr, :] = bi
+        kind_out[r0:r0 + nr, :] = bk
+        return z
+
+    def process_chunk(sl, nb, base, c, z):
+        for st in range(rows // sr):
+            r0 = st * sr
+            if sr == rows:
+                z = sweep_window(sl, nb, base, r0, sr, z)
+            else:
+                live = jnp.any(could_hit(cl_ref, c, (r0, sr)))
+                z = jax.lax.cond(
+                    live,
+                    lambda zz, r0=r0: sweep_window(sl, nb, base, r0, sr,
+                                                   zz),
+                    lambda zz: zz, z)
         return z
 
     _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
@@ -1206,98 +1140,87 @@ def _blocker_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz, md,
 
     invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
 
-    def could_hit(ref, c):
-        blocked = blocked_out[...]
-        t0x = (ref[c, 0] - rox) * invx
-        t1x = (ref[c, 3] - rox) * invx
-        t0y = (ref[c, 1] - roy) * invy
-        t1y = (ref[c, 4] - roy) * invy
-        t0z = (ref[c, 2] - roz) * invz
-        t1z = (ref[c, 5] - roz) * invz
+    def could_hit(ref, c, win=None):
+        if win is None:
+            blocked = blocked_out[...]
+            ox, oy, oz = rox, roy, roz
+            ix, iy, iz = invx, invy, invz
+            mdw = md
+        else:
+            r0, nr = win
+            blocked = blocked_out[r0:r0 + nr, :]
+            ox, oy, oz = (rox[r0:r0 + nr], roy[r0:r0 + nr],
+                          roz[r0:r0 + nr])
+            ix, iy, iz = (invx[r0:r0 + nr], invy[r0:r0 + nr],
+                          invz[r0:r0 + nr])
+            mdw = md[r0:r0 + nr]
+        t0x = (ref[c, 0] - ox) * ix
+        t1x = (ref[c, 3] - ox) * ix
+        t0y = (ref[c, 1] - oy) * iy
+        t1y = (ref[c, 4] - oy) * iy
+        t0z = (ref[c, 2] - oz) * iz
+        t1z = (ref[c, 5] - oz) * iz
         tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                      jnp.minimum(t0y, t1y)),
                          jnp.maximum(jnp.minimum(t0z, t1z), min_d))
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        return (tn <= tf) & (tn < md) & (blocked == 0)
+        return (tn <= tf) & (tn < mdw) & (blocked == 0)
 
     return could_hit
-
-
-def _blocker_stream_kernel(sph_ref, a_hbm, cl_ref, sup_ref, bop_ref,
-                           ox, oy, oz, dx, dy, dz, maxd,
-                           blocked_out, tri_vmem, dma_sem,
-                           *, ns, nl, blocks_col, use_super):
-    """any-hit in (1e-3, maxd) for HBM-streamed meshes.  The per-triangle
-    can-block flag is BAKED into the A table (``pack_scene_stream``
-    zeroes the ``a`` lanes of non-blocking triangles -> parallel -> never
-    hit), so the sweep needs no flag reads at all; sphere/light-ball flags
-    stay per-row as in the VMEM kernel."""
-    rows = ox.shape[0]
-    rox, roy, roz = ox[...], oy[...], oz[...]
-    rdx, rdy, rdz = dx[...], dy[...], dz[...]
-    md = maxd[...]
-    MIN_D = 1e-3
-    could_hit = _blocker_stream_prologue(
-        sph_ref, rox, roy, roz, rdx, rdy, rdz, md, blocked_out,
-        ns, nl, blocks_col, MIN_D)
-
-    def process_chunk(sl, nb, base, z):
-        def row_body(r, z):
-            bop = bop_ref[pl.ds(pl.multiple_of(r * BLK_ROWS, BLK_ROWS),
-                                BLK_ROWS), :]
-            mdr = maxd[pl.ds(r, 1), :]
-            bb = blocked_out[pl.ds(r, 1), :]
-
-            def blk(b, bb):
-                a_blk = tri_vmem[
-                    sl, pl.ds(pl.multiple_of(b * BLK_ROWS, BLK_ROWS),
-                              BLK_ROWS), :]
-                ok, t = _mxu_block_eval(a_blk, bop, MIN_D)
-                any_hit = jnp.max((ok & (t < mdr)).astype(jnp.int32),
-                                  axis=0, keepdims=True)
-                return bb | any_hit
-
-            blocked_out[pl.ds(r, 1), :] = jax.lax.fori_loop(0, nb, blk, bb)
-            return z
-
-        return jax.lax.fori_loop(0, rows, row_body, z)
-
-    _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
-                     process_chunk, use_super, _tile_octant(dx, dy, dz))
 
 
 def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
                                ox, oy, oz, dx, dy, dz, maxd,
                                blocked_out, tri_vmem, dma_sem,
                                *, ns, nl, blocks_col, use_super):
-    """VPU-sweep variant of ``_blocker_stream_kernel``; the per-triangle
-    can-block flag rides in slot lane 9 (``pack_scene_stream_vpu``)."""
+    """any-hit in (1e-3, maxd) for HBM-streamed meshes; the per-triangle
+    can-block flag rides in slot lane 9 (``pack_scene_stream_vpu``).
+    Sub-tile predicated like the nearest kernel — a row window whose lanes
+    are all blocked (or can't reach the cluster) skips the sweep."""
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     md = maxd[...]
+    rows = ox.shape[0]
+    sr = sub_rows(rows)
     MIN_D = 1e-3
     could_hit = _blocker_stream_prologue(
         sph_ref, rox, roy, roz, rdx, rdy, rdz, md, blocked_out,
         ns, nl, blocks_col, MIN_D)
 
-    def process_chunk(sl, nb, base, z):
-        bb = blocked_out[...]
+    def sweep_window(sl, nb, r0, nr, z):
+        bb = blocked_out[r0:r0 + nr, :]
+        sx, sy, sz = rox[r0:r0 + nr], roy[r0:r0 + nr], roz[r0:r0 + nr]
+        sdx, sdy, sdz = rdx[r0:r0 + nr], rdy[r0:r0 + nr], rdz[r0:r0 + nr]
+        mdw = md[r0:r0 + nr]
 
         def row_body(r, bb):
             for k in range(VPU_TPR):
                 def rd(col, k=k, r=r):
                     return tri_vmem[sl, r, k * VPU_SLOT + col]
 
-                ok, t = _vpu_slot_eval(rd, rox, roy, roz, rdx, rdy, rdz,
+                ok, t = _vpu_slot_eval(rd, sx, sy, sz, sdx, sdy, sdz,
                                        MIN_D)
-                hit = ok & (t < md) & (rd(9) > 0.0)
+                hit = ok & (t < mdw) & (rd(9) > 0.0)
                 bb = bb | hit.astype(jnp.int32)
             return bb
 
-        blocked_out[...] = jax.lax.fori_loop(0, nb * VPU_ROWS_PER_BLK,
-                                             row_body, bb)
+        blocked_out[r0:r0 + nr, :] = jax.lax.fori_loop(
+            0, nb * VPU_ROWS_PER_BLK, row_body, bb)
+        return z
+
+    def process_chunk(sl, nb, base, c, z):
+        for st in range(rows // sr):
+            r0 = st * sr
+            if sr == rows:
+                z = sweep_window(sl, nb, r0, sr, z)
+            else:
+                live = jnp.any(could_hit(cl_ref, c, (r0, sr)))
+                z = jax.lax.cond(
+                    live,
+                    lambda zz, r0=r0: sweep_window(sl, nb, r0, sr, zz),
+                    lambda zz: zz, z)
         return z
 
     _stream_traverse(cl_ref, sup_ref, a_hbm, tri_vmem, dma_sem, could_hit,
@@ -1366,9 +1289,8 @@ def _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab, vert_tab,
 
 
 def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
-    pack = (pack_scene_stream_vpu if stream_sweep() == "vpu"
-            else pack_scene_stream)
-    sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt = pack(scene)
+    sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt = \
+        pack_scene_stream_vpu(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
     rows = tile_rows(True)
@@ -1377,17 +1299,8 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
 
-    vpu = stream_sweep() == "vpu"
-    if vpu:
-        kernel = functools.partial(_nearest_stream_kernel_vpu, ns=ns, nl=nl,
-                                   use_super=use_super)
-        extra_in, extra_ops, window = [], [], VPU_WINDOW
-    else:
-        kernel = functools.partial(_nearest_stream_kernel, ns=ns, nl=nl,
-                                   use_super=use_super)
-        extra_in = [pl.BlockSpec((rows * BLK_ROWS, LANE), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
-        extra_ops, window = [_bop_table(*tiled)], STREAM_ROWS
+    kernel = functools.partial(_nearest_stream_kernel_vpu, ns=ns, nl=nl,
+                               use_super=use_super)
     shapes = [jnp.float32, jnp.int32, jnp.int32]
     outs = pl.pallas_call(
         kernel,
@@ -1397,7 +1310,6 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
             _whole(cl_tab),
             _whole(sup_tab),
-            *extra_in,
             *_ray_specs(6, rows),
         ],
         out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
@@ -1405,18 +1317,16 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
                    for _ in shapes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in shapes],
-        scratch_shapes=_stream_scratch(window),
+        scratch_shapes=_stream_scratch(VPU_WINDOW),
         interpret=interpret,
-    )(sph_tab, a_tab, cl_tab, sup_tab, *extra_ops, *tiled)
+    )(sph_tab, a_tab, cl_tab, sup_tab, *tiled)
     t, idx, kind = (o.reshape(-1)[:B] for o in outs)
     return _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab,
                                  vert_tab, with_uv)
 
 
 def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
-    vpu = stream_sweep() == "vpu"
-    pack = pack_scene_stream_vpu if vpu else pack_scene_stream
-    sph_tab, a_tab, _, _, cl_tab, ns, nl, nt = pack(
+    sph_tab, a_tab, _, _, cl_tab, ns, nl, nt = pack_scene_stream_vpu(
         scene, dielectrics_block=dielectrics_block)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = p1.shape[0]
@@ -1427,18 +1337,9 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
 
-    if vpu:
-        kernel = functools.partial(
-            _blocker_stream_kernel_vpu, ns=ns, nl=nl,
-            blocks_col=4 if dielectrics_block else 5, use_super=use_super)
-        extra_in, extra_ops, window = [], [], VPU_WINDOW
-    else:
-        kernel = functools.partial(
-            _blocker_stream_kernel, ns=ns, nl=nl,
-            blocks_col=4 if dielectrics_block else 5, use_super=use_super)
-        extra_in = [pl.BlockSpec((rows * BLK_ROWS, LANE), lambda i: (i, 0),
-                                 memory_space=pltpu.VMEM)]
-        extra_ops, window = [_bop_table(*tiled[:6])], STREAM_ROWS
+    kernel = functools.partial(
+        _blocker_stream_kernel_vpu, ns=ns, nl=nl,
+        blocks_col=4 if dielectrics_block else 5, use_super=use_super)
     blocked = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1447,15 +1348,14 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
             _whole(cl_tab),
             _whole(sup_tab),
-            *extra_in,
             *_ray_specs(7, rows),
         ],
         out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
-        scratch_shapes=_stream_scratch(window),
+        scratch_shapes=_stream_scratch(VPU_WINDOW),
         interpret=interpret,
-    )(sph_tab, a_tab, cl_tab, sup_tab, *extra_ops, *tiled)
+    )(sph_tab, a_tab, cl_tab, sup_tab, *tiled)
     return blocked.reshape(-1)[:B] != 0
 
 
@@ -1469,7 +1369,7 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     untextured) for textured mesh scenes.
 
     Meshes beyond ``max_vmem_tris()`` automatically switch to the
-    HBM-streaming MXU kernel (``force_stream`` pins it for tests)."""
+    HBM-streaming kernel (``force_stream`` pins it for tests)."""
     interpret = interpret or interp_forced()
     if _stream_mode(scene.num_triangles, force_stream):
         return _nearest_hit_stream(scene, ro, rd, with_uv, interpret)
@@ -1482,8 +1382,12 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
 
+    # sub-tile the cluster walk only for real meshes: tiny scenes (one
+    # all-covering cluster) would pay the per-window loop overhead for
+    # nothing
+    sr = sub_rows(rows) if cl_tab.shape[0] >= 16 else None
     kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt,
-                               with_uv=with_uv, use_super=use_super)
+                               with_uv=with_uv, use_super=use_super, sr=sr)
     shapes = [jnp.float32] * 10 + [jnp.int32]
     if with_uv:
         shapes += [jnp.float32] * 3
@@ -1531,7 +1435,8 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
 
     kernel = functools.partial(
         _blocker_kernel, ns=ns, nl=nl, nt=nt,
-        blocks_col=4 if dielectrics_block else 5, use_super=use_super)
+        blocks_col=4 if dielectrics_block else 5, use_super=use_super,
+        sr=sub_rows(rows) if cl_tab.shape[0] >= 16 else None)
     blocked = pl.pallas_call(
         kernel,
         grid=(grid,),

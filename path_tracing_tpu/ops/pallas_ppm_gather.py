@@ -69,7 +69,10 @@ EV_CHUNK = 1024          # events per DMA'd chunk (8 sublane-blocks of 128)
 # event table rows: 12 data + 1 f32 cell key + 1 zero pad.  Rows 6..13
 # ([wi3, n3, key, pad]) double as the (8, 128) MXU operand — K stays 8
 # (the proven-on-hardware contraction width) and the key/pad rows are
-# nullified by the A operand's zero columns
+# nullified by the A operand's zero columns.  The table is BLOCK-major:
+# (n_blocks, EV_ROWS, 128) — a chunk DMA is one contiguous leading-dim
+# slice, and the kernel's per-block reads index the leading dim with the
+# (dynamic) block number, which Mosaic supports everywhere
 EV_ROWS = 14
 HP_CHUNK = 128           # hitpoints per DMA'd block
 SUB = 16                 # hitpoint sub-block rows per pair block
@@ -106,7 +109,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
 
     def ev_dma(slot, blk):
         return pltpu.make_async_copy(
-            ev_ref.at[:, pl.ds(blk, EB), :], ev_vmem.at[slot],
+            ev_ref.at[pl.ds(blk, EB)], ev_vmem.at[slot],
             sems.at[1 + slot])
 
     def start_pair(slot, blk):
@@ -139,12 +142,17 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                 Loop order: hitpoint sub-block OUTER, event block inner —
                 the (SUB,1) hitpoint-column loads and the material-branch
                 decision hoist out of the event loop, and the frame
-                rotation + normal dot run as one (4*SUB,8)x(8,128) MXU
-                matmul per (sub-block, event block) instead of ~20 VPU
+                rotation + normal dot + wo.wi run as one (5*SUB,8)x(8,128)
+                MXU matmul per (sub-block, event block) instead of ~25 VPU
                 broadcast ops."""
-                evb = ev_vmem[buf_slot]                    # (EV_ROWS, EB, 128)
                 qf = qlo.astype(jnp.float32)               # hoisted scalar
                 rem = asize - k_base
+                # windows are 128-row granular, so blocks are either fully
+                # live or fully dead — the block loop runs ONLY the live
+                # ones (windows average well under a full chunk; the old
+                # statically-unrolled 8-block sweep burned ~a third of its
+                # pair math on dead blocks gated off by value)
+                n_live = jnp.clip((rem + 127) // 128, 1, EB)
 
                 def hp_sub(sidx, _):
                     r0 = pl.multiple_of(sidx * SUB, SUB)
@@ -156,17 +164,21 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                     hpx = V3(col(0), col(1), col(2))
                     wo_l = V3(col(12), col(13), col(14))
                     rough, metal, eta = col(18), col(19), col(20)
-                    alpha = col(24)
                     lam_wo = col(25)
                     fs_pre = V3(col(26), col(27), col(28))
                     simple = col(29)
                     dif = V3(col(30), col(31), col(32))
+                    alpha2 = col(36)
                     # one MXU operand per sub-block: row blocks
-                    # [tangent | bitangent | normal | normal-vs-en]
-                    # contracted against the CONTIGUOUS event rows
-                    # [ewi; en; key; pad] (K = 8): the event operand is a
-                    # plain (8, 128) slice — no per-pair-block reassembly —
-                    # and zero A-columns 6..7 nullify the key/pad rows
+                    # [tangent | bitangent | normal | normal-vs-en |
+                    #  wo-vs-ewi] contracted against the CONTIGUOUS event
+                    # rows [ewi; en; key; pad] (K = 8): the event operand
+                    # is a plain (8, 128) slice — no per-pair-block
+                    # reassembly — and zero A-columns 6..7 nullify the
+                    # key/pad rows.  Block 5 contracts the WORLD wo
+                    # against ewi: wo_l . wi_l == wo_world . ewi (frames
+                    # are orthonormal), which feeds the half-vector
+                    # algebra below without ever building wh's x/y
                     zp5 = jnp.zeros((SUB, 5), jnp.float32)
                     zp3 = jnp.zeros((SUB, 3), jnp.float32)
                     a_rot = jnp.concatenate([
@@ -176,7 +188,8 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                         jnp.concatenate([zp3, hp_vmem[sub, 3:6],
                                          jnp.zeros((SUB, 2), jnp.float32)],
                                         1),
-                    ], 0)                                  # (4*SUB, 8)
+                        jnp.concatenate([hp_vmem[sub, 33:36], zp5], 1),
+                    ], 0)                                  # (5*SUB, 8)
                     rows = jax.lax.broadcasted_iota(
                         jnp.int32, (SUB, 1), 0) + r0
                     live = rows < nh
@@ -190,31 +203,32 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                         # cell keys ride in the event table as ONE f32 row
                         # (the GXY^2*GZ = 2^23 key domain is f32-exact; a
                         # raw int32 bitcast through f32 would flush keys
-                        # < 2^23 as denormals).  Blocks past the window's
-                        # end (j*128 >= rem) hold a stale previous chunk —
-                        # excluded by value (the `rem` gate below) so the
-                        # whole chunk runs unconditionally and the four
-                        # flux/count partials accumulate in REGISTERS
-                        # across the block loop (one VMEM RMW per chunk
-                        # instead of one per pair block — the RMWs were a
-                        # measured third of the kernel)
-                        keys = evb[12, j, :].reshape(1, 128)
-                        in_cell = ((keys >= qf) & (keys <= qf + (DZ_LO
-                                                                 + DZ_HI))
-                                   & (j * 128 < rem))
-                        ep = V3(evb[0, j, :].reshape(1, 128),
-                                evb[1, j, :].reshape(1, 128),
-                                evb[2, j, :].reshape(1, 128))
-                        efl = V3(evb[3, j, :].reshape(1, 128),
-                                 evb[4, j, :].reshape(1, 128),
-                                 evb[5, j, :].reshape(1, 128))
+                        # < 2^23 as denormals).  Alien rows in over-fetched
+                        # 128-blocks (other cells of the sorted table) are
+                        # excluded by the key gate; the four flux/count
+                        # partials accumulate in REGISTERS across the
+                        # block loop (one VMEM RMW per chunk instead of
+                        # one per pair block — the RMWs were a measured
+                        # third of the kernel)
+                        keys = ev_vmem[buf_slot, j, 12, :].reshape(1, 128)
+                        in_cell = (keys >= qf) & (keys <= qf + (DZ_LO
+                                                                + DZ_HI))
+                        ep = V3(ev_vmem[buf_slot, j, 0, :].reshape(1, 128),
+                                ev_vmem[buf_slot, j, 1, :].reshape(1, 128),
+                                ev_vmem[buf_slot, j, 2, :].reshape(1, 128))
+                        efl = V3(
+                            ev_vmem[buf_slot, j, 3, :].reshape(1, 128),
+                            ev_vmem[buf_slot, j, 4, :].reshape(1, 128),
+                            ev_vmem[buf_slot, j, 5, :].reshape(1, 128))
                         rot = jax.lax.dot_general(
-                            a_rot, evb[6:14, j, :], (((1,), (0,)), ((), ())),
+                            a_rot, ev_vmem[buf_slot, j, 6:14, :],
+                            (((1,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)
                         wi_l = V3(rot[0:SUB], rot[SUB:2 * SUB],
                                   rot[2 * SUB:3 * SUB])
                         ndot = rot[3 * SUB:4 * SUB]
+                        dws = rot[4 * SUB:5 * SUB]     # wo_l . wi_l
 
                         dx = hpx.x - ep.x              # (SUB, 128)
                         dy = hpx.y - ep.y
@@ -224,25 +238,36 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                               & (ndot > 0.01) & live)
 
                         # ---- shared pair terms (eval_local with the
-                        # per-hp factors hoisted to pack time) ----
-                        s3 = V3(wo_l.x + wi_l.x, wo_l.y + wi_l.y,
-                                wo_l.z + wi_l.z)
-                        l2 = s3.x * s3.x + s3.y * s3.y + s3.z * s3.z
+                        # per-hp factors hoisted to pack time, and the
+                        # half-vector reduced to its z component: both
+                        # wo_l and wi_l are unit, so |wo+wi|^2 = 2+2*dws
+                        # and wh.z = (wo.z+wi.z)/sqrt(l2); D and G need
+                        # only z's, and ci = wo.wh = (1+dws)/sqrt(l2)
+                        # (sign-flipped with wh's z<0 flip) ----
+                        s3z = wo_l.z + wi_l.z
+                        l2 = 2.0 + 2.0 * dws
                         wh_ok = l2 >= 1e-12
-                        inv = jax.lax.rsqrt(jnp.maximum(l2, 1e-40))
-                        wh = V3(s3.x * inv, s3.y * inv, s3.z * inv)
-                        wh = where3(wh.z < 0.0, V3(-wh.x, -wh.y, -wh.z),
-                                    wh)
+                        rl = jax.lax.rsqrt(jnp.maximum(l2, 1e-40))
+                        whz = s3z * rl
+                        ci = jnp.where(s3z < 0.0, -(1.0 + dws) * rl,
+                                       (1.0 + dws) * rl)
                         zero_cos = (wo_l.z == 0.0) | (wi_l.z == 0.0)
                         prod_z = wo_l.z * wi_l.z
                         same = prod_z > 0.0
-                        d = tr_d(wh, alpha)
+                        # tr_d on wh.z^2 (flip-invariant)
+                        c2h = whz * whz
+                        s2h = jnp.maximum(0.0, 1.0 - c2h)
+                        t2h = s2h / (c2h + 1e-7)
+                        cos4 = c2h * c2h
+                        e = cos4 * (alpha2 + t2h * t2h)
+                        d = alpha2 / (jnp.pi * e)
+                        d = jnp.where(jnp.isinf(t2h) | (e < 1e-12), 0.0, d)
                         # tr_lambda(wi) without the sqrt(s2):
                         # (alpha*|tan|)^2 == alpha^2*s2/(z+1e-7)^2
                         c2w = wi_l.z * wi_l.z
                         s2w = jnp.maximum(0.0, 1.0 - c2w)
                         den = wi_l.z + 1e-7
-                        a2t2 = alpha * alpha * s2w / (den * den)
+                        a2t2 = alpha2 * s2w / (den * den)
                         lam_wi = jnp.where(
                             den == 0.0, 0.0,
                             (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0)
@@ -255,8 +280,6 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                         dif_g = where3(prod_z < 0.0, V3(zv, zv, zv),
                                        V3(dif.x + zv, dif.y + zv,
                                           dif.z + zv))
-                        ci = (wo_l.x * wh.x + wo_l.y * wh.y
-                              + wo_l.z * wh.z)
 
                         if simple_path:
                             ci_cl = jnp.clip(ci, -1.0, 1.0)
@@ -309,16 +332,20 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
 
                     def chunk_partials(simple_path):
                         # WIDE (row, lane) partials carried in registers
-                        # over the block loop; ONE VMEM RMW per channel
-                        # per chunk.  Lane reduction and the throughput
-                        # multiply are deferred to once per hp block.
-                        # Incremental adds keep only the four running
-                        # sums live across each block's evaluation.
-                        acc = list(pair_block(0, simple_path))
-                        for j in range(1, EB):
+                        # over the (dynamic) live-block loop; ONE VMEM RMW
+                        # per channel per chunk.  Lane reduction and the
+                        # throughput multiply are deferred to once per hp
+                        # block.  Block 0 seeds the carry (always live:
+                        # callers gate on asize > 0), which also keeps the
+                        # carry derived from loads — Mosaic can't relayout
+                        # a broadcast-constant-initialized vector carry.
+                        acc = pair_block(0, simple_path)
+
+                        def jbody(j, acc):
                             part = pair_block(j, simple_path)
-                            for c in range(4):
-                                acc[c] = acc[c] + part[c]
+                            return tuple(a + p for a, p in zip(acc, part))
+
+                        acc = jax.lax.fori_loop(1, n_live, jbody, acc)
                         for c in range(4):
                             accw_vmem[c, sub, :] += acc[c]
 
@@ -433,7 +460,10 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     ev_mat = jnp.concatenate(
         [_pad_to(ev_mat, Ep), skey_p.astype(jnp.float32)[:, None],
          jnp.zeros((Ep, 1), jnp.float32)], axis=1)
-    ev_tab = ev_mat.T.reshape(EV_ROWS, Ep // 128, 128)
+    # block-major: (n_blocks, EV_ROWS, 128) — chunk DMAs are contiguous
+    # leading-dim slices and the kernel's dynamic block index is a
+    # leading-dim read (see EV_ROWS comment)
+    ev_tab = ev_mat.reshape(Ep // 128, 128, EV_ROWS).transpose(0, 2, 1)
 
     # ---- hitpoints: precompute frame, sort, pack row-major -------------
     B = hp.pos.shape[0]
@@ -470,7 +500,10 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
                hp.throughput[:, 2], alpha,
                lam_wo, fs_pre.x, fs_pre.y, fs_pre.z, simple,
                hp.mtl.base_color[:, 0] * kd, hp.mtl.base_color[:, 1] * kd,
-               hp.mtl.base_color[:, 2] * kd]
+               hp.mtl.base_color[:, 2] * kd,
+               # 33-35: WORLD wo — the kernel's 5th MXU row block
+               # (wo_l . wi_l == wo_world . ewi); 36: alpha^2
+               hp.wo[:, 0], hp.wo[:, 1], hp.wo[:, 2], alpha * alpha]
     sperm = jnp.argsort(hkey).astype(jnp.int32)
     shkey = hkey[sperm]
     hp_mat = jnp.stack(hp_cols, axis=1)[sperm]             # (B, 33)
@@ -534,7 +567,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
         out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
-            pltpu.VMEM((3, EV_ROWS, EV_CHUNK // 128, 128), jnp.float32),
+            pltpu.VMEM((3, EV_CHUNK // 128, EV_ROWS, 128), jnp.float32),
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
             pltpu.VMEM((4, HP_CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((8,)),

@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..scene.types import Scene
 from .math3 import EPSILON, PI
 from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
-                               interp_forced, mega_rows, pack_scene)
+                               interp_forced, mega_rows, pack_scene,
+                               super_table)
 
 INF = 1e20
 
@@ -329,9 +330,25 @@ def eval_pdf_world(m: Mtl, wo_w: V3, wi_w: V3, n: V3):
 # in-kernel shadow loop (the blocker sweep, cluster-culled)
 # ---------------------------------------------------------------------------
 
-def shadow_blocked(sph_ref, tri_ref, cl_ref, p1: V3, p2: V3, *, ns, nl, nt,
-                   blocks_col):
-    """check_visibility semantics (geometric.cuh:293-325) on VMEM tables."""
+def _inline_sub_rows(rows: int, n_clusters: int) -> int:
+    """Sub-tile height for the in-kernel cluster walks: mesh scenes
+    (cluster count >= 16) re-test the slab cull per window so only windows
+    that can still be improved/blocked sweep a cluster's triangles; tiny
+    scenes keep the whole-tile walk (the per-window loop overhead buys
+    nothing with one all-covering cluster)."""
+    from .pallas_intersect import sub_rows
+
+    return sub_rows(rows) if n_clusters >= 16 else rows
+
+
+def shadow_blocked(sph_ref, tri_ref, cl_ref, sup_ref, p1: V3, p2: V3, *,
+                   ns, nl, nt, blocks_col, use_super=False):
+    """check_visibility semantics (geometric.cuh:293-325) on VMEM tables.
+    The cluster walk runs per sub-tile for mesh scenes (see
+    ``_inline_sub_rows``) and descends octant-ordered supers when the
+    cluster table is large (same 2-level machinery as the standalone
+    ``_blocker_kernel``)."""
+    from .pallas_intersect import SUPER, _octant_perm, _tile_octant
     diff = p2 - p1
     dist = norm3(diff)
     rd = diff.scale(1.0 / jnp.maximum(dist, 1e-20))
@@ -361,59 +378,111 @@ def shadow_blocked(sph_ref, tri_ref, cl_ref, p1: V3, p2: V3, *, ns, nl, nt,
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                jnp.where(d >= 0.0, 1e-12, -1e-12), d)
-    inv = V3(safe_inv(rd.x), safe_inv(rd.y), safe_inv(rd.z))
 
-    def tri_body(i, blocked):
-        v0 = V3(tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2])
-        e1 = V3(tri_ref[i, 3] - v0.x, tri_ref[i, 4] - v0.y,
-                tri_ref[i, 5] - v0.z)
-        e2 = V3(tri_ref[i, 6] - v0.x, tri_ref[i, 7] - v0.y,
-                tri_ref[i, 8] - v0.z)
-        can = tri_ref[i, blocks_col + 5]
-        h = cross3(rd, e2)
-        a = dot3(e1, h)
-        parallel = (a > -1e-6) & (a < 1e-6)
-        fi = 1.0 / jnp.where(parallel, 1.0, a)
-        s = p1 - v0
-        u = fi * dot3(s, h)
-        q = cross3(s, e1)
-        v = fi * dot3(rd, q)
-        t = fi * dot3(e2, q)
-        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-              & (u + v <= 1.0) & (t > EPSILON) & (t < md) & (can > 0.0))
-        return blocked | (ok & (t > MIN_D)).astype(jnp.int32)
+    def walk(blocked, wp1, wrd, wmd):
+        inv = V3(safe_inv(wrd.x), safe_inv(wrd.y), safe_inv(wrd.z))
 
-    def cluster_body(c, blocked):
-        t0x = (cl_ref[c, 0] - p1.x) * inv.x
-        t1x = (cl_ref[c, 3] - p1.x) * inv.x
-        t0y = (cl_ref[c, 1] - p1.y) * inv.y
-        t1y = (cl_ref[c, 4] - p1.y) * inv.y
-        t0z = (cl_ref[c, 2] - p1.z) * inv.z
-        t1z = (cl_ref[c, 5] - p1.z) * inv.z
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        could = (tn <= tf) & (tn < md) & (blocked == 0)
-        start = cl_ref[c, 6].astype(jnp.int32)
-        count = cl_ref[c, 7].astype(jnp.int32)
+        def tri_body(i, blocked):
+            v0 = V3(tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2])
+            e1 = V3(tri_ref[i, 3] - v0.x, tri_ref[i, 4] - v0.y,
+                    tri_ref[i, 5] - v0.z)
+            e2 = V3(tri_ref[i, 6] - v0.x, tri_ref[i, 7] - v0.y,
+                    tri_ref[i, 8] - v0.z)
+            can = tri_ref[i, blocks_col + 5]
+            h = cross3(wrd, e2)
+            a = dot3(e1, h)
+            parallel = (a > -1e-6) & (a < 1e-6)
+            fi = 1.0 / jnp.where(parallel, 1.0, a)
+            s = wp1 - v0
+            u = fi * dot3(s, h)
+            q = cross3(s, e1)
+            v = fi * dot3(wrd, q)
+            t = fi * dot3(e2, q)
+            ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t > EPSILON) & (t < wmd)
+                  & (can > 0.0))
+            return blocked | (ok & (t > MIN_D)).astype(jnp.int32)
 
-        def run(blocked):
-            return jax.lax.fori_loop(start, start + count, tri_body, blocked)
+        def cluster_body(c, blocked):
+            t0x = (cl_ref[c, 0] - wp1.x) * inv.x
+            t1x = (cl_ref[c, 3] - wp1.x) * inv.x
+            t0y = (cl_ref[c, 1] - wp1.y) * inv.y
+            t1y = (cl_ref[c, 4] - wp1.y) * inv.y
+            t0z = (cl_ref[c, 2] - wp1.z) * inv.z
+            t1z = (cl_ref[c, 5] - wp1.z) * inv.z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            could = (tn <= tf) & (tn < wmd) & (blocked == 0)
+            start = cl_ref[c, 6].astype(jnp.int32)
+            count = cl_ref[c, 7].astype(jnp.int32)
 
-        return jax.lax.cond(jnp.any(could) & (count > 0), run,
-                            lambda b: b, blocked)
+            def run(blocked):
+                return jax.lax.fori_loop(start, start + count, tri_body,
+                                         blocked)
 
-    blocked = jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, blocked)
+            return jax.lax.cond(jnp.any(could) & (count > 0), run,
+                                lambda b: b, blocked)
+
+        if use_super:
+            o_idx = _tile_octant(wrd.x, wrd.y, wrd.z)
+
+            def super_body(si, blocked):
+                s = _octant_perm(sup_ref, o_idx, si)
+                # super slab test: same form, bounds from sup rows
+                t0x = (sup_ref[s, 0] - wp1.x) * inv.x
+                t1x = (sup_ref[s, 3] - wp1.x) * inv.x
+                t0y = (sup_ref[s, 1] - wp1.y) * inv.y
+                t1y = (sup_ref[s, 4] - wp1.y) * inv.y
+                t0z = (sup_ref[s, 2] - wp1.z) * inv.z
+                t1z = (sup_ref[s, 5] - wp1.z) * inv.z
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z), MIN_D))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                could = (tn <= tf) & (tn < wmd) & (blocked == 0)
+                cnt = sup_ref[s, 7].astype(jnp.int32)
+
+                def descend(b):
+                    return jax.lax.fori_loop(s * SUPER, (s + 1) * SUPER,
+                                             cluster_body, b)
+
+                return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+                                    lambda b: b, blocked)
+
+            return jax.lax.fori_loop(0, cl_ref.shape[0] // SUPER,
+                                     super_body, blocked)
+        return jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, blocked)
+
+    rows = p1.x.shape[0]
+    sr = _inline_sub_rows(rows, cl_ref.shape[0])
+    if sr == rows:
+        blocked = walk(blocked, p1, rd, md)
+    else:
+        parts = []
+        for st in range(rows // sr):
+            w = slice(st * sr, st * sr + sr)
+            parts.append(walk(
+                blocked[w], V3(p1.x[w], p1.y[w], p1.z[w]),
+                V3(rd.x[w], rd.y[w], rd.z[w]), md[w]))
+        blocked = jnp.concatenate(parts, axis=0)
     return blocked != 0
 
 
-def nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro: V3, rd: V3, *, ns, nl,
-                       nt):
+def nearest_hit_inline(sph_ref, tri_ref, cl_ref, sup_ref, ro: V3, rd: V3, *,
+                       ns, nl, nt, use_super=False):
     """In-kernel nearest hit (the _nearest_kernel sweep, plane-based):
-    returns (t, normal, Mtl, flag) with flag 0=miss/1=surface/2=light."""
+    returns (t, normal, Mtl, flag) with flag 0=miss/1=surface/2=light.
+    Mesh scenes run the cluster walk per sub-tile and descend
+    octant-ordered supers front-to-back (the 2-level machinery of the
+    standalone ``_nearest_kernel``) — without it a VMEM-resident 100k-tri
+    mesh paid ~1.5k flat slab tests per bounce per tile."""
+    from .pallas_intersect import SUPER, _octant_perm, _tile_octant
     zero = jnp.zeros_like(ro.x)
     best_t = jnp.full_like(ro.x, INF)
     bn = V3(zero, zero, zero)
@@ -456,63 +525,123 @@ def nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro: V3, rd: V3, *, ns, nl,
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,
                                jnp.where(d >= 0.0, 1e-12, -1e-12), d)
-    inv = V3(safe_inv(rd.x), safe_inv(rd.y), safe_inv(rd.z))
 
-    def tri_body(i, c):
-        best_t, bn, bbc, brough, bmetal, beta, bflag = c
-        v0 = V3(tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2])
-        e1 = V3(tri_ref[i, 3] - v0.x, tri_ref[i, 4] - v0.y,
-                tri_ref[i, 5] - v0.z)
-        e2 = V3(tri_ref[i, 6] - v0.x, tri_ref[i, 7] - v0.y,
-                tri_ref[i, 8] - v0.z)
-        h = cross3(rd, e2)
-        a = dot3(e1, h)
-        parallel = (a > -1e-6) & (a < 1e-6)
-        fi = 1.0 / jnp.where(parallel, 1.0, a)
-        sv = ro - v0
-        u = fi * dot3(sv, h)
-        q = cross3(sv, e1)
-        v = fi * dot3(rd, q)
-        t = fi * dot3(e2, q)
-        ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
-              & (u + v <= 1.0) & (t > EPSILON))
-        t = jnp.where(ok, t, INF)
-        closer = t < best_t
-        nrm = V3(jnp.broadcast_to(tri_ref[i, 12], t.shape),
-                 jnp.broadcast_to(tri_ref[i, 13], t.shape),
-                 jnp.broadcast_to(tri_ref[i, 14], t.shape))
-        sel = lambda a2, b2: jnp.where(closer, a2, b2)
-        return (sel(t, best_t), where3(closer, nrm, bn),
-                where3(closer, V3(tri_ref[i, 16], tri_ref[i, 17],
-                                  tri_ref[i, 18]), bbc),
-                sel(tri_ref[i, 19], brough), sel(tri_ref[i, 20], bmetal),
-                sel(tri_ref[i, 21], beta),
-                jnp.where(closer, 1, bflag))
+    def walk(carry, wro, wrd):
+        inv = V3(safe_inv(wrd.x), safe_inv(wrd.y), safe_inv(wrd.z))
 
-    def cluster_body(ci, c):
-        best_t = c[0]
-        t0x = (cl_ref[ci, 0] - ro.x) * inv.x
-        t1x = (cl_ref[ci, 3] - ro.x) * inv.x
-        t0y = (cl_ref[ci, 1] - ro.y) * inv.y
-        t1y = (cl_ref[ci, 4] - ro.y) * inv.y
-        t0z = (cl_ref[ci, 2] - ro.z) * inv.z
-        t1z = (cl_ref[ci, 5] - ro.z) * inv.z
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                     jnp.minimum(t0y, t1y)),
-                         jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                     jnp.maximum(t0y, t1y)),
-                         jnp.maximum(t0z, t1z))
-        could = (tn <= tf) & (tn < best_t)
-        start = cl_ref[ci, 6].astype(jnp.int32)
-        count = cl_ref[ci, 7].astype(jnp.int32)
+        def tri_body(i, c):
+            best_t, bn, bbc, brough, bmetal, beta, bflag = c
+            v0 = V3(tri_ref[i, 0], tri_ref[i, 1], tri_ref[i, 2])
+            e1 = V3(tri_ref[i, 3] - v0.x, tri_ref[i, 4] - v0.y,
+                    tri_ref[i, 5] - v0.z)
+            e2 = V3(tri_ref[i, 6] - v0.x, tri_ref[i, 7] - v0.y,
+                    tri_ref[i, 8] - v0.z)
+            h = cross3(wrd, e2)
+            a = dot3(e1, h)
+            parallel = (a > -1e-6) & (a < 1e-6)
+            fi = 1.0 / jnp.where(parallel, 1.0, a)
+            sv = wro - v0
+            u = fi * dot3(sv, h)
+            q = cross3(sv, e1)
+            v = fi * dot3(wrd, q)
+            t = fi * dot3(e2, q)
+            ok = (~parallel & (u >= 0.0) & (u <= 1.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t > EPSILON))
+            t = jnp.where(ok, t, INF)
+            closer = t < best_t
+            nrm = V3(jnp.broadcast_to(tri_ref[i, 12], t.shape),
+                     jnp.broadcast_to(tri_ref[i, 13], t.shape),
+                     jnp.broadcast_to(tri_ref[i, 14], t.shape))
+            sel = lambda a2, b2: jnp.where(closer, a2, b2)
+            return (sel(t, best_t), where3(closer, nrm, bn),
+                    where3(closer, V3(tri_ref[i, 16], tri_ref[i, 17],
+                                      tri_ref[i, 18]), bbc),
+                    sel(tri_ref[i, 19], brough), sel(tri_ref[i, 20], bmetal),
+                    sel(tri_ref[i, 21], beta),
+                    jnp.where(closer, 1, bflag))
 
-        def run(c):
-            return jax.lax.fori_loop(start, start + count, tri_body, c)
+        def cluster_body(ci, c):
+            best_t = c[0]
+            t0x = (cl_ref[ci, 0] - wro.x) * inv.x
+            t1x = (cl_ref[ci, 3] - wro.x) * inv.x
+            t0y = (cl_ref[ci, 1] - wro.y) * inv.y
+            t1y = (cl_ref[ci, 4] - wro.y) * inv.y
+            t0z = (cl_ref[ci, 2] - wro.z) * inv.z
+            t1z = (cl_ref[ci, 5] - wro.z) * inv.z
+            tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                         jnp.minimum(t0y, t1y)),
+                             jnp.maximum(jnp.minimum(t0z, t1z), EPSILON))
+            tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                         jnp.maximum(t0y, t1y)),
+                             jnp.maximum(t0z, t1z))
+            could = (tn <= tf) & (tn < best_t)
+            start = cl_ref[ci, 6].astype(jnp.int32)
+            count = cl_ref[ci, 7].astype(jnp.int32)
 
-        return jax.lax.cond(jnp.any(could) & (count > 0), run, lambda x: x, c)
+            def run(c):
+                return jax.lax.fori_loop(start, start + count, tri_body, c)
 
-    carry = jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, carry)
+            return jax.lax.cond(jnp.any(could) & (count > 0), run,
+                                lambda x: x, c)
+
+        if use_super:
+            o_idx = _tile_octant(wrd.x, wrd.y, wrd.z)
+
+            def super_body(si, c):
+                s = _octant_perm(sup_ref, o_idx, si)
+                best_t = c[0]
+                t0x = (sup_ref[s, 0] - wro.x) * inv.x
+                t1x = (sup_ref[s, 3] - wro.x) * inv.x
+                t0y = (sup_ref[s, 1] - wro.y) * inv.y
+                t1y = (sup_ref[s, 4] - wro.y) * inv.y
+                t0z = (sup_ref[s, 2] - wro.z) * inv.z
+                t1z = (sup_ref[s, 5] - wro.z) * inv.z
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z),
+                                             EPSILON))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                could = (tn <= tf) & (tn < best_t)
+                cnt = sup_ref[s, 7].astype(jnp.int32)
+
+                def descend(c):
+                    # children front-to-back (cl cols 8..15): near hits
+                    # shrink best.t before far children's slab tests
+                    def kbody(k, c):
+                        return cluster_body(
+                            s * SUPER + _octant_perm(
+                                cl_ref, o_idx, s * SUPER + k), c)
+
+                    return jax.lax.fori_loop(0, SUPER, kbody, c)
+
+                return jax.lax.cond(jnp.any(could) & (cnt > 0), descend,
+                                    lambda x: x, c)
+
+            return jax.lax.fori_loop(0, cl_ref.shape[0] // SUPER,
+                                     super_body, carry)
+        return jax.lax.fori_loop(0, cl_ref.shape[0], cluster_body, carry)
+
+    rows = ro.x.shape[0]
+    sr = _inline_sub_rows(rows, cl_ref.shape[0])
+    if sr == rows:
+        carry = walk(carry, ro, rd)
+    else:
+        parts = []
+        for st in range(rows // sr):
+            w = slice(st * sr, st * sr + sr)
+            cw = tuple(V3(f.x[w], f.y[w], f.z[w]) if isinstance(f, V3)
+                       else f[w] for f in carry)
+            parts.append(walk(cw, V3(ro.x[w], ro.y[w], ro.z[w]),
+                              V3(rd.x[w], rd.y[w], rd.z[w])))
+        carry = tuple(
+            V3(jnp.concatenate([p[i].x for p in parts], 0),
+               jnp.concatenate([p[i].y for p in parts], 0),
+               jnp.concatenate([p[i].z for p in parts], 0))
+            if isinstance(parts[0][i], V3)
+            else jnp.concatenate([p[i] for p in parts], 0)
+            for i in range(len(parts[0])))
     best_t, bn, bbc, brough, bmetal, beta, bflag = carry
 
     ndotd = dot3(bn, rd)
@@ -526,9 +655,10 @@ def nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro: V3, rd: V3, *, ns, nl,
 # the fused shade kernel
 # ---------------------------------------------------------------------------
 
-def _shade_core(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep,
-                act, last_delta, last_pdf, uu,
-                *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+def _shade_core(sph_ref, tri_ref, cl_ref, sup_ref, light_ref, ro, rd, tp,
+                eta, dep, act, last_delta, last_pdf, uu,
+                *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col,
+                use_super=False):
     """One fused bounce on in-register state: nearest hit -> light-ball
     emission -> NEE (with the in-kernel shadow sweep) -> BSDF sample.
     Shared by the per-bounce kernel and the persistent wavefront megakernel.
@@ -536,18 +666,20 @@ def _shade_core(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep,
     is_delta, pdf, upd) — callers fold ``upd`` into their state update.
     """
     # in-kernel nearest hit: no HBM round trip for the hit attributes
-    t_hit, n, m, flag = nearest_hit_inline(sph_ref, tri_ref, cl_ref, ro, rd,
-                                           ns=ns, nl=nl_lights, nt=nt)
+    t_hit, n, m, flag = nearest_hit_inline(
+        sph_ref, tri_ref, cl_ref, sup_ref, ro, rd,
+        ns=ns, nl=nl_lights, nt=nt, use_super=use_super)
     return _shade_from_hit(
-        sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep, act,
-        last_delta, last_pdf, uu, t_hit, n, m, flag,
+        sph_ref, tri_ref, cl_ref, sup_ref, light_ref, ro, rd, tp, eta, dep,
+        act, last_delta, last_pdf, uu, t_hit, n, m, flag,
         ns=ns, nl_lights=nl_lights, nt=nt, clamp_val=clamp_val,
-        stub_mis=stub_mis, blocks_col=blocks_col)
+        stub_mis=stub_mis, blocks_col=blocks_col, use_super=use_super)
 
 
-def _shade_from_hit(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta,
-                    dep, act, last_delta, last_pdf, uu, t_hit, n, m, flag,
-                    *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+def _shade_from_hit(sph_ref, tri_ref, cl_ref, sup_ref, light_ref, ro, rd,
+                    tp, eta, dep, act, last_delta, last_pdf, uu, t_hit, n,
+                    m, flag, *, ns, nl_lights, nt, clamp_val, stub_mis,
+                    blocks_col, use_super=False):
     """The post-intersection body of ``_shade_core``: light-ball emission,
     NEE with the in-kernel shadow sweep, BSDF sample.  Split out so the
     textured per-bounce kernel can inject EXTERNAL hit attributes (the hit
@@ -684,10 +816,10 @@ def _shade_from_hit(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta,
         dot3(normalize3(l_dir), -wi_sph) >= jnp.cos(l_cut))
 
     p2 = where3(l_par, pos + pdir.scale(1e4), lp + d_loc.scale(EPSILON))
-    blocked = shadow_blocked(sph_ref, tri_ref, cl_ref,
+    blocked = shadow_blocked(sph_ref, tri_ref, cl_ref, sup_ref,
                              pos + n.scale(EPSILON), p2,
                              ns=ns, nl=nl_lights, nt=nt,
-                             blocks_col=blocks_col)
+                             blocks_col=blocks_col, use_super=use_super)
     tr = jnp.where(blocked, 0.0, 1.0)
 
     brdf, pdf_b = eval_pdf_world(m, wo, wi, n)
@@ -728,7 +860,7 @@ def _shade_from_hit(sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta,
             is_delta, pdf, upd)
 
 
-def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
+def _shade_kernel(sph_ref, tri_ref, cl_ref, sup_ref, light_ref,
                   # ray
                   ox, oy, oz, dx, dy, dz,
                   # path state
@@ -739,7 +871,8 @@ def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
                   # outputs
                   rad_x, rad_y, rad_z, nox, noy, noz, ndx, ndy, ndz,
                   ntx, nty, ntz, neta, ndepth, nalive, ndelta, npdf,
-                  *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+                  *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col,
+                  use_super):
     ro = V3(ox[...], oy[...], oz[...])
     rd = V3(dx[...], dy[...], dz[...])
     tp = V3(tpx[...], tpy[...], tpz[...])
@@ -752,9 +885,10 @@ def _shade_kernel(sph_ref, tri_ref, cl_ref, light_ref,
 
     (radiance, new_ro, wi_b, new_tp, new_eta, new_dep, alive, is_delta,
      pdf, upd) = _shade_core(
-        sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep, act,
-        last_delta, last_pdf, uu, ns=ns, nl_lights=nl_lights, nt=nt,
-        clamp_val=clamp_val, stub_mis=stub_mis, blocks_col=blocks_col)
+        sph_ref, tri_ref, cl_ref, sup_ref, light_ref, ro, rd, tp, eta, dep,
+        act, last_delta, last_pdf, uu, ns=ns, nl_lights=nl_lights, nt=nt,
+        clamp_val=clamp_val, stub_mis=stub_mis, blocks_col=blocks_col,
+        use_super=use_super)
 
     rad_x[...] = radiance.x
     rad_y[...] = radiance.y
@@ -787,6 +921,7 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
     state + the radiance contribution of this bounce."""
     B = ro.shape[0]
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
 
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
              tp[:, 0], tp[:, 1], tp[:, 2], eta, depth,
@@ -798,7 +933,8 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
 
     kernel = functools.partial(
         _shade_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=clamp_val,
-        stub_mis=stub_mis, blocks_col=4 if dielectrics_block else 5)
+        stub_mis=stub_mis, blocks_col=4 if dielectrics_block else 5,
+        use_super=use_super)
     # rad3, ro3, rd3, tp3, eta | depth, alive, delta | last_pdf
     out_dtypes = ([jnp.float32] * 13
                   + [jnp.int32, jnp.int32, jnp.int32, jnp.float32])
@@ -812,6 +948,8 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(light_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             *_ray_specs(len(comps)),
@@ -822,7 +960,7 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in out_dtypes],
         interpret=interp_forced(),
-    )(sph_tab, tri_tab, cl_tab, light_tab, *tiled)
+    )(sph_tab, tri_tab, cl_tab, sup_tab, light_tab, *tiled)
 
     # NOTE: output order must match _shade_kernel's signature
     names = ["rad_x", "rad_y", "rad_z", "ox", "oy", "oz", "dx", "dy", "dz",
@@ -841,7 +979,7 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
     )
 
 
-def _shade_tex_kernel(sph_ref, tri_ref, cl_ref, light_ref,
+def _shade_tex_kernel(sph_ref, tri_ref, cl_ref, sup_ref, light_ref,
                       # ray
                       ox, oy, oz, dx, dy, dz,
                       # path state
@@ -856,7 +994,8 @@ def _shade_tex_kernel(sph_ref, tri_ref, cl_ref, light_ref,
                       # outputs
                       rad_x, rad_y, rad_z, nox, noy, noz, ndx, ndy, ndz,
                       ntx, nty, ntz, neta, ndepth, nalive, ndelta, npdf,
-                      *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col):
+                      *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col,
+                      use_super):
     ro = V3(ox[...], oy[...], oz[...])
     rd = V3(dx[...], dy[...], dz[...])
     tp = V3(tpx[...], tpy[...], tpz[...])
@@ -874,10 +1013,10 @@ def _shade_tex_kernel(sph_ref, tri_ref, cl_ref, light_ref,
 
     (radiance, new_ro, wi_b, new_tp, new_eta, new_dep, alive, is_delta,
      pdf, upd) = _shade_from_hit(
-        sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep, act,
-        last_delta, last_pdf, uu, t_hit, n, m, flag, ns=ns,
+        sph_ref, tri_ref, cl_ref, sup_ref, light_ref, ro, rd, tp, eta, dep,
+        act, last_delta, last_pdf, uu, t_hit, n, m, flag, ns=ns,
         nl_lights=nl_lights, nt=nt, clamp_val=clamp_val, stub_mis=stub_mis,
-        blocks_col=blocks_col)
+        blocks_col=blocks_col, use_super=use_super)
 
     rad_x[...] = radiance.x
     rad_y[...] = radiance.y
@@ -913,6 +1052,7 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
     ``hit`` is the dict from ``nearest_hit_pallas(..., with_uv=True)``."""
     B = ro.shape[0]
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
 
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
              tp[:, 0], tp[:, 1], tp[:, 2], eta, depth,
@@ -928,7 +1068,8 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
 
     kernel = functools.partial(
         _shade_tex_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=clamp_val,
-        stub_mis=stub_mis, blocks_col=4 if dielectrics_block else 5)
+        stub_mis=stub_mis, blocks_col=4 if dielectrics_block else 5,
+        use_super=use_super)
     out_dtypes = ([jnp.float32] * 13
                   + [jnp.int32, jnp.int32, jnp.int32, jnp.float32])
     outs = pl.pallas_call(
@@ -941,6 +1082,8 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(light_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             *_ray_specs(len(comps)),
@@ -951,7 +1094,7 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in out_dtypes],
         interpret=interp_forced(),
-    )(sph_tab, tri_tab, cl_tab, light_tab, *tiled)
+    )(sph_tab, tri_tab, cl_tab, sup_tab, light_tab, *tiled)
 
     names = ["rad_x", "rad_y", "rad_z", "ox", "oy", "oz", "dx", "dy", "dz",
              "tx", "ty", "tz", "eta", "depth", "alive", "delta", "last_pdf"]
@@ -1025,11 +1168,11 @@ def _draws(shape, n, seed, it):
     return [_u01(shape) for _ in range(n)]
 
 
-def _wavefront_kernel(sph_ref, tri_ref, cl_ref, light_ref, cam_ref, seed_ref,
-                      pxr, pyr,
+def _wavefront_kernel(sph_ref, tri_ref, cl_ref, sup_ref, light_ref,
+                      cam_ref, seed_ref, pxr, pyr,
                       img_x, img_y, img_z,
                       *, ns, nl_lights, nt, clamp_val, stub_mis, blocks_col,
-                      spp, eye_depth, max_path_iters, max_total):
+                      spp, eye_depth, max_path_iters, max_total, use_super):
     seed = seed_ref[0] + pl.program_id(0)
     if not interp_forced():
         pltpu.prng_seed(seed)
@@ -1085,10 +1228,10 @@ def _wavefront_kernel(sph_ref, tri_ref, cl_ref, light_ref, cam_ref, seed_ref,
         # ---- one fused bounce ----
         (brad, new_ro, wi_b, new_tp, new_eta, new_dep, b_alive, is_delta,
          pdf, upd) = _shade_core(
-            sph_ref, tri_ref, cl_ref, light_ref, ro, rd, tp, eta, dep,
-            alive, last_delta, last_pdf, u[:6], ns=ns, nl_lights=nl_lights,
-            nt=nt, clamp_val=clamp_val, stub_mis=stub_mis,
-            blocks_col=blocks_col)
+            sph_ref, tri_ref, cl_ref, sup_ref, light_ref, ro, rd, tp, eta,
+            dep, alive, last_delta, last_pdf, u[:6], ns=ns,
+            nl_lights=nl_lights, nt=nt, clamp_val=clamp_val,
+            stub_mis=stub_mis, blocks_col=blocks_col, use_super=use_super)
         rad = rad + brad
         ro = where3(upd, new_ro, ro)
         rd = where3(upd, wi_b, rd)
@@ -1135,6 +1278,7 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
     loop) in ONE pallas_call.  Returns the per-pixel radiance SUM (B, 3)."""
     B = px.shape[0]
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
+    cl_tab, sup_tab, use_super = super_table(cl_tab)
     cam_row = jnp.zeros((1, LANE), jnp.float32)
     cam_row = cam_row.at[0, 0:3].set(cam.eye)
     cam_row = cam_row.at[0, 3:6].set(cam.ul)
@@ -1154,7 +1298,8 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
         stub_mis=cfg.pt_stub_mis_strategy_a,
         blocks_col=4 if cfg.shadow_dielectrics_block else 5,
         spp=spp, eye_depth=cfg.eye_depth,
-        max_path_iters=cfg.max_eye_iters, max_total=max_total)
+        max_path_iters=cfg.max_eye_iters, max_total=max_total,
+        use_super=use_super)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1164,6 +1309,8 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
             pl.BlockSpec(tri_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cl_tab.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(light_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1177,5 +1324,6 @@ def render_wavefront_pallas(scene: Scene, light_tab, cam, px, py, spp: int,
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), jnp.float32)
                    for _ in range(3)],
         interpret=interp_forced(),
-    )(sph_tab, tri_tab, cl_tab, light_tab, cam_row, seed_arr, pxt, pyt)
+    )(sph_tab, tri_tab, cl_tab, sup_tab, light_tab, cam_row, seed_arr,
+      pxt, pyt)
     return jnp.stack([o.reshape(-1)[:B] for o in outs], -1)

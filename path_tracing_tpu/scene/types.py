@@ -220,14 +220,21 @@ def scene_from_numpy(
     if cluster_leaf_size is None:
         # bigger leaves win for HBM-streamed meshes (fewer AABB tests per
         # ray tile; the DMA chunks amortize): 256 measured ~30% faster than
-        # 64 at 249k tris, while 64 stays best for VMEM-resident tables
+        # 64 at 249k tris, while 64 stays best for VMEM-resident tables.
+        # Small text scenes (input.txt: 36 wall triangles) get leaf 8:
+        # with leaf 64 they collapsed to ONE all-covering cluster, so every
+        # shadow/nearest sweep — including the BDPT connection kernel's
+        # per-light-vertex visibility, its dominant cost — tested every
+        # triangle; a handful of slab-gated clusters lets rays between two
+        # interior points skip the walls they can't cross
         from ..ops.pallas_intersect import max_vmem_tris
 
         import os
 
         cluster_leaf_size = int(os.environ.get(
             "PT_TPU_LEAF_SIZE",
-            64 if nt_total <= max_vmem_tris() else 256))
+            8 if nt_total <= 256
+            else (64 if nt_total <= max_vmem_tris() else 256)))
     tri_uv = (np.asarray(tri_uv, f32).reshape(-1, 6) if tri_uv is not None
               else np.zeros((nt_total, 6), f32))
     tri_tex = (np.asarray(tri_tex, np.int32).reshape(-1)

@@ -313,17 +313,14 @@ def test_textured_scene_all_integrators():
     assert float(np.abs(lit[:, 0] - lit[:, 2]).max()) > 1e-4
 
 
-@pytest.mark.parametrize("sweep,leaf", [("mxu", None), ("vpu", None),
-                                        ("mxu", 640), ("vpu", 640),
+@pytest.mark.parametrize("sweep,leaf", [("vpu", None), ("vpu", 640),
                                         ("vpu", 96)])
 def test_streaming_kernels_match_xla(sweep, leaf, monkeypatch):
     """HBM-streaming nearest-hit/blocker kernels (forced, interpret mode)
-    vs the XLA brute force on the 2304-tri mesh — both sweep backends.
-    ``leaf=640`` makes clusters span multiple DMA windows, exercising the
-    straddling extra-chunk path (slot 2) in both table geometries;
-    ``leaf=96`` gives odd per-cluster block counts, so VPU window starts
-    land on sublane offsets of 4 mod 8 (an alignment class the MXU table,
-    whose blocks are 16 rows, can never produce)."""
+    vs the XLA brute force on the 2304-tri mesh.  ``leaf=640`` makes
+    clusters span multiple DMA windows, exercising the straddling
+    extra-chunk path (slot 2); ``leaf=96`` gives odd per-cluster block
+    counts, so VPU window starts land on sublane offsets of 4 mod 8."""
     monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
     import jax
 
@@ -368,9 +365,9 @@ def test_streaming_kernels_match_xla(sweep, leaf, monkeypatch):
     assert (np.asarray(b_s) == (np.asarray(tr) == 0.0)).mean() > 0.999
 
 
-@pytest.mark.parametrize("sweep", ["mxu", "vpu"])
+@pytest.mark.parametrize("sweep", ["vpu"])
 def test_streaming_kernels_with_uv(tmp_path, sweep, monkeypatch):
-    """Streamed table carries the UV/tex columns too (both backends)."""
+    """Streamed table carries the UV/tex columns too."""
     monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
     import jax
 

@@ -236,17 +236,16 @@ def test_textured_fused_shade_matches_xla_path(tmp_path):
         ma, mr)
 
 
-@pytest.mark.parametrize("sweep", ["mxu", "vpu"])
+@pytest.mark.parametrize("sweep", ["vpu"])
 def test_streaming_kernels_match_vmem_on_tpu(sweep, monkeypatch):
     """HBM-streaming nearest-hit (force_stream) agrees with the VMEM-table
     kernel on real hardware (the CPU suite only covers interpret mode).
 
-    The MXU sweep evaluates determinant-form Moller-Trumbore at
-    Precision.HIGHEST — a different (but exact-rank) f32 summation order
-    than the VMEM kernel's scalar form — so agreement is to float
-    tolerance, not bit-identity; edge-grazing rays may flip hit/miss.  The
-    VPU sweep shares ``_mt_core``'s arithmetic and should agree exactly,
-    but is held to the same tolerance here."""
+    The VPU sweep shares ``_mt_core``'s arithmetic and should agree
+    exactly, but is held to float tolerance here.  (The determinant-form
+    MXU backend this test also covered was deleted in round 3: slower in
+    both precision forms AND the chip-faulting knob — see the history note
+    in ops/pallas_intersect.py.)"""
     import jax.numpy as jnp
 
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas

@@ -117,10 +117,10 @@ def test_blocker_interpret_matches_xla(cornell, interp_env):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("sweep", ["mxu", "vpu"])
+@pytest.mark.parametrize("sweep", ["vpu"])
 def test_stream_kernels_interpret_match_vmem(sweep, interp_env):
-    """Both HBM-streaming sweep backends against the VMEM kernel on the
-    same rays/mesh (force_stream pins streaming for a VMEM-sized mesh)."""
+    """The HBM-streaming sweep against the VMEM kernel on the same
+    rays/mesh (force_stream pins streaming for a VMEM-sized mesh)."""
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
 
     p = load_any_scene("tests/fixtures/sphere.obj")
@@ -151,7 +151,7 @@ def test_super_traversal_interpret_matches_xla(interp_env):
     """2-level traversal (octant-ordered supers + front-to-back children)
     on a mesh ABOVE the 64-cluster threshold — sphere.obj is too small to
     descend supers, so this is the only hardware-free coverage of the
-    super walk, in all three kernels (VMEM + both stream sweeps)."""
+    super walk, in both kernels (VMEM + the stream sweep)."""
     from path_tracing_tpu.ops import intersect as I
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
     from path_tracing_tpu.scene.synth import icosphere_scene

@@ -29,33 +29,46 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _ns(**kw):
     base = dict(config="0", obj="tests/fixtures/sphere.obj", gen_tris=0,
                 gen_tex=False, spp=0, res="", fast=False, conn_samples=0,
-                resample=None, regen_rmse_target=False)
+                resample=None, regen_rmse_target=False, scene="")
     base.update(kw)
     return argparse.Namespace(**base)
 
 
-# (tag, env overrides, bench-args) — decision-critical steps first
+# (tag, env overrides, bench-args) — decision-critical steps first.
+# Every A/B step pins ITS side's env explicitly (a default flip must not
+# silently turn an A/B into three identical runs — ADVICE r2 item 1).
 STEPS = [
     ("headline",        {}, _ns()),
+    # leaf-8 clustering of small text scenes is a new default — A/B the
+    # old single-cluster behavior on the two scenes it changes
+    ("headline_leaf64", {"PT_TPU_LEAF_SIZE": "64"}, _ns()),
+    ("config5_leaf64",  {"PT_TPU_LEAF_SIZE": "64"}, _ns(config="5")),
+    ("stream_sub8",     {"PT_TPU_SUBROWS": "8"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("stream_sub0",     {"PT_TPU_SUBROWS": "0"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("tex50k_sub8",     {"PT_TPU_SUBROWS": "8"},
+     _ns(config="3", gen_tris=50000, gen_tex=True, spp=16)),
+    ("tex50k_sub0",     {"PT_TPU_SUBROWS": "0"},
+     _ns(config="3", gen_tris=50000, gen_tex=True, spp=16)),
     ("ppm_fast",        {}, _ns(config="4", fast=True)),
-    ("stream_vpu",      {"PT_TPU_STREAM_SWEEP": "vpu"},
-     _ns(config="3", gen_tris=249000, spp=4)),
-    ("stream_mxu_fast", {"PT_TPU_MT_FAST": "1"},
-     _ns(config="3", gen_tris=249000, spp=4)),
-    ("stream_mxu_hi",   {}, _ns(config="3", gen_tris=249000, spp=4)),
     ("config2",         {}, _ns(config="2")),
     ("config5_ris",     {}, _ns(config="5")),
+    ("rmse",            {}, _ns(config="rmse")),
+    ("golden",          {}, _ns(config="golden")),
+    ("input1080",       {}, _ns(scene="/root/reference/input.txt")),
     ("config1",         {}, _ns(config="1")),
-    ("config5_rows160", {"PT_TPU_MEGA_ROWS": "160"}, _ns(config="5")),
-    ("tex50k",          {}, _ns(config="3", gen_tris=50000, gen_tex=True,
-                                spp=16)),
+    ("config5_k32",     {}, _ns(config="5", resample=32)),
+    ("stream_sub16",    {"PT_TPU_SUBROWS": "16"},
+     _ns(config="3", gen_tris=249000, spp=4)),
     ("vmem100k",        {}, _ns(config="3", gen_tris=100000, spp=16)),
     ("ppm_full",        {}, _ns(config="4")),
     ("config5_exact",   {}, _ns(config="5", resample=0, res="512x512")),
 ]
 
-_AB_KEYS = ("PT_TPU_STREAM_SWEEP", "PT_TPU_MT_FAST", "PT_TPU_MEGA_ROWS",
-            "PT_TPU_NO_PALLAS", "PT_TPU_NO_FUSED_SHADE")
+_AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
+            "PT_TPU_LEAF_SIZE", "PT_TPU_NO_PALLAS", "PT_TPU_NO_FUSED_SHADE",
+            "PT_TPU_NO_MEGAKERNEL")
 
 
 def main() -> int:
@@ -64,10 +77,17 @@ def main() -> int:
                     help="stop starting new steps after this many minutes")
     ap.add_argument("--steps", default="",
                     help="comma-separated subset of step tags")
-    ap.add_argument("--out", default="/tmp/hw_measure/results.jsonl")
+    ap.add_argument("--out", default="",
+                    help="results file (default: a fresh per-run "
+                         "/tmp/hw_measure/results-<runid>.jsonl — watcher "
+                         "retries must not interleave rows with earlier "
+                         "runs' in one file; ADVICE r2 item 5)")
     args = ap.parse_args()
     t_end = time.time() + args.deadline_min * 60
     want = set(s for s in args.steps.split(",") if s)
+    if not args.out:
+        args.out = time.strftime(
+            "/tmp/hw_measure/results-%Y%m%d-%H%M%S.jsonl")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     from path_tracing_tpu.runtime import setup_jax_cache
@@ -91,6 +111,7 @@ def main() -> int:
           round(time.time() - t0, 1), "unit": "s", "vs_baseline": 0,
           "note": f"sum={s}"})
 
+    failures = 0
     prev_env: dict = {}
     for tag, env, ns in STEPS:
         if want and tag not in want:
@@ -98,6 +119,7 @@ def main() -> int:
         if time.time() > t_end:
             emit({"metric": f"sweep: {tag}", "value": 0, "unit": "",
                   "vs_baseline": 0, "error": "deadline — not started"})
+            failures += 1
             continue
         if env != prev_env:
             for k in _AB_KEYS:
@@ -114,11 +136,15 @@ def main() -> int:
                 rec["env"] = env
             emit(rec)
         except Exception as e:  # noqa: BLE001 — keep sweeping
+            failures += 1
             emit({"metric": f"sweep: {tag}", "value": 0, "unit": "",
                   "vs_baseline": 0, "wall_s": round(time.time() - t0, 1),
                   "error": f"{type(e).__name__}: {e}"})
-    emit({"metric": "sweep: done", "value": 1, "unit": "", "vs_baseline": 0})
-    return 0
+    emit({"metric": "sweep: done", "value": 1, "unit": "", "vs_baseline": 0,
+          "failures": failures})
+    # nonzero on any failed/unstarted step so tools/tpu_watch.sh keeps
+    # watching and retries the unmeasured decision steps (ADVICE r2 item 2)
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
