@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ppm-alpha", type=float, default=0.0,
                     help="progressive-PPM radius shrink factor (0 = the "
                          "reference's fixed radius)")
+    ap.add_argument("--resample", type=int, default=0, metavar="K",
+                    help="BDPT: importance-cull the light-vertex table to "
+                         "K rows by contribution-proportional RIS "
+                         "resampling (unbiased; 0 = the reference's exact "
+                         "all-pairs sweep, bdpt_cu.cu:384-457)")
     ap.add_argument("--fix-pt-mis", action="store_true",
                     help="enable the full MIS light-hit term the reference "
                          "stubbed out (quirk 2)")
@@ -129,7 +134,8 @@ def main(argv=None) -> int:
                        eye_depth=args.eye_depth, light_depth=args.light_depth,
                        seed=args.seed,
                        pt_stub_mis_strategy_a=not args.fix_pt_mis,
-                       ppm_alpha=args.ppm_alpha)
+                       ppm_alpha=args.ppm_alpha,
+                       bdpt_resample_vertices=max(0, args.resample))
     mode = args.mode
     if args.device == "oracle":
         cfg = oracle_config(cfg)

@@ -357,12 +357,23 @@ def resample_light_vertices(lv_flat: LightVertices, n_valid, K: int, key):
     in_prefix = jnp.arange(V) < n_valid
     lum = jnp.sum(lv_flat.throughput
                   * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1)
-    w = jnp.where(in_prefix & lv_flat.valid & (lum > 0.0)
-                  & jnp.isfinite(lum), lum, 0.0)
+    contrib = (in_prefix & lv_flat.valid & (lum > 0.0)
+               & jnp.isfinite(lum))
+    w = jnp.where(contrib, lum, 0.0)
     wsum = jnp.sum(w)
-    p = jnp.where(in_prefix, 0.5 / nv, 0.0) \
-        + jnp.where(wsum > 0.0, 0.5 * w / jnp.maximum(wsum, 1e-30),
-                    jnp.where(in_prefix, 0.5 / nv, 0.0))
+    # support restriction (round 3): connection contributions are linear in
+    # the (non-negative) throughput, so lum == 0 <=> the vertex contributes
+    # exactly zero to EVERY connection — unbiasedness does not require it
+    # in the support, and defensive draws landing on it are pure waste.
+    # The uniform half of the mixture therefore runs over the CONTRIBUTING
+    # rows only (falling back to the valid prefix when all rows are zero,
+    # where any support is unbiased because the estimate is zero).
+    nc = jnp.sum(contrib.astype(jnp.int32))
+    has = nc > 0
+    base = jnp.where(has, jnp.where(contrib, 0.5 / jnp.maximum(nc, 1), 0.0),
+                     jnp.where(in_prefix, 1.0 / nv, 0.0))
+    p = base + jnp.where(wsum > 0.0, 0.5 * w / jnp.maximum(wsum, 1e-30),
+                         0.0)
     cdf = jnp.cumsum(p)
     # stratified uniforms lower resampling variance at identical expectation
     u = (jnp.arange(K) + jax.random.uniform(key, (K,))) / K
