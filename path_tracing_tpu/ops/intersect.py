@@ -101,15 +101,25 @@ def vmem_tris_ok(scene) -> bool:
 
 
 def _coherence_key(scene, ro, rd) -> jnp.ndarray:
-    """Spatial sort key for ray coherence: 3-bit direction octant above an
-    18-bit Morton code of the origin quantized inside the scene AABB.
+    """Spatial sort key for ray coherence: 3-bit direction octant, optional
+    finer direction bits (octahedral map), then an 18-bit Morton code of
+    the origin quantized inside the scene AABB.
 
     Secondary bounces are direction-incoherent, so consecutive lanes hit
     unrelated parts of a large mesh and the Pallas kernels' TILE-level
     cluster culling degenerates to streaming the whole table per tile.
     Sorting rays by this key before the kernel restores tile coherence —
     the wavefront sort/compaction re-architecture SURVEY.md §2.2 calls for.
+
+    ``PT_TPU_DIR_BITS`` (trace-time) inserts that many extra direction
+    bits between the octant and the Morton code, quantizing the in-octant
+    octahedral coordinates u = |dx|/s, v = |dy|/s (s = |dx|+|dy|+|dz|) to
+    2^ceil(f/2) x 2^floor(f/2) cells: the streamed sweep is bounded by how
+    many clusters a TILE'S UNION frustum enters, and a 90-degree octant
+    cone is the loosest part of that union.  0 keeps the round-2 key.
     """
+    import os
+
     ext = jnp.maximum(scene.scene_max - scene.scene_min, 1e-6)
     q = jnp.clip(((ro - scene.scene_min) / ext * 64.0).astype(jnp.int32),
                  0, 63)
@@ -125,7 +135,18 @@ def _coherence_key(scene, ro, rd) -> jnp.ndarray:
     octant = ((rd[:, 0] >= 0).astype(jnp.int32)
               | ((rd[:, 1] >= 0).astype(jnp.int32) << 1)
               | ((rd[:, 2] >= 0).astype(jnp.int32) << 2))
-    return (octant << 18) | morton
+    key = (octant << 18) | morton
+    f = int(os.environ.get("PT_TPU_DIR_BITS", "0"))
+    if f > 0:
+        fu, fv = (f + 1) // 2, f // 2
+        ad = jnp.abs(rd)
+        s = jnp.maximum(ad[:, 0] + ad[:, 1] + ad[:, 2], 1e-20)
+        qu = jnp.clip((ad[:, 0] / s * (1 << fu)).astype(jnp.int32),
+                      0, (1 << fu) - 1)
+        qv = jnp.clip((ad[:, 1] / s * (1 << fv)).astype(jnp.int32),
+                      0, (1 << fv) - 1)
+        key = (octant << (18 + f)) | (((qu << fv) | qv) << 18) | morton
+    return key
 
 
 def should_sort_rays(scene) -> bool:

@@ -22,6 +22,7 @@ XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +79,14 @@ def connect_core(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, n_valid,
     """Sum of all light-vertex connection contributions for one eye vertex
     per lane, entirely in registers.  Shared by the standalone connection
     kernel and the BDPT eye megakernel (ops/pallas_bdpt_eye.py)."""
+    # PT_TPU_BDPT_NEUTER (trace-time, BISECT ONLY — renders are wrong):
+    # 'connect' skips the whole vertex sweep, 'shadow' skips the
+    # visibility sweeps, 'eval' skips the BSDF/MIS math (gates + shadow
+    # kept).  Used by tools/hw_sweep.py to attribute config5's cycles.
+    neuter = os.environ.get("PT_TPU_BDPT_NEUTER", "")
     zero = jnp.zeros_like(eye_f)
+    if neuter == "connect":
+        return V3(zero, zero, zero)
     # hoisted eye-side frame
     et, eb = build_frame(ev_n)
     wo_e_l = to_local(wo_e, et, eb, ev_n)
@@ -115,6 +123,20 @@ def connect_core(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, n_valid,
         cone_bad = (is_src & (cutoff > 0.0) & ~is_par
                     & (dot3(emit, -wi) < cos_cut))
         gate &= ~cone_bad
+
+        if neuter == "eval":
+            # bisect: geometry gates + shadow only; contribution = gate
+            def run_shadow_n(_):
+                return shadow_blocked(
+                    sph_ref, tri_ref, cl_ref, sup_ref,
+                    ev_pos + ev_n.scale(EPSILON), lp + ln.scale(EPSILON),
+                    ns=ns, nl=nl, nt=nt, blocks_col=blocks_col,
+                    use_super=use_super).astype(jnp.int32)
+
+            blk = jax.lax.cond(jnp.any(gate), run_shadow_n,
+                               lambda _: jnp.ones_like(zero, jnp.int32), 0)
+            v = jnp.where(gate & (blk == 0), 1e-6, 0.0)
+            return acc + V3(v, v, v)
 
         # eye side: eval with wo_e, pdf with wo_s (hoisted frame).  MIS-pdf
         # quirk: the reference feeds the UNNORMALIZED d_vec into bsdf_pdf
@@ -155,8 +177,12 @@ def connect_core(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, n_valid,
                 ns=ns, nl=nl, nt=nt, blocks_col=blocks_col,
                 use_super=use_super).astype(jnp.int32)
 
-        blocked = jax.lax.cond(jnp.any(gate), run_shadow,
-                               lambda _: jnp.ones_like(zero, jnp.int32), 0)
+        if neuter == "shadow":
+            blocked = jnp.zeros_like(zero, jnp.int32)  # bisect: all visible
+        else:
+            blocked = jax.lax.cond(jnp.any(gate), run_shadow,
+                                   lambda _: jnp.ones_like(zero, jnp.int32),
+                                   0)
         tr = jnp.where(blocked != 0, 0.0, 1.0)
         gate &= tr > 0.0
 

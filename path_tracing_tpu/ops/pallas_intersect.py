@@ -957,13 +957,19 @@ def _vpu_slot_eval(read, rox, roy, roz, rdx, rdy, rdz, t_gate_lo):
 
 
 def sub_rows(rows: int) -> int:
-    """Compute sub-tile height for the predicated cluster sweeps: the slab
-    cull tests every sub-tile separately and only live sub-tiles sweep the
-    cluster's triangles, so compute selectivity improves 4x at 8 rows vs a
-    32-row tile while the DMA stays tile-granular.  PT_TPU_SUBROWS
-    overrides (0 disables = whole-tile sweeps)."""
+    """Sub-tile height for the predicated cluster sweeps: the slab cull
+    tests every sub-tile separately and only live sub-tiles sweep the
+    cluster's triangles.  PT_TPU_SUBROWS opts in (0 = whole-tile sweeps,
+    the DEFAULT): hardware A/Bs 2026-08-19 (docs/measurements_r3.jsonl)
+    measured the predication LOSING everywhere — streamed 327k-tri 1080p
+    0.952 vs 1.002 Mpaths/s (sub 16: 1.010), textured-81920 fused tier
+    0.749 vs 1.178, and the 100k-tri megakernel 1.097 vs round-2's 1.165 —
+    the per-(window, cluster) re-test plus the lost cross-window
+    pipelining outweigh the skipped triangle math at every shape tried
+    (sorted tiles are coherent enough that most windows enter the same
+    clusters anyway)."""
     env = os.environ.get("PT_TPU_SUBROWS")
-    sr = int(env) if env else 8
+    sr = int(env) if env else 0
     if sr <= 0 or sr >= rows:
         return rows
     return sr

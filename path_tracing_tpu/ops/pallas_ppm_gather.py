@@ -135,8 +135,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
             nh = jnp.minimum(hp_cnt - hb * HP_CHUNK, HP_CHUNK)
             n_sub = (nh + SUB - 1) // SUB
 
-            def compute_chunk(buf_slot, k_base, asize, qlo,
-                              nh=nh, n_sub=n_sub):
+            def compute_chunk(buf_slot, qlo, nh=nh, n_sub=n_sub):
                 """Join EV_CHUNK events (VMEM slot) x this cell's hitpoints.
 
                 Loop order: hitpoint sub-block OUTER, event block inner —
@@ -146,13 +145,6 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                 MXU matmul per (sub-block, event block) instead of ~25 VPU
                 broadcast ops."""
                 qf = qlo.astype(jnp.float32)               # hoisted scalar
-                rem = asize - k_base
-                # windows are 128-row granular, so blocks are either fully
-                # live or fully dead — the block loop runs ONLY the live
-                # ones (windows average well under a full chunk; the old
-                # statically-unrolled 8-block sweep burned ~a third of its
-                # pair math on dead blocks gated off by value)
-                n_live = jnp.clip((rem + 127) // 128, 1, EB)
 
                 def hp_sub(sidx, _):
                     r0 = pl.multiple_of(sidx * SUB, SUB)
@@ -332,20 +324,25 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
 
                     def chunk_partials(simple_path):
                         # WIDE (row, lane) partials carried in registers
-                        # over the (dynamic) live-block loop; ONE VMEM RMW
-                        # per channel per chunk.  Lane reduction and the
-                        # throughput multiply are deferred to once per hp
-                        # block.  Block 0 seeds the carry (always live:
-                        # callers gate on asize > 0), which also keeps the
-                        # carry derived from loads — Mosaic can't relayout
-                        # a broadcast-constant-initialized vector carry.
-                        acc = pair_block(0, simple_path)
-
-                        def jbody(j, acc):
+                        # over the STATICALLY UNROLLED block loop; ONE VMEM
+                        # RMW per channel per chunk.  Lane reduction and
+                        # the throughput multiply are deferred to once per
+                        # hp block.  A dynamic loop over only the live
+                        # blocks (n_live from the window size) was tried in
+                        # round 3 and REGRESSED the full pass 1.477 -> 1.285
+                        # Mphotons/s (docs/measurements_r3.jsonl ppm_fast):
+                        # the dynamic trip count defeats Mosaic's cross-
+                        # block software pipelining and forces dynamic
+                        # scratch indexing, costing more than the ~1/3 of
+                        # pair math the dead blocks burn.  Dead/alien
+                        # blocks are excluded by VALUE (the key gate — over-
+                        # fetched rows are other cells of the sorted table
+                        # or BIG-key padding).
+                        acc = list(pair_block(0, simple_path))
+                        for j in range(1, EB):
                             part = pair_block(j, simple_path)
-                            return tuple(a + p for a, p in zip(acc, part))
-
-                        acc = jax.lax.fori_loop(1, n_live, jbody, acc)
+                            for c in range(4):
+                                acc[c] = acc[c] + part[c]
                         for c in range(4):
                             accw_vmem[c, sub, :] += acc[c]
 
@@ -376,7 +373,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
 
                 @pl.when(asize > 0)
                 def _(slot=slot, astart=astart, asize=asize, qlo=qlo):
-                    compute_chunk(slot, 0, asize, qlo)
+                    compute_chunk(slot, qlo)
                     n_chunks = (asize + EV_CHUNK - 1) // EV_CHUNK
 
                     # rare multi-chunk windows drain synchronously (slot 2)
@@ -384,7 +381,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                                     qlo=qlo):
                         start_pair(2, astart + k * EB)
                         wait_pair(2, astart + k * EB)
-                        compute_chunk(2, k * EV_CHUNK, asize, qlo)
+                        compute_chunk(2, qlo)
                         return 0
 
                     jax.lax.fori_loop(1, n_chunks, extra_chunk, 0)

@@ -365,6 +365,39 @@ def test_streaming_kernels_match_xla(sweep, leaf, monkeypatch):
     assert (np.asarray(b_s) == (np.asarray(tr) == 0.0)).mean() > 0.999
 
 
+def test_dir_bits_sort_key_invariance(monkeypatch):
+    """PT_TPU_DIR_BITS refines the coherence-sort key (finer direction
+    bins between the octant and the origin Morton code); the sort is a
+    permutation + inverse, so renders must not change.  Runs the full
+    sorted dispatch (find_closest_hit, interpret-mode Pallas, sort forced
+    by PT_TPU_SORT_TRIS) under 0 vs 6 bits and asserts identical hits."""
+    import jax
+    import jax.numpy as jnp
+
+    from path_tracing_tpu.ops import intersect as I
+
+    monkeypatch.setenv("PT_TPU_INTERPRET", "1")
+    monkeypatch.setenv("PT_TPU_SORT_TRIS", "1")
+    p = load_any_scene(SPHERE_OBJ)
+    scene = p.to_device()
+    k = jax.random.PRNGKey(9)
+    B = 1024
+    ro = jax.random.uniform(k, (B, 3), minval=-0.8, maxval=0.8)
+    rd = jax.random.normal(jax.random.fold_in(k, 1), (B, 3))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+    outs = []
+    for bits in ("0", "6"):
+        monkeypatch.setenv("PT_TPU_DIR_BITS", bits)
+        jax.clear_caches()  # key shape is read at trace time
+        h = I.find_closest_hit(scene, ro, rd)
+        outs.append((np.asarray(h.t), np.asarray(h.hit),
+                     np.asarray(h.mtl.base_color)))
+    np.testing.assert_array_equal(outs[0][1], outs[1][1])
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-6)
+
+
 @pytest.mark.parametrize("sweep", ["vpu"])
 def test_streaming_kernels_with_uv(tmp_path, sweep, monkeypatch):
     """Streamed table carries the UV/tex columns too."""

@@ -64,11 +64,37 @@ STEPS = [
     ("vmem100k",        {}, _ns(config="3", gen_tris=100000, spp=16)),
     ("ppm_full",        {}, _ns(config="4")),
     ("config5_exact",   {}, _ns(config="5", resample=0, res="512x512")),
+    # ---- phase-2 A/Bs (run via --steps after the decision steps) ----
+    # finer direction bins in the coherence-sort key: the streamed sweep
+    # is bounded by clusters entered per tile-union frustum, and the
+    # 90-degree octant cone is its loosest term
+    ("stream_dir4",     {"PT_TPU_DIR_BITS": "4"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("stream_dir6",     {"PT_TPU_DIR_BITS": "6"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("stream_dir8",     {"PT_TPU_DIR_BITS": "8"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    # streamed leaf-size: 256 won pre-supers; with supers + per-window
+    # predication the slab-test/sweep tradeoff may have moved
+    ("stream_leaf128",  {"PT_TPU_LEAF_SIZE": "128"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("stream_leaf512",  {"PT_TPU_LEAF_SIZE": "512"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    # config5 cycle attribution (renders are WRONG — timing bisect only):
+    # eye-megakernel with the connection sweep removed / shadow removed /
+    # eval removed.  config5_ris minus these = cost of the removed part.
+    ("config5_no_connect", {"PT_TPU_BDPT_NEUTER": "connect"},
+     _ns(config="5")),
+    ("config5_no_shadow",  {"PT_TPU_BDPT_NEUTER": "shadow"},
+     _ns(config="5")),
+    ("config5_no_eval",    {"PT_TPU_BDPT_NEUTER": "eval"},
+     _ns(config="5")),
 ]
 
 _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_LEAF_SIZE", "PT_TPU_NO_PALLAS", "PT_TPU_NO_FUSED_SHADE",
-            "PT_TPU_NO_MEGAKERNEL")
+            "PT_TPU_NO_MEGAKERNEL", "PT_TPU_DIR_BITS", "PT_TPU_SORT_TRIS",
+            "PT_TPU_BDPT_NEUTER")
 
 
 def main() -> int:
