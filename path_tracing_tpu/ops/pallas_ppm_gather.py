@@ -42,6 +42,8 @@ hitpoints beyond that (never seen in practice: input.txt 512^2 occupies
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -102,6 +104,13 @@ def _pad_to(x, n, value=0):
 
 def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                    hp_vmem, ev_vmem, acc_vmem, accw_vmem, sems):
+    # PT_TPU_PPM_NEUTER (trace-time, BISECT ONLY — flux is wrong):
+    # 'pairs' skips all pair math (DMA/loop skeleton remains), 'eval'
+    # keeps the gates + MXU rotation but replaces the BSDF eval with a
+    # constant.  Used by tools/hw_sweep.py to attribute config4's cycles
+    # (the round-2 split — 0.26 s skeleton / 0.35 gates / 0.42 eval per
+    # 1M-photon pass — came from uncommitted /tmp variants).
+    neuter = os.environ.get("PT_TPU_PPM_NEUTER", "")
     hp_start = meta_ref[0, 0, 0]
     hp_cnt = meta_ref[0, 0, 1]
     r2 = r2_ref[0, 0]
@@ -192,6 +201,11 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                     all_simple = jnp.all((simple > 0.5) | ~live)
 
                     def pair_block(j, simple_path):
+                        if neuter == "pairs":
+                            z = (ev_vmem[buf_slot, j, 0, :]
+                                 .reshape(1, 128) * 0.0
+                                 + hpx.x * 0.0)
+                            return (z, z, z, z)
                         # cell keys ride in the event table as ONE f32 row
                         # (the GXY^2*GZ = 2^23 key domain is f32-exact; a
                         # raw int32 bitcast through f32 would flush keys
@@ -228,6 +242,11 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                         dist2 = dx * dx + dy * dy + dz * dz
                         ok = (in_cell & (dist2 < r2)
                               & (ndot > 0.01) & live)
+                        if neuter == "eval":
+                            # bisect: gates + MXU rotation, constant eval
+                            okf = ok.astype(jnp.float32)
+                            v = okf * (1e-6 + dws * 0.0 + wi_l.z * 0.0)
+                            return (efl.x * v, efl.y * v, efl.z * v, okf)
 
                         # ---- shared pair terms (eval_local with the
                         # per-hp factors hoisted to pack time, and the

@@ -89,12 +89,17 @@ STEPS = [
      _ns(config="5")),
     ("config5_no_eval",    {"PT_TPU_BDPT_NEUTER": "eval"},
      _ns(config="5")),
+    # config4 cycle attribution (flux is WRONG — timing bisect only)
+    ("ppm_skeleton",       {"PT_TPU_PPM_NEUTER": "pairs"},
+     _ns(config="4", fast=True)),
+    ("ppm_no_eval",        {"PT_TPU_PPM_NEUTER": "eval"},
+     _ns(config="4", fast=True)),
 ]
 
 _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_LEAF_SIZE", "PT_TPU_NO_PALLAS", "PT_TPU_NO_FUSED_SHADE",
             "PT_TPU_NO_MEGAKERNEL", "PT_TPU_DIR_BITS", "PT_TPU_SORT_TRIS",
-            "PT_TPU_BDPT_NEUTER")
+            "PT_TPU_BDPT_NEUTER", "PT_TPU_PPM_NEUTER")
 
 
 def main() -> int:
