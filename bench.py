@@ -155,6 +155,47 @@ def run(args) -> dict:
                 "value": round(rmse, 2), "unit": "rmse",
                 "vs_baseline": round(rmse / 20.0, 4)}
 
+    if args.config == "c5noise":
+        # config5 estimator QUALITY: per-pixel noise level (RMS of the
+        # half-difference of two independent seeds, clipped to display
+        # range) for the RIS variants, same shape/budget each.  Decides
+        # whether tile-local RIS at a smaller K matches global K=64 —
+        # the speed claim is only honest at matched noise.
+        import numpy as np
+
+        from path_tracing_tpu.integrators.bdpt import render_bdpt
+
+        W = H = 256
+        spp = args.spp or 8
+        scene, cam, cfg = setup("/root/reference/input.txt", W, H,
+                                delta_budget=4)
+
+        def noise(k_res, tile):
+            os.environ["PT_TPU_TILE_RIS"] = "1" if tile else "0"
+            jax.clear_caches()
+            c2 = cfg.with_(bdpt_resample_vertices=k_res)
+            f = jax.jit(lambda key: render_bdpt(
+                scene, cam, W, H, spp, 8, c2, key))
+            a = np.clip(np.asarray(f(jax.random.PRNGKey(11))), 0, 1)
+            b = np.clip(np.asarray(f(jax.random.PRNGKey(22))), 0, 1)
+            return float(np.sqrt(np.mean((a - b) ** 2) / 2.0))
+
+        try:
+            n_g64 = noise(64, False)
+            n_t64 = noise(64, True)
+            n_t16 = noise(16, True)
+            n_t32 = noise(32, True)
+        finally:
+            os.environ.pop("PT_TPU_TILE_RIS", None)
+        return {"metric": f"config5 RIS noise (256^2 spp{spp}; RMS "
+                          "half-diff of 2 seeds): tile-K16 / global-K64",
+                "value": round(n_t16 / max(n_g64, 1e-9), 3), "unit": "x",
+                "vs_baseline": round(n_t16 / max(n_g64, 1e-9), 3),
+                "noise_global64": round(n_g64, 5),
+                "noise_tile64": round(n_t64, 5),
+                "noise_tile32": round(n_t32, 5),
+                "noise_tile16": round(n_t16, 5)}
+
     c = int(args.config)
     if c in (0, 2, 3):
         from path_tracing_tpu.integrators.pt import render_pt

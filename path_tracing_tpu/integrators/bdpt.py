@@ -385,6 +385,105 @@ def resample_light_vertices(lv_flat: LightVertices, n_valid, K: int, key):
     return out, jnp.asarray(K, jnp.int32)
 
 
+def tile_ris_enabled() -> bool:
+    """Tile-local RIS for the BDPT eye megakernel (PT_TPU_TILE_RIS=0
+    reverts to one global table).  Round-3 bisect: the per-connection
+    shadow sweep is ~79% of config5 and scales linearly with K, so the
+    win comes from matching the proposal to each tile (distance +
+    orientation to the tile's primary footprint), which holds image noise
+    at a smaller K than one global table needs."""
+    import os
+
+    return os.environ.get("PT_TPU_TILE_RIS", "1") != "0"
+
+
+def tile_representatives(scene: Scene, cam: Camera, px, py,
+                         lanes_per_tile: int, n_tiles: int) -> jnp.ndarray:
+    """(T, 3) representative point per eye-megakernel tile: the tile's
+    center pixel's primary ray exits the scene AABB (closed scenes: the
+    far wall through that pixel — near-exact for the bounce-0 eye
+    vertices that dominate connections).  Only an importance heuristic;
+    unbiasedness never depends on it."""
+    B = px.shape[0]
+    mid = jnp.clip(jnp.arange(n_tiles) * lanes_per_tile
+                   + lanes_per_tile // 2, 0, B - 1)
+    h = jnp.full((n_tiles,), 0.5)
+    rd = primary_ray_dirs(cam, px[mid], py[mid], h, h)          # (T, 3)
+    eye = jnp.broadcast_to(cam.eye, rd.shape)
+    safe = jnp.where(jnp.abs(rd) < 1e-12,
+                     jnp.where(rd >= 0.0, 1e-12, -1e-12), rd)
+    t0 = (scene.scene_min[None] - eye) / safe
+    t1 = (scene.scene_max[None] - eye) / safe
+    t_exit = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_exit = jnp.maximum(t_exit, 1e-3)
+    return eye + rd * (0.95 * t_exit)[:, None]
+
+
+def resample_light_vertices_tiled(lv_flat: LightVertices, n_valid, K: int,
+                                  key, reps: jnp.ndarray):
+    """Per-TILE importance resampling of the light-vertex table (unbiased,
+    like ``resample_light_vertices``, with per-tile proposals).
+
+    For tile t with representative point ``reps[t]`` the weights are
+    ``lum_i * max(cos_i, 0.05) / max(dist2_i, r2min)`` — the geometric
+    shape of the connection integrand toward that tile — mixed 50/50 with
+    a uniform over the contributing rows.  K iid stratified draws per
+    tile; the RIS weight ``1/(K p_ti)`` is baked into the throughput, so
+    every tile's connection sum stays an unbiased estimator of the exact
+    O(V) sweep.  Rows are padded per tile to a multiple of 8 with invalid
+    entries (the kernels' v_ok gate skips them).
+
+    Returns (flat LightVertices with leaves shaped (T*Kp, ...), Kp).
+    """
+    T = reps.shape[0]
+    V = lv_flat.pos.shape[0]
+    in_prefix = jnp.arange(V) < n_valid
+    lum = jnp.sum(lv_flat.throughput
+                  * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1)
+    contrib = (in_prefix & lv_flat.valid & (lum > 0.0)
+               & jnp.isfinite(lum))
+    nc = jnp.sum(contrib.astype(jnp.int32))
+    has = nc > 0
+    nv = jnp.maximum(n_valid, 1)
+
+    d = reps[:, None, :] - lv_flat.pos[None, :, :]              # (T, V, 3)
+    dist2 = jnp.sum(d * d, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+    cos_l = jnp.sum(lv_flat.normal[None] * d, axis=-1) / dist
+    # light sources emit forward (f_l = 1, cone handled in-kernel); keep a
+    # floor so badly-oriented vertices stay drawable (variance, not bias)
+    geom = jnp.maximum(cos_l, 0.05) / jnp.maximum(dist2, 1e-4)
+    w = jnp.where(contrib[None], lum[None] * geom, 0.0)         # (T, V)
+    wsum = jnp.sum(w, axis=1, keepdims=True)
+    base = jnp.where(has,
+                     jnp.where(contrib, 0.5 / jnp.maximum(nc, 1), 0.0),
+                     jnp.where(in_prefix, 1.0 / nv, 0.0))[None]
+    p = base + jnp.where(wsum > 0.0, 0.5 * w / jnp.maximum(wsum, 1e-30),
+                         0.0)
+    cdf = jnp.cumsum(p, axis=1)                                  # (T, V)
+    u = (jnp.arange(K)[None] + jax.random.uniform(key, (T, K))) / K
+    tgt = u * cdf[:, -1:]
+    idx = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="right"))(
+        cdf, tgt)
+    idx = jnp.clip(idx, 0, V - 1)                                # (T, K)
+    p_sel = jnp.take_along_axis(p, idx, axis=1)
+    scale = 1.0 / (K * jnp.maximum(p_sel, 1e-30))                # (T, K)
+
+    Kp = -(-K // 8) * 8
+    pad = Kp - K
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((T, pad), idx.dtype)], axis=1)
+        scale = jnp.concatenate([scale, jnp.zeros((T, pad))], axis=1)
+    flat_idx = idx.reshape(-1)
+    out = jax.tree.map(lambda x: x[flat_idx], lv_flat)
+    sc = scale.reshape(-1)
+    valid = out.valid & (sc > 0.0)
+    out = dataclasses.replace(
+        out, throughput=out.throughput * sc[:, None], valid=valid)
+    return out, Kp
+
+
 def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
              n_valid, ev_pos, ev_normal, ev_tp, ev_mtl, wo_e, wo_s, eye_f,
              chunk: int):
@@ -871,15 +970,26 @@ def eye_pass(scene_used: Scene, lv, cam: Camera, cfg: RenderConfig,
         # ANY backend, and the megakernel's pltpu PRNG stream differs from
         # the XLA Threefry stream
         # persistent eye megakernel: the whole spp loop in one pallas_call
-        from ..ops.pallas_bdpt_eye import bdpt_eye_pallas
+        from ..ops.pallas_bdpt_eye import bdpt_eye_pallas, eye_tiling
         from ..ops.pallas_connect import pack_light_vertices
 
         lv_flat, n_valid = compact_flat(lv.flat())
-        if cfg.bdpt_resample_vertices > 0:
+        if cfg.bdpt_resample_vertices > 0 and tile_ris_enabled():
+            # tile-local RIS: one Kp-row table per megakernel tile
+            T, lanes = eye_tiling(B)
+            reps = tile_representatives(scene_used, cam, px, py, lanes, T)
+            lv_flat, Kp = resample_light_vertices_tiled(
+                lv_flat, n_valid, cfg.bdpt_resample_vertices,
+                jax.random.fold_in(key, 0x5E5A), reps)
+            lv_tab = pack_light_vertices(lv_flat).reshape(T, Kp, -1)
+            n_valid = jnp.asarray(Kp, jnp.int32)
+        elif cfg.bdpt_resample_vertices > 0:
             lv_flat, n_valid = resample_light_vertices(
                 lv_flat, n_valid, cfg.bdpt_resample_vertices,
                 jax.random.fold_in(key, 0x5E5A))
-        lv_tab = pack_light_vertices(lv_flat)
+            lv_tab = pack_light_vertices(lv_flat)
+        else:
+            lv_tab = pack_light_vertices(lv_flat)
         seed = jax.random.randint(
             jax.random.fold_in(key, 0x0202), (), 0,
             jnp.iinfo(jnp.int32).max, dtype=jnp.int32)

@@ -219,12 +219,26 @@ def _bdpt_eye_kernel(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, cam_ref,
     iters_out[...] = zero_i + it   # per-tile loop trip count (diagnostics)
 
 
+def eye_tiling(B: int):
+    """(n_tiles, lanes_per_tile) of the eye megakernel's pixel tiling —
+    exported so tile-local RIS (integrators/bdpt.py) builds its per-tile
+    vertex tables against the exact same grid."""
+    rows = mega_rows()
+    lanes = rows * LANE
+    return -(-B // lanes), lanes
+
+
 def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
                     px, py, spp: int, cfg, seed,
                     light_hit_scale: float, return_iters: bool = False):
     """Full BDPT eye pass (all spp samples) in ONE pallas_call.  Returns the
     per-pixel radiance SUM over spp (B, 3); with ``return_iters`` also the
-    per-tile while-loop trip counts (diagnostics)."""
+    per-tile while-loop trip counts (diagnostics).
+
+    ``lv_tab`` is the packed light-vertex table: (V, 40) shared by every
+    tile (global RIS / exact sweep), or (T, Kp, 40) with one Kp-row table
+    per megakernel tile (tile-local RIS — T must equal this call's grid,
+    see ``eye_tiling``)."""
     B = px.shape[0]
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
@@ -246,6 +260,16 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
     rows_total = pxt.shape[0]
     grid = rows_total // rows
 
+    tiled_lv = lv_tab.ndim == 3
+    if tiled_lv:
+        assert lv_tab.shape[0] == grid, (lv_tab.shape, grid)
+        lv_spec = pl.BlockSpec((1,) + lv_tab.shape[1:],
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        lv_spec = pl.BlockSpec(lv_tab.shape, lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)
+
     max_total = spp * cfg.max_eye_iters + cfg.max_eye_iters
     kernel = functools.partial(
         _bdpt_eye_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=cfg.clamp,
@@ -265,8 +289,7 @@ def bdpt_eye_pallas(scene: Scene, lv_tab: jnp.ndarray, n_valid, cam,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(sup_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(lv_tab.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            lv_spec,
             pl.BlockSpec((1, LANE), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -93,24 +93,33 @@ def connect_core(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, n_valid,
     wo_s_l = to_local(wo_s, et, eb, ev_n)
     alpha_e = roughness_to_alpha(m_e.rough)
 
+    # vertex-table accessor: (V, 40) shared table, or a (1, Kp, 40)
+    # per-tile block (tile-local RIS — ops/pallas_bdpt_eye.py)
+    if len(lv_ref.shape) == 3:
+        def lv(c, col):
+            return lv_ref[0, c, col]
+    else:
+        def lv(c, col):
+            return lv_ref[c, col]
+
     def body(c, acc):
-        lp = V3(lv_ref[c, 0], lv_ref[c, 1], lv_ref[c, 2])
-        ln = V3(lv_ref[c, 3], lv_ref[c, 4], lv_ref[c, 5])
-        ltp = V3(lv_ref[c, 6], lv_ref[c, 7], lv_ref[c, 8])
-        m_l = Mtl(V3(lv_ref[c, 9], lv_ref[c, 10], lv_ref[c, 11]),
-                  lv_ref[c, 12], lv_ref[c, 13], lv_ref[c, 14])
-        is_src = lv_ref[c, 15] > 0.0
-        cutoff = lv_ref[c, 16]
-        is_par = lv_ref[c, 17] > 0.0
-        emit = V3(lv_ref[c, 18], lv_ref[c, 19], lv_ref[c, 20])
-        mis_a = lv_ref[c, 24]
-        v_ok = lv_ref[c, 25] > 0.0
+        lp = V3(lv(c, 0), lv(c, 1), lv(c, 2))
+        ln = V3(lv(c, 3), lv(c, 4), lv(c, 5))
+        ltp = V3(lv(c, 6), lv(c, 7), lv(c, 8))
+        m_l = Mtl(V3(lv(c, 9), lv(c, 10), lv(c, 11)),
+                  lv(c, 12), lv(c, 13), lv(c, 14))
+        is_src = lv(c, 15) > 0.0
+        cutoff = lv(c, 16)
+        is_par = lv(c, 17) > 0.0
+        emit = V3(lv(c, 18), lv(c, 19), lv(c, 20))
+        mis_a = lv(c, 24)
+        v_ok = lv(c, 25) > 0.0
         # pack-time hoisted per-vertex shading frame (cols 26-36)
-        lt = V3(lv_ref[c, 26], lv_ref[c, 27], lv_ref[c, 28])
-        lb = V3(lv_ref[c, 29], lv_ref[c, 30], lv_ref[c, 31])
-        wo_t_l = V3(lv_ref[c, 32], lv_ref[c, 33], lv_ref[c, 34])
-        alpha_l = lv_ref[c, 35]
-        cos_cut = lv_ref[c, 36]
+        lt = V3(lv(c, 26), lv(c, 27), lv(c, 28))
+        lb = V3(lv(c, 29), lv(c, 30), lv(c, 31))
+        wo_t_l = V3(lv(c, 32), lv(c, 33), lv(c, 34))
+        alpha_l = lv(c, 35)
+        cos_cut = lv(c, 36)
 
         d_vec = lp - ev_pos
         dist2 = dot3(d_vec, d_vec)

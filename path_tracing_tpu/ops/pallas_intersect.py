@@ -1055,11 +1055,16 @@ def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
     2 light ball, 3 triangle; idx is the sphere row or PADDED triangle
     index.
 
-    Sub-tile predication: the cluster slab cull re-tests every
-    ``sub_rows()`` row window against ITS OWN best-t before sweeping, so a
-    chunk's triangle math only runs for the row windows that can still
-    improve — the big win for incoherent secondary rays, where one stray
-    lane used to drag the whole 32-row tile through the sweep."""
+    Sub-tile predication (``sub_rows()``, opt-in: measured losing): the
+    cluster slab cull re-tests every row window against ITS OWN best-t
+    before sweeping, so a chunk's triangle math only runs for windows
+    that can still improve.
+
+    ``PT_TPU_STREAM_NEUTER=sweep`` (trace-time, timing bisect ONLY —
+    results are wrong) keeps the full traversal + DMA skeleton but skips
+    the per-slot triangle math, attributing streamed-pass cycles between
+    the sweep and everything around it."""
+    neuter = os.environ.get("PT_TPU_STREAM_NEUTER", "")
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     rows = ox.shape[0]
@@ -1070,6 +1075,10 @@ def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
 
     def sweep_window(sl, nb, base, r0, nr, z):
         bt = t_out[r0:r0 + nr, :]
+        if neuter == "sweep":
+            # consume the DMA'd window with one data-dependent no-op
+            t_out[r0:r0 + nr, :] = bt + tri_vmem[sl, 0, 0] * 0.0
+            return z
         bi = idx_out[r0:r0 + nr, :]
         bk = kind_out[r0:r0 + nr, :]
         sx, sy, sz = rox[r0:r0 + nr], roy[r0:r0 + nr], roz[r0:r0 + nr]
@@ -1197,6 +1206,10 @@ def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
 
     def sweep_window(sl, nb, r0, nr, z):
         bb = blocked_out[r0:r0 + nr, :]
+        if os.environ.get("PT_TPU_STREAM_NEUTER", "") == "sweep":
+            blocked_out[r0:r0 + nr, :] = (
+                bb | (tri_vmem[sl, 0, 0] * 0.0).astype(jnp.int32))
+            return z
         sx, sy, sz = rox[r0:r0 + nr], roy[r0:r0 + nr], roz[r0:r0 + nr]
         sdx, sdy, sdz = rdx[r0:r0 + nr], rdy[r0:r0 + nr], rdz[r0:r0 + nr]
         mdw = md[r0:r0 + nr]

@@ -422,6 +422,43 @@ def test_resample_light_vertices_unbiased_weights():
                   < 0.05), (est, exact)
 
 
+def test_tile_resample_unbiased_weights():
+    """Tile-local RIS invariant: for EVERY tile's table, any linear
+    functional of throughput matches the exact valid-prefix sum in
+    expectation — regardless of how wrong the tile's geometric proposal
+    is (the weights only move variance)."""
+    from path_tracing_tpu.integrators.bdpt import (
+        compact_flat, resample_light_vertices_tiled, trace_light_paths)
+
+    p = load_scene(INPUT_TXT)
+    scene = p.to_device()
+    cfg = RenderConfig(eye_depth=3, light_depth=3, delta_budget=3)
+    lv = trace_light_paths(scene, cfg, scene.num_lights * 8, 8,
+                           jax.random.PRNGKey(3))
+    lv_flat, n_valid = compact_flat(lv.flat())
+    nv = int(n_valid)
+    assert nv > 16
+    exact = np.asarray(lv_flat.throughput)[:nv].sum(axis=0)
+
+    # 3 tiles with deliberately diverse (even far-outside) representatives
+    reps = jnp.asarray([[0.0, 0.0, 0.0], [4.0, 4.0, 4.0],
+                        [-50.0, 3.0, 9.0]])
+    K = 16
+    T = reps.shape[0]
+    acc = np.zeros((T, 3))
+    n = 400
+    for i in range(n):
+        out, kp = resample_light_vertices_tiled(
+            lv_flat, n_valid, K, jax.random.PRNGKey(2000 + i), reps)
+        tp = np.asarray(out.throughput).reshape(T, kp, 3)
+        acc += tp.sum(axis=1)
+    est = acc / n
+    for t in range(T):
+        assert np.all(np.abs(est[t] - exact)
+                      / np.maximum(np.abs(exact), 1e-6) < 0.05), (
+            t, est[t], exact)
+
+
 def test_resampled_render_unbiased():
     """End-to-end: renders with the K-culled vertex table average to the
     exact-sweep render (same expectation, O(K) connection cost).

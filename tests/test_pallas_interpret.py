@@ -318,6 +318,37 @@ def test_megakernels_interpret_statistical_and_deterministic(cornell,
     np.testing.assert_array_equal(b_pt, b_pt2)
 
 
+def test_bdpt_eye_tiled_table_identity(cornell, interp_env):
+    """Tile-local RIS plumbing: a (T, Vp, 40) table whose every tile holds
+    the SAME rows as the shared (Vp, 40) table must render bit-identically
+    (the only difference is the per-tile BlockSpec + the rank-3 accessor
+    in connect_core — the math may not change)."""
+    from path_tracing_tpu.integrators.bdpt import (compact_flat,
+                                                   trace_light_paths)
+    from path_tracing_tpu.ops.pallas_bdpt_eye import (bdpt_eye_pallas,
+                                                      eye_tiling)
+    from path_tracing_tpu.ops.pallas_connect import pack_light_vertices
+
+    scene, cam, cfg = cornell
+    interp_env("interpret")
+    key = jax.random.PRNGKey(5)
+    lv = trace_light_paths(scene, cfg, scene.num_lights * 4, 4, key)
+    lv_flat, n_valid = compact_flat(lv.flat())
+    lv_tab = pack_light_vertices(lv_flat)                  # (Vp, 40)
+
+    B = W * H
+    idx = jnp.arange(B, dtype=jnp.int32)
+    px, py = idx % W, idx // W
+    T, _ = eye_tiling(B)
+    tiled = jnp.broadcast_to(lv_tab[None], (T,) + lv_tab.shape)
+
+    a = bdpt_eye_pallas(scene, lv_tab, n_valid, cam, px, py, 2, cfg,
+                        jnp.int32(7), 1.0)
+    b = bdpt_eye_pallas(scene, tiled, n_valid, cam, px, py, 2, cfg,
+                        jnp.int32(7), 1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ppm_render_interpret_statistical(cornell, interp_env):
     """The Pallas gather uses collision-free lexicographic cell keys while
     the XLA hash grid reproduces the reference's in-neighborhood collision

@@ -94,12 +94,33 @@ STEPS = [
      _ns(config="4", fast=True)),
     ("ppm_no_eval",        {"PT_TPU_PPM_NEUTER": "eval"},
      _ns(config="4", fast=True)),
+    # smaller ray TILES for the streamed sweep: unlike sub-windows
+    # (which still DMA + loop per cluster at tile granularity and LOST),
+    # an 8/16-row tile skips the whole per-cluster DMA+sweep when its own
+    # union frustum misses — round-2 only measured 32/64/128 (32 best)
+    ("stream_rows8",       {"PT_TPU_STREAM_TILE_ROWS": "8"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("stream_rows16",      {"PT_TPU_STREAM_TILE_ROWS": "16"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    # streamed-pass cycle attribution (results WRONG — timing only):
+    # traversal + DMA skeleton with the triangle math removed
+    ("stream_no_sweep",    {"PT_TPU_STREAM_NEUTER": "sweep"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    # tile-local RIS (round 3): speed at 1080p + matched-noise quality
+    ("config5_tile64",     {"PT_TPU_TILE_RIS": "1"}, _ns(config="5")),
+    ("config5_global64",   {"PT_TPU_TILE_RIS": "0"}, _ns(config="5")),
+    ("config5_tile16",     {"PT_TPU_TILE_RIS": "1"},
+     _ns(config="5", resample=16)),
+    ("config5_tile32",     {"PT_TPU_TILE_RIS": "1"},
+     _ns(config="5", resample=32)),
+    ("c5noise",            {}, _ns(config="c5noise")),
 ]
 
 _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_LEAF_SIZE", "PT_TPU_NO_PALLAS", "PT_TPU_NO_FUSED_SHADE",
             "PT_TPU_NO_MEGAKERNEL", "PT_TPU_DIR_BITS", "PT_TPU_SORT_TRIS",
-            "PT_TPU_BDPT_NEUTER", "PT_TPU_PPM_NEUTER")
+            "PT_TPU_BDPT_NEUTER", "PT_TPU_PPM_NEUTER",
+            "PT_TPU_STREAM_NEUTER", "PT_TPU_TILE_RIS")
 
 
 def main() -> int:
