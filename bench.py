@@ -171,14 +171,21 @@ def run(args) -> dict:
                                 delta_budget=4)
 
         def noise(k_res, tile):
+            # mean over 3 independent seed PAIRS: a single half-difference
+            # RMS is itself noisy under firefly outliers (measured: it
+            # ranked tile-K64 above global-K64 while tile-K32 beat both)
             os.environ["PT_TPU_TILE_RIS"] = "1" if tile else "0"
             jax.clear_caches()
             c2 = cfg.with_(bdpt_resample_vertices=k_res)
             f = jax.jit(lambda key: render_bdpt(
                 scene, cam, W, H, spp, 8, c2, key))
-            a = np.clip(np.asarray(f(jax.random.PRNGKey(11))), 0, 1)
-            b = np.clip(np.asarray(f(jax.random.PRNGKey(22))), 0, 1)
-            return float(np.sqrt(np.mean((a - b) ** 2) / 2.0))
+            tot = 0.0
+            for s in (11, 33, 55):
+                a = np.clip(np.asarray(f(jax.random.PRNGKey(s))), 0, 1)
+                b = np.clip(np.asarray(f(jax.random.PRNGKey(s + 11))), 0,
+                            1)
+                tot += float(np.sqrt(np.mean((a - b) ** 2) / 2.0))
+            return tot / 3.0
 
         try:
             n_g64 = noise(64, False)

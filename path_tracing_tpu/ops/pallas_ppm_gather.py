@@ -136,8 +136,16 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
             cp = pltpu.make_async_copy(
                 hp_ref.at[pl.ds(base, HP_CHUNK)], hp_vmem, sems.at[0])
             cp.start()
-            # prefetch offset 0's first chunk while the hitpoints load
-            start_pair(0, meta_ref[0, 0, 2])
+            # EAGER window prefetch: start every non-empty offset window's
+            # first chunk NOW, each into its own slot, so the compute loop
+            # below waits ~max(DMA) once instead of sum-of-9 (round-3
+            # bisect: the serialized start/wait chain plus per-window
+            # stalls were 71% of a 1M-photon pass; empty windows also
+            # used to DMA a full stale chunk each)
+            for o in range(9):
+                @pl.when(meta_ref[0, 0, 11 + o] > 0)
+                def _(o=o):
+                    start_pair(o, meta_ref[0, 0, 2 + o])
             cp.wait()
             acc_vmem[...] = jnp.zeros_like(acc_vmem)
             accw_vmem[...] = jnp.zeros_like(accw_vmem)
@@ -377,30 +385,25 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                 jax.lax.fori_loop(0, n_sub, hp_sub, 0)
 
             # static offset loop: VMEM slot indices must be compile-time
-            # (dynamic-slot full-buffer reads miscompile on Mosaic)
+            # (dynamic-slot full-buffer reads miscompile on Mosaic); every
+            # window's first chunk is already in flight (eager prefetch
+            # above), one slot per offset
             for o in range(9):
-                slot = o & 1
                 astart = meta_ref[0, 0, 2 + o]
                 asize = meta_ref[0, 0, 11 + o]
                 qlo = meta_ref[0, 0, 20 + o]
 
-                # software pipeline: launch the next offset's first chunk
-                # before consuming this one's
-                if o < 8:
-                    start_pair(1 - slot, meta_ref[0, 0, 3 + o])
-                wait_pair(slot, astart)
-
                 @pl.when(asize > 0)
-                def _(slot=slot, astart=astart, asize=asize, qlo=qlo):
-                    compute_chunk(slot, qlo)
+                def _(o=o, astart=astart, asize=asize, qlo=qlo):
+                    wait_pair(o, astart)
+                    compute_chunk(o, qlo)
                     n_chunks = (asize + EV_CHUNK - 1) // EV_CHUNK
 
-                    # rare multi-chunk windows drain synchronously (slot 2)
-                    def extra_chunk(k, _, astart=astart, asize=asize,
-                                    qlo=qlo):
-                        start_pair(2, astart + k * EB)
-                        wait_pair(2, astart + k * EB)
-                        compute_chunk(2, qlo)
+                    # rare multi-chunk windows drain synchronously (slot 9)
+                    def extra_chunk(k, _, astart=astart, qlo=qlo):
+                        start_pair(9, astart + k * EB)
+                        wait_pair(9, astart + k * EB)
+                        compute_chunk(9, qlo)
                         return 0
 
                     jax.lax.fori_loop(1, n_chunks, extra_chunk, 0)
@@ -413,7 +416,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
             acc_vmem[:, 3:4] = jnp.sum(accw_vmem[3], axis=1, keepdims=True)
 
             cp = pltpu.make_async_copy(
-                acc_vmem, out_ref.at[pl.ds(base, HP_CHUNK)], sems.at[7])
+                acc_vmem, out_ref.at[pl.ds(base, HP_CHUNK)], sems.at[11])
             cp.start()
             cp.wait()
             return 0
@@ -583,10 +586,12 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
         out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
-            pltpu.VMEM((3, EV_CHUNK // 128, EV_ROWS, 128), jnp.float32),
+            # 10 event slots: one per eagerly-prefetched neighbor window
+            # (0..8) + one synchronous slot (9) for rare multi-chunk drains
+            pltpu.VMEM((10, EV_CHUNK // 128, EV_ROWS, 128), jnp.float32),
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
             pltpu.VMEM((4, HP_CHUNK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.SemaphoreType.DMA((12,)),
         ],
         interpret=interpret,
     )(meta, r2.reshape(1, 1), hp_tab, ev_tab)
