@@ -248,6 +248,28 @@ def _stream_layout(scene: Scene):
     vert_tab = jnp.zeros((Tp, 9)).at[dest].set(
         jnp.concatenate([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1))
 
+    # per-32-triangle-BLOCK AABBs (round 3): the streamed sweep bisect
+    # measured triangle math at 67% of a pass with tile-level selectivity
+    # saturated (sub-tiles, dir-bits, leaf sizes, tile heights all lost) —
+    # the remaining selectivity lives INSIDE a cluster's chunk, where one
+    # slab test per 32-triangle block can skip 4 rows x 8 slots of
+    # Moller-Trumbore.  Rows [min3, max3, pad2]; empty (padding) blocks
+    # keep the +-1e30 sentinels and never pass the slab test.
+    NB = Tp // TB
+    blk_id = dest // TB
+    vmin = jnp.minimum(jnp.minimum(scene.tri_v0, scene.tri_v1),
+                       scene.tri_v2)
+    vmax = jnp.maximum(jnp.maximum(scene.tri_v0, scene.tri_v1),
+                       scene.tri_v2)
+    bmin = jnp.full((NB, 3), 1e30).at[blk_id].min(vmin)
+    bmax = jnp.full((NB, 3), -1e30).at[blk_id].max(vmax)
+    nb_pad = (-NB) % SUB
+    blk_tab = jnp.concatenate([bmin, bmax, jnp.zeros((NB, 2))], axis=1)
+    blk_tab = jnp.concatenate(
+        [blk_tab, jnp.broadcast_to(
+            jnp.asarray([1e30] * 3 + [-1e30] * 3 + [0.0, 0.0]),
+            (nb_pad, 8))], axis=0)
+
     cl = jnp.concatenate([
         scene.tri_cluster_aabb,
         padded_start.astype(jnp.float32)[:, None],
@@ -255,7 +277,7 @@ def _stream_layout(scene: Scene):
     mc = max(SUB, ((mc0 + SUB - 1) // SUB) * SUB)
     cl = jnp.concatenate(
         [cl, jnp.zeros((mc - mc0, 8), cl.dtype)], 0)
-    return sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl
+    return sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl, blk_tab
 
 
 def _stream_can_block(scene: Scene, dielectrics_block: bool | None):
@@ -291,7 +313,8 @@ def pack_scene_stream_vpu(scene: Scene,
     the GPU ``check_visibility`` rule (geometric.cuh:293-325 with Ks=0);
     False = dielectrics pass, the CPU-oracle rule (matching
     ``ops.intersect.transmittance``).  The flag rides in slot lane 9."""
-    sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl = _stream_layout(scene)
+    (sph, ns, nl, nt, dest, Tp, attr_tab, vert_tab, cl,
+     blk_tab) = _stream_layout(scene)
 
     v0 = scene.tri_v0
     e1 = scene.tri_v1 - v0
@@ -303,7 +326,7 @@ def pack_scene_stream_vpu(scene: Scene,
     v_tab = S.reshape(Tp // VPU_TPR, 128)
     v_tab = jnp.concatenate(
         [v_tab, jnp.zeros((VPU_WINDOW, 128), v_tab.dtype)], 0)
-    return sph, v_tab, attr_tab, vert_tab, cl, ns, nl, nt
+    return sph, v_tab, attr_tab, vert_tab, cl, ns, nl, nt, blk_tab
 
 
 def super_table(cl_tab: jnp.ndarray):
@@ -1041,10 +1064,10 @@ def _nearest_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz,
     return could_hit
 
 
-def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
+def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
                                ox, oy, oz, dx, dy, dz,
                                t_out, idx_out, kind_out, tri_vmem, dma_sem,
-                               *, ns, nl, use_super):
+                               *, ns, nl, use_super, block_gate=False):
     """Nearest hit for HBM-streamed meshes: triangles stream as 8x16-lane
     slot rows (``pack_scene_stream_vpu``) and each slot sweeps one SUB-TILE
     of rays with the ``_mt_core`` arithmetic, best (t, idx, kind) carried
@@ -1084,23 +1107,58 @@ def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
         sx, sy, sz = rox[r0:r0 + nr], roy[r0:r0 + nr], roz[r0:r0 + nr]
         sdx, sdy, sdz = rdx[r0:r0 + nr], rdy[r0:r0 + nr], rdz[r0:r0 + nr]
 
-        def row_body(r, carry):
-            bt, bi, bk = carry
-            for k in range(VPU_TPR):
-                def rd(col, k=k, r=r):
-                    return tri_vmem[sl, r, k * VPU_SLOT + col]
+        def slot_rows(rbase, rcount, carry):
+            def row_body(r, carry):
+                bt, bi, bk = carry
+                for k in range(VPU_TPR):
+                    def rd(col, k=k, r=r):
+                        return tri_vmem[sl, r, k * VPU_SLOT + col]
 
-                ok, t = _vpu_slot_eval(rd, sx, sy, sz, sdx, sdy, sdz,
-                                       EPSILON)
-                t = jnp.where(ok, t, INF)
-                closer = t < bt
-                bt = jnp.where(closer, t, bt)
-                bi = jnp.where(closer, base + r * VPU_TPR + k, bi)
-                bk = jnp.where(closer, 3, bk)
-            return bt, bi, bk
+                    ok, t = _vpu_slot_eval(rd, sx, sy, sz, sdx, sdy, sdz,
+                                           EPSILON)
+                    t = jnp.where(ok, t, INF)
+                    closer = t < bt
+                    bt = jnp.where(closer, t, bt)
+                    bi = jnp.where(closer, base + r * VPU_TPR + k, bi)
+                    bk = jnp.where(closer, 3, bk)
+                return bt, bi, bk
 
-        bt, bi, bk = jax.lax.fori_loop(0, nb * VPU_ROWS_PER_BLK, row_body,
-                                       (bt, bi, bk))
+            return jax.lax.fori_loop(rbase, rbase + rcount, row_body,
+                                     carry)
+
+        if block_gate:
+            # per-32-triangle-block slab gate against the CARRIED best-t
+            # (round-3 bisect: triangle math is 67% of a streamed pass and
+            # tile-level selectivity is saturated — the leftover
+            # selectivity is inside the chunk)
+            ivx, ivy, ivz = _safe_inv3(sdx, sdy, sdz)
+            b0 = base // TB
+
+            def blk_body(j, carry):
+                bt = carry[0]
+                t0x = (blk_ref[b0 + j, 0] - sx) * ivx
+                t1x = (blk_ref[b0 + j, 3] - sx) * ivx
+                t0y = (blk_ref[b0 + j, 1] - sy) * ivy
+                t1y = (blk_ref[b0 + j, 4] - sy) * ivy
+                t0z = (blk_ref[b0 + j, 2] - sz) * ivz
+                t1z = (blk_ref[b0 + j, 5] - sz) * ivz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z),
+                                             EPSILON))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                could = (tn <= tf) & (tn < bt)
+                return jax.lax.cond(
+                    jnp.any(could),
+                    lambda c, j=j: slot_rows(j * VPU_ROWS_PER_BLK,
+                                             VPU_ROWS_PER_BLK, c),
+                    lambda c: c, carry)
+
+            bt, bi, bk = jax.lax.fori_loop(0, nb, blk_body, (bt, bi, bk))
+        else:
+            bt, bi, bk = slot_rows(0, nb * VPU_ROWS_PER_BLK, (bt, bi, bk))
         t_out[r0:r0 + nr, :] = bt
         idx_out[r0:r0 + nr, :] = bi
         kind_out[r0:r0 + nr, :] = bk
@@ -1186,10 +1244,11 @@ def _blocker_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz, md,
     return could_hit
 
 
-def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
+def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
                                ox, oy, oz, dx, dy, dz, maxd,
                                blocked_out, tri_vmem, dma_sem,
-                               *, ns, nl, blocks_col, use_super):
+                               *, ns, nl, blocks_col, use_super,
+                               block_gate=False):
     """any-hit in (1e-3, maxd) for HBM-streamed meshes; the per-triangle
     can-block flag rides in slot lane 9 (``pack_scene_stream_vpu``).
     Sub-tile predicated like the nearest kernel — a row window whose lanes
@@ -1204,7 +1263,7 @@ def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
         sph_ref, rox, roy, roz, rdx, rdy, rdz, md, blocked_out,
         ns, nl, blocks_col, MIN_D)
 
-    def sweep_window(sl, nb, r0, nr, z):
+    def sweep_window(sl, nb, base, r0, nr, z):
         bb = blocked_out[r0:r0 + nr, :]
         if os.environ.get("PT_TPU_STREAM_NEUTER", "") == "sweep":
             blocked_out[r0:r0 + nr, :] = (
@@ -1214,31 +1273,64 @@ def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref,
         sdx, sdy, sdz = rdx[r0:r0 + nr], rdy[r0:r0 + nr], rdz[r0:r0 + nr]
         mdw = md[r0:r0 + nr]
 
-        def row_body(r, bb):
-            for k in range(VPU_TPR):
-                def rd(col, k=k, r=r):
-                    return tri_vmem[sl, r, k * VPU_SLOT + col]
+        def slot_rows(rbase, rcount, bb):
+            def row_body(r, bb):
+                for k in range(VPU_TPR):
+                    def rd(col, k=k, r=r):
+                        return tri_vmem[sl, r, k * VPU_SLOT + col]
 
-                ok, t = _vpu_slot_eval(rd, sx, sy, sz, sdx, sdy, sdz,
-                                       MIN_D)
-                hit = ok & (t < mdw) & (rd(9) > 0.0)
-                bb = bb | hit.astype(jnp.int32)
-            return bb
+                    ok, t = _vpu_slot_eval(rd, sx, sy, sz, sdx, sdy, sdz,
+                                           MIN_D)
+                    hit = ok & (t < mdw) & (rd(9) > 0.0)
+                    bb = bb | hit.astype(jnp.int32)
+                return bb
 
-        blocked_out[r0:r0 + nr, :] = jax.lax.fori_loop(
-            0, nb * VPU_ROWS_PER_BLK, row_body, bb)
+            return jax.lax.fori_loop(rbase, rbase + rcount, row_body, bb)
+
+        if block_gate:
+            # per-block slab gate vs segment length + already-blocked
+            # (see the nearest kernel's note)
+            ivx, ivy, ivz = _safe_inv3(sdx, sdy, sdz)
+            b0 = base // TB
+
+            def blk_body(j, bb):
+                t0x = (blk_ref[b0 + j, 0] - sx) * ivx
+                t1x = (blk_ref[b0 + j, 3] - sx) * ivx
+                t0y = (blk_ref[b0 + j, 1] - sy) * ivy
+                t1y = (blk_ref[b0 + j, 4] - sy) * ivy
+                t0z = (blk_ref[b0 + j, 2] - sz) * ivz
+                t1z = (blk_ref[b0 + j, 5] - sz) * ivz
+                tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                             jnp.minimum(t0y, t1y)),
+                                 jnp.maximum(jnp.minimum(t0z, t1z),
+                                             MIN_D))
+                tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                             jnp.maximum(t0y, t1y)),
+                                 jnp.maximum(t0z, t1z))
+                could = (tn <= tf) & (tn < mdw) & (bb == 0)
+                return jax.lax.cond(
+                    jnp.any(could),
+                    lambda b, j=j: slot_rows(j * VPU_ROWS_PER_BLK,
+                                             VPU_ROWS_PER_BLK, b),
+                    lambda b: b, bb)
+
+            bb = jax.lax.fori_loop(0, nb, blk_body, bb)
+        else:
+            bb = slot_rows(0, nb * VPU_ROWS_PER_BLK, bb)
+        blocked_out[r0:r0 + nr, :] = bb
         return z
 
     def process_chunk(sl, nb, base, c, z):
         for st in range(rows // sr):
             r0 = st * sr
             if sr == rows:
-                z = sweep_window(sl, nb, r0, sr, z)
+                z = sweep_window(sl, nb, base, r0, sr, z)
             else:
                 live = jnp.any(could_hit(cl_ref, c, (r0, sr)))
                 z = jax.lax.cond(
                     live,
-                    lambda zz, r0=r0: sweep_window(sl, nb, r0, sr, zz),
+                    lambda zz, r0=r0: sweep_window(sl, nb, base, r0, sr,
+                                                   zz),
                     lambda zz: zz, z)
         return z
 
@@ -1307,8 +1399,19 @@ def _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab, vert_tab,
     return out
 
 
+def block_gate_on(blk_tab) -> bool:
+    """Per-32-triangle-block slab gating inside the streamed chunk sweep.
+    PT_TPU_BLOCK_GATE=0 disables (A/B); the VMEM-resident block table is
+    capped (rows beyond PT_TPU_BLOCK_GATE_CAP fall back to ungated sweeps
+    rather than overflowing VMEM — 64k blocks = 2 MB covers ~2M tris)."""
+    if os.environ.get("PT_TPU_BLOCK_GATE") == "0":
+        return False
+    cap = int(os.environ.get("PT_TPU_BLOCK_GATE_CAP", "65536"))
+    return blk_tab.shape[0] <= cap
+
+
 def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
-    sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt = \
+    sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt, blk_tab = \
         pack_scene_stream_vpu(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
@@ -1319,7 +1422,8 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
     grid = rows_total // rows
 
     kernel = functools.partial(_nearest_stream_kernel_vpu, ns=ns, nl=nl,
-                               use_super=use_super)
+                               use_super=use_super,
+                               block_gate=block_gate_on(blk_tab))
     shapes = [jnp.float32, jnp.int32, jnp.int32]
     outs = pl.pallas_call(
         kernel,
@@ -1329,6 +1433,7 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
             _whole(cl_tab),
             _whole(sup_tab),
+            _whole(blk_tab),
             *_ray_specs(6, rows),
         ],
         out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
@@ -1338,15 +1443,15 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
                    for dt in shapes],
         scratch_shapes=_stream_scratch(VPU_WINDOW),
         interpret=interpret,
-    )(sph_tab, a_tab, cl_tab, sup_tab, *tiled)
+    )(sph_tab, a_tab, cl_tab, sup_tab, blk_tab, *tiled)
     t, idx, kind = (o.reshape(-1)[:B] for o in outs)
     return _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab,
                                  vert_tab, with_uv)
 
 
 def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
-    sph_tab, a_tab, _, _, cl_tab, ns, nl, nt = pack_scene_stream_vpu(
-        scene, dielectrics_block=dielectrics_block)
+    sph_tab, a_tab, _, _, cl_tab, ns, nl, nt, blk_tab = \
+        pack_scene_stream_vpu(scene, dielectrics_block=dielectrics_block)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = p1.shape[0]
     rows = tile_rows(True)
@@ -1358,7 +1463,8 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
 
     kernel = functools.partial(
         _blocker_stream_kernel_vpu, ns=ns, nl=nl,
-        blocks_col=4 if dielectrics_block else 5, use_super=use_super)
+        blocks_col=4 if dielectrics_block else 5, use_super=use_super,
+        block_gate=block_gate_on(blk_tab))
     blocked = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1367,6 +1473,7 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
             pl.BlockSpec(memory_space=pl.ANY),
             _whole(cl_tab),
             _whole(sup_tab),
+            _whole(blk_tab),
             *_ray_specs(7, rows),
         ],
         out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
@@ -1374,7 +1481,7 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
         scratch_shapes=_stream_scratch(VPU_WINDOW),
         interpret=interpret,
-    )(sph_tab, a_tab, cl_tab, sup_tab, *tiled)
+    )(sph_tab, a_tab, cl_tab, sup_tab, blk_tab, *tiled)
     return blocked.reshape(-1)[:B] != 0
 
 

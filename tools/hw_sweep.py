@@ -113,6 +113,8 @@ STEPS = [
      _ns(config="5", resample=16)),
     ("config5_tile32",     {"PT_TPU_TILE_RIS": "1"},
      _ns(config="5", resample=32)),
+    ("config5_tile24",     {"PT_TPU_TILE_RIS": "1"},
+     _ns(config="5", resample=24)),
     ("c5noise",            {}, _ns(config="c5noise")),
 ]
 
