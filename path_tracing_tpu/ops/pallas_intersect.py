@@ -696,7 +696,8 @@ def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
         t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
         return blocked | ((t < INF) & (t > MIN_D)).astype(jnp.int32)
 
-    blocked = jax.lax.fori_loop(0, ns + nl, sph_body, blocked)
+    # light-ball rows (ns..ns+nl) carry hard-zero block flags — skip them
+    blocked = jax.lax.fori_loop(0, ns, sph_body, blocked)
 
     o_idx = _tile_octant(dx, dy, dz)
 
@@ -1209,7 +1210,7 @@ def _blocker_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz, md,
                             | ((t < INF) & (t > min_d)).astype(jnp.int32))
         return z
 
-    jax.lax.fori_loop(0, ns + nl, sph_body, jnp.int32(0))
+    jax.lax.fori_loop(0, ns, sph_body, jnp.int32(0))
 
     invx, invy, invz = _safe_inv3(rdx, rdy, rdz)
 

@@ -373,7 +373,8 @@ def shadow_blocked(sph_ref, tri_ref, cl_ref, sup_ref, p1: V3, p2: V3, *,
         t = jnp.where(v1, t1, jnp.where(v2, t2, INF))
         return blocked | ((t < INF) & (t > MIN_D)).astype(jnp.int32)
 
-    blocked = jax.lax.fori_loop(0, ns + nl, sph_body, blocked)
+    # light-ball rows (ns..ns+nl) carry hard-zero block flags — skip them
+    blocked = jax.lax.fori_loop(0, ns, sph_body, blocked)
 
     def safe_inv(d):
         return 1.0 / jnp.where(jnp.abs(d) < 1e-12,

@@ -116,13 +116,30 @@ STEPS = [
     ("config5_tile24",     {"PT_TPU_TILE_RIS": "1"},
      _ns(config="5", resample=24)),
     ("c5noise",            {}, _ns(config="c5noise")),
+    # per-32-tri-block AABB gating in the streamed chunk sweep (round 3)
+    ("stream_bgate_on",    {"PT_TPU_BLOCK_GATE": "1"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    ("stream_bgate_off",   {"PT_TPU_BLOCK_GATE": "0"},
+     _ns(config="3", gen_tris=249000, spp=4)),
+    # textured + vmem shapes ride the VMEM kernels (ungated) — re-rows
+    # for the round-3 record at the new defaults
+    ("tex50k_r3",          {}, _ns(config="3", gen_tris=50000,
+                                   gen_tex=True, spp=16)),
+    # VMEM-resident mesh tier: leaf 32 was never swept (64-vs-256 only)
+    ("vmem100k_leaf32",    {"PT_TPU_LEAF_SIZE": "32"},
+     _ns(config="3", gen_tris=100000, spp=16)),
+    # honest VMEM-megakernel row: gen 100000 rounds UP to 327,680 tris
+    # (above max_vmem_tris!) so the 'vmem100k' steps were actually
+    # streaming — 80000 rounds to 81,920, genuinely VMEM-resident
+    ("vmem80k",            {}, _ns(config="3", gen_tris=80000, spp=16)),
 ]
 
 _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_LEAF_SIZE", "PT_TPU_NO_PALLAS", "PT_TPU_NO_FUSED_SHADE",
             "PT_TPU_NO_MEGAKERNEL", "PT_TPU_DIR_BITS", "PT_TPU_SORT_TRIS",
             "PT_TPU_BDPT_NEUTER", "PT_TPU_PPM_NEUTER",
-            "PT_TPU_STREAM_NEUTER", "PT_TPU_TILE_RIS")
+            "PT_TPU_STREAM_NEUTER", "PT_TPU_TILE_RIS",
+            "PT_TPU_BLOCK_GATE")
 
 
 def main() -> int:
