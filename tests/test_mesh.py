@@ -313,18 +313,14 @@ def test_textured_scene_all_integrators():
     assert float(np.abs(lit[:, 0] - lit[:, 2]).max()) > 1e-4
 
 
-@pytest.mark.parametrize("sweep,leaf", [("vpu", None), ("vpu", 640),
-                                        ("vpu", 96)])
-def test_streaming_kernels_match_xla(sweep, leaf, monkeypatch):
+@pytest.mark.parametrize("leaf", [None, 640, 96])
+def test_streaming_kernels_match_xla(leaf):
     """HBM-streaming nearest-hit/blocker kernels (forced, interpret mode)
     vs the XLA brute force on the 2304-tri mesh.  ``leaf=640`` makes
     clusters span multiple DMA windows, exercising the straddling
     extra-chunk path (slot 2); ``leaf=96`` gives odd per-cluster block
     counts, so VPU window starts land on sublane offsets of 4 mod 8."""
-    monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
     import jax
-
-    jax.clear_caches()  # sweep choice is read at trace time
     import jax.numpy as jnp
 
     from path_tracing_tpu.ops import intersect as I
@@ -398,13 +394,9 @@ def test_dir_bits_sort_key_invariance(monkeypatch):
     np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-6)
 
 
-@pytest.mark.parametrize("sweep", ["vpu"])
-def test_streaming_kernels_with_uv(tmp_path, sweep, monkeypatch):
+def test_streaming_kernels_with_uv(tmp_path):
     """Streamed table carries the UV/tex columns too."""
-    monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
     import jax
-
-    jax.clear_caches()
     import jax.numpy as jnp
 
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas

@@ -236,8 +236,7 @@ def test_textured_fused_shade_matches_xla_path(tmp_path):
         ma, mr)
 
 
-@pytest.mark.parametrize("sweep", ["vpu"])
-def test_streaming_kernels_match_vmem_on_tpu(sweep, monkeypatch):
+def test_streaming_kernels_match_vmem_on_tpu():
     """HBM-streaming nearest-hit (force_stream) agrees with the VMEM-table
     kernel on real hardware (the CPU suite only covers interpret mode).
 
@@ -250,9 +249,6 @@ def test_streaming_kernels_match_vmem_on_tpu(sweep, monkeypatch):
 
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
     from path_tracing_tpu.scene.obj_loader import load_any_scene
-
-    monkeypatch.setenv("PT_TPU_STREAM_SWEEP", sweep)
-    jax.clear_caches()
 
     p = load_any_scene("tests/fixtures/sphere.obj")
     scene = p.to_device()

@@ -39,8 +39,7 @@ def interp_env():
     path and the interpret-mode Pallas path.  jit caches key on the traced
     program, and the env knobs are trace-time — clear between toggles."""
     saved = {k: os.environ.get(k)
-             for k in ("PT_TPU_INTERPRET", "PT_TPU_NO_PALLAS",
-                       "PT_TPU_STREAM_SWEEP")}
+             for k in ("PT_TPU_INTERPRET", "PT_TPU_NO_PALLAS")}
 
     def set_mode(mode: str):
         os.environ.pop("PT_TPU_INTERPRET", None)
@@ -117,8 +116,7 @@ def test_blocker_interpret_matches_xla(cornell, interp_env):
         np.testing.assert_array_equal(a, b)
 
 
-@pytest.mark.parametrize("sweep", ["vpu"])
-def test_stream_kernels_interpret_match_vmem(sweep, interp_env):
+def test_stream_kernels_interpret_match_vmem(interp_env):
     """The HBM-streaming sweep against the VMEM kernel on the same
     rays/mesh (force_stream pins streaming for a VMEM-sized mesh)."""
     from path_tracing_tpu.ops.pallas_intersect import nearest_hit_pallas
@@ -133,10 +131,7 @@ def test_stream_kernels_interpret_match_vmem(sweep, interp_env):
 
     interp_env("interpret")
     ref = nearest_hit_pallas(scene, ro, rd)
-    os.environ["PT_TPU_STREAM_SWEEP"] = sweep
-    jax.clear_caches()
     got = nearest_hit_pallas(scene, ro, rd, force_stream=True)
-    os.environ.pop("PT_TPU_STREAM_SWEEP", None)
 
     a, b = np.asarray(ref["t"]), np.asarray(got["t"])
     same_t = np.isclose(a, b, rtol=1e-5) | ((a >= 1e19) & (b >= 1e19))
@@ -173,20 +168,15 @@ def test_super_traversal_interpret_matches_xla(interp_env):
     interp_env("interpret")
     h_v = jax.tree.map(np.asarray, I.find_closest_hit(scene, ro, rd))
     h_s = nearest_hit_pallas(scene, ro, rd, force_stream=True)
-    os.environ["PT_TPU_STREAM_SWEEP"] = "vpu"
-    jax.clear_caches()
-    h_s2 = nearest_hit_pallas(scene, ro, rd, force_stream=True)
-    os.environ.pop("PT_TPU_STREAM_SWEEP", None)
 
     assert np.asarray(h_x.hit).mean() > 0.5  # rays actually hit the mesh
     same = np.isclose(h_x.t, h_v.t, rtol=1e-5) | \
         ((h_x.t >= 1e19) & (h_v.t >= 1e19))
     assert same.mean() > 0.999
-    for hs in (h_s, h_s2):
-        ts = np.asarray(hs["t"])
-        sv = np.isclose(h_v.t, ts, rtol=1e-5) | \
-            ((h_v.t >= 1e19) & (ts >= 1e19))
-        assert sv.mean() > 0.999
+    ts = np.asarray(h_s["t"])
+    sv = np.isclose(h_v.t, ts, rtol=1e-5) | \
+        ((h_v.t >= 1e19) & (ts >= 1e19))
+    assert sv.mean() > 0.999
     m = h_x.hit & same
     assert np.isclose(h_x.normal, h_v.normal, atol=1e-4)[m].mean() > 0.999
 

@@ -132,6 +132,9 @@ STEPS = [
     # (above max_vmem_tris!) so the 'vmem100k' steps were actually
     # streaming — 80000 rounds to 81,920, genuinely VMEM-resident
     ("vmem80k",            {}, _ns(config="3", gen_tris=80000, spp=16)),
+    # eye-megakernel tile height: 160 won +2% on the PT megakernel at
+    # 1080p but was never measured on the BDPT eye kernel
+    ("config5_rows160",    {"PT_TPU_MEGA_ROWS": "160"}, _ns(config="5")),
 ]
 
 _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
