@@ -30,13 +30,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.types import Scene
-from .math3 import EPSILON, PI
+from .math3 import EPSILON
 from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
                                interp_forced, pack_scene, super_table)
 from .pallas_shade import (Mtl, V3, build_frame, clamp3, dot3, eval_local,
-                           half_vector, normalize3, pdf_local,
-                           roughness_to_alpha, shadow_blocked, to_local,
-                           valid3, where3)
+                           half_vector, pdf_local, roughness_to_alpha,
+                           shadow_blocked, to_local, valid3, where3)
 
 PDF_OMEGA_FLOOR = 1e-6
 

@@ -53,7 +53,7 @@ from ..config import RenderConfig
 from ..scene.types import Scene
 from .frame import build_local_frame, world_to_local
 from .microfacet import roughness_to_alpha
-from .pallas_shade import (V3, fr_dielectric, fr_schlick, tr_d, tr_lambda,
+from .pallas_shade import (V3, fr_dielectric, fr_schlick, tr_lambda,
                            valid3, where3)
 
 # G^3 = 8.0M < 2^23 keeps every cell key exact in ONE f32 table row (f32
