@@ -2,7 +2,7 @@
 
 ``PT_TPU_INTERPRET=1`` runs every non-PRNG Pallas kernel in interpret mode,
 which executes on the CPU backend — so the kernel bodies (nearest-hit,
-blockers, both HBM-streaming sweeps, the fused shade/connect kernels and
+blockers, the HBM-streaming sweeps, the fused shade/connect kernels and
 the PPM gather) are correctness-tested on every CI run, not only when a
 TPU is attached (round-1 VERDICT: the TPU-gated tests were structurally
 blind whenever the chip was wedged).  The two persistent megakernels run
