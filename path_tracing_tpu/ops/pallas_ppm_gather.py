@@ -103,16 +103,18 @@ def _pad_to(x, n, value=0):
 
 
 def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
-                   hp_vmem, ev_vmem, acc_vmem, accw_vmem, sems):
+                   hp_vmem, ev_vmem, acc_vmem, accw_vmem, sems, *,
+                   cpg=1):
     # PT_TPU_PPM_NEUTER (trace-time, BISECT ONLY — flux is wrong):
     # 'pairs' skips all pair math (DMA/loop skeleton remains), 'eval'
     # keeps the gates + MXU rotation but replaces the BSDF eval with a
-    # constant.  Used by tools/hw_sweep.py to attribute config4's cycles
-    # (the round-2 split — 0.26 s skeleton / 0.35 gates / 0.42 eval per
+    # constant, 'windows' skips the ENTIRE per-offset machinery (no
+    # window DMA, waits, or loops — leaves hp DMA + zero/reduce/out per
+    # cell, isolating the per-cell base from the window machinery).
+    # Used by tools/hw_sweep.py to attribute config4's cycles (the
+    # round-2 split — 0.26 s skeleton / 0.35 gates / 0.42 eval per
     # 1M-photon pass — came from uncommitted /tmp variants).
     neuter = os.environ.get("PT_TPU_PPM_NEUTER", "")
-    hp_start = meta_ref[0, 0, 0]
-    hp_cnt = meta_ref[0, 0, 1]
     r2 = r2_ref[0, 0]
     EB = EV_CHUNK // 128
 
@@ -127,301 +129,366 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
     def wait_pair(slot, blk):
         ev_dma(slot, blk).wait()
 
-    @pl.when(hp_cnt > 0)
-    def _():
-        n_hp_blocks = (hp_cnt + HP_CHUNK - 1) // HP_CHUNK
+    # cells-per-grid-step batching: a Pallas grid step costs ~25 us
+    # of fixed machinery through this stack (measured r3: the
+    # 'windows' neuter left 0.406 s for a 16384-step grid of mostly
+    # trivial steps) — processing cpg cells per step divides it
+    def do_cell(ci):
+        hp_start = meta_ref[ci, 0, 0]
+        hp_cnt = meta_ref[ci, 0, 1]
 
-        def hp_block(hb, _):
-            base = hp_start + hb * HP_CHUNK
-            cp = pltpu.make_async_copy(
-                hp_ref.at[pl.ds(base, HP_CHUNK)], hp_vmem, sems.at[0])
-            cp.start()
-            # EAGER window prefetch: start every non-empty offset window's
-            # first chunk NOW, each into its own slot, so the compute loop
-            # below waits ~max(DMA) once instead of sum-of-9 (round-3
-            # bisect: the serialized start/wait chain plus per-window
-            # stalls were 71% of a 1M-photon pass; empty windows also
-            # used to DMA a full stale chunk each)
-            for o in range(9):
-                @pl.when(meta_ref[0, 0, 11 + o] > 0)
-                def _(o=o):
-                    start_pair(o, meta_ref[0, 0, 2 + o])
-            cp.wait()
-            acc_vmem[...] = jnp.zeros_like(acc_vmem)
-            accw_vmem[...] = jnp.zeros_like(accw_vmem)
-            nh = jnp.minimum(hp_cnt - hb * HP_CHUNK, HP_CHUNK)
-            n_sub = (nh + SUB - 1) // SUB
+        @pl.when(hp_cnt > 0)
+        def _():
+            n_hp_blocks = (hp_cnt + HP_CHUNK - 1) // HP_CHUNK
 
-            def compute_chunk(buf_slot, qlo, nh=nh, n_sub=n_sub):
-                """Join EV_CHUNK events (VMEM slot) x this cell's hitpoints.
+            def hp_block(hb, _):
+                base = hp_start + hb * HP_CHUNK
+                cp = pltpu.make_async_copy(
+                    hp_ref.at[pl.ds(base, HP_CHUNK)], hp_vmem, sems.at[0])
+                cp.start()
+                # EAGER window prefetch: start every non-empty offset window's
+                # first chunk NOW, each into its own slot, so the compute loop
+                # below waits ~max(DMA) once instead of sum-of-9 (round-3
+                # bisect: the serialized start/wait chain plus per-window
+                # stalls were 71% of a 1M-photon pass; empty windows also
+                # used to DMA a full stale chunk each)
+                if neuter != "windows":
+                    for o in range(9):
+                        @pl.when(meta_ref[ci, 0, 11 + o] > 0)
+                        def _(o=o):
+                            start_pair(o, meta_ref[ci, 0, 2 + o])
+                cp.wait()
+                acc_vmem[...] = jnp.zeros_like(acc_vmem)
+                accw_vmem[...] = jnp.zeros_like(accw_vmem)
+                nh = jnp.minimum(hp_cnt - hb * HP_CHUNK, HP_CHUNK)
+                n_sub = (nh + SUB - 1) // SUB
 
-                Loop order: hitpoint sub-block OUTER, event block inner —
-                the (SUB,1) hitpoint-column loads and the material-branch
-                decision hoist out of the event loop, and the frame
-                rotation + normal dot + wo.wi run as one (5*SUB,8)x(8,128)
-                MXU matmul per (sub-block, event block) instead of ~25 VPU
-                broadcast ops."""
-                qf = qlo.astype(jnp.float32)               # hoisted scalar
+                def make_sub(sidx, nh=nh):
+                    """Per-hitpoint-sub-block context: the (SUB,1) column
+                    loads, the (5*SUB,8) MXU operand, the live mask and the
+                    material-branch decision — everything that depends only
+                    on the sub-block, shared by both loop orders.  Returns
+                    (all_simple, run) where ``run(buf_slot, qf, simple_path)``
+                    joins the sub-block against one event chunk: the frame
+                    rotation + normal dot + wo.wi run as one
+                    (5*SUB,8)x(8,128) MXU matmul per event block instead of
+                    ~25 VPU broadcast ops."""
+                    if True:
+                        r0 = pl.multiple_of(sidx * SUB, SUB)
+                        sub = pl.ds(r0, SUB)
 
-                def hp_sub(sidx, _):
-                    r0 = pl.multiple_of(sidx * SUB, SUB)
-                    sub = pl.ds(r0, SUB)
+                        def col(f):
+                            return hp_vmem[sub, f:f + 1]  # (SUB, 1)
 
-                    def col(f):
-                        return hp_vmem[sub, f:f + 1]  # (SUB, 1)
+                        hpx = V3(col(0), col(1), col(2))
+                        wo_l = V3(col(12), col(13), col(14))
+                        rough, metal, eta = col(18), col(19), col(20)
+                        lam_wo = col(25)
+                        fs_pre = V3(col(26), col(27), col(28))
+                        simple = col(29)
+                        dif = V3(col(30), col(31), col(32))
+                        alpha2 = col(36)
+                        # one MXU operand per sub-block: row blocks
+                        # [tangent | bitangent | normal | normal-vs-en |
+                        #  wo-vs-ewi] contracted against the CONTIGUOUS event
+                        # rows [ewi; en; key; pad] (K = 8): the event operand
+                        # is a plain (8, 128) slice — no per-pair-block
+                        # reassembly — and zero A-columns 6..7 nullify the
+                        # key/pad rows.  Block 5 contracts the WORLD wo
+                        # against ewi: wo_l . wi_l == wo_world . ewi (frames
+                        # are orthonormal), which feeds the half-vector
+                        # algebra below without ever building wh's x/y
+                        zp5 = jnp.zeros((SUB, 5), jnp.float32)
+                        zp3 = jnp.zeros((SUB, 3), jnp.float32)
+                        a_rot = jnp.concatenate([
+                            jnp.concatenate([hp_vmem[sub, 6:9], zp5], 1),
+                            jnp.concatenate([hp_vmem[sub, 9:12], zp5], 1),
+                            jnp.concatenate([hp_vmem[sub, 3:6], zp5], 1),
+                            jnp.concatenate([zp3, hp_vmem[sub, 3:6],
+                                             jnp.zeros((SUB, 2), jnp.float32)],
+                                            1),
+                            jnp.concatenate([hp_vmem[sub, 33:36], zp5], 1),
+                        ], 0)                                  # (5*SUB, 8)
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (SUB, 1), 0) + r0
+                        live = rows < nh
+                        # fast path: every live row eta==0 & metal<=0
+                        # (fr_dielectric==1 identically; see pack-time
+                        # comment).  Cell-sorted hitpoints are spatially
+                        # coherent, so blocks are material-uniform in practice
+                        all_simple = jnp.all((simple > 0.5) | ~live)
 
-                    hpx = V3(col(0), col(1), col(2))
-                    wo_l = V3(col(12), col(13), col(14))
-                    rough, metal, eta = col(18), col(19), col(20)
-                    lam_wo = col(25)
-                    fs_pre = V3(col(26), col(27), col(28))
-                    simple = col(29)
-                    dif = V3(col(30), col(31), col(32))
-                    alpha2 = col(36)
-                    # one MXU operand per sub-block: row blocks
-                    # [tangent | bitangent | normal | normal-vs-en |
-                    #  wo-vs-ewi] contracted against the CONTIGUOUS event
-                    # rows [ewi; en; key; pad] (K = 8): the event operand
-                    # is a plain (8, 128) slice — no per-pair-block
-                    # reassembly — and zero A-columns 6..7 nullify the
-                    # key/pad rows.  Block 5 contracts the WORLD wo
-                    # against ewi: wo_l . wi_l == wo_world . ewi (frames
-                    # are orthonormal), which feeds the half-vector
-                    # algebra below without ever building wh's x/y
-                    zp5 = jnp.zeros((SUB, 5), jnp.float32)
-                    zp3 = jnp.zeros((SUB, 3), jnp.float32)
-                    a_rot = jnp.concatenate([
-                        jnp.concatenate([hp_vmem[sub, 6:9], zp5], 1),
-                        jnp.concatenate([hp_vmem[sub, 9:12], zp5], 1),
-                        jnp.concatenate([hp_vmem[sub, 3:6], zp5], 1),
-                        jnp.concatenate([zp3, hp_vmem[sub, 3:6],
-                                         jnp.zeros((SUB, 2), jnp.float32)],
-                                        1),
-                        jnp.concatenate([hp_vmem[sub, 33:36], zp5], 1),
-                    ], 0)                                  # (5*SUB, 8)
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (SUB, 1), 0) + r0
-                    live = rows < nh
-                    # fast path: every live row eta==0 & metal<=0
-                    # (fr_dielectric==1 identically; see pack-time
-                    # comment).  Cell-sorted hitpoints are spatially
-                    # coherent, so blocks are material-uniform in practice
-                    all_simple = jnp.all((simple > 0.5) | ~live)
+                    def run(buf_slot, qf, simple_path):
+                        def pair_block(j):
+                            if neuter == "pairs":
+                                z = (ev_vmem[buf_slot, j, 0, :]
+                                     .reshape(1, 128) * 0.0
+                                     + hpx.x * 0.0)
+                                return (z, z, z, z)
+                            # cell keys ride in the event table as ONE f32 row
+                            # (the GXY^2*GZ = 2^23 key domain is f32-exact; a
+                            # raw int32 bitcast through f32 would flush keys
+                            # < 2^23 as denormals).  Alien rows in over-fetched
+                            # 128-blocks (other cells of the sorted table) are
+                            # excluded by the key gate; the four flux/count
+                            # partials accumulate in REGISTERS across the
+                            # block loop (one VMEM RMW per chunk instead of
+                            # one per pair block — the RMWs were a measured
+                            # third of the kernel)
+                            keys = ev_vmem[buf_slot, j, 12, :].reshape(1, 128)
+                            in_cell = (keys >= qf) & (keys <= qf + (DZ_LO
+                                                                    + DZ_HI))
+                            ep = V3(ev_vmem[buf_slot, j, 0, :].reshape(1, 128),
+                                    ev_vmem[buf_slot, j, 1, :].reshape(1, 128),
+                                    ev_vmem[buf_slot, j, 2, :].reshape(1, 128))
+                            efl = V3(
+                                ev_vmem[buf_slot, j, 3, :].reshape(1, 128),
+                                ev_vmem[buf_slot, j, 4, :].reshape(1, 128),
+                                ev_vmem[buf_slot, j, 5, :].reshape(1, 128))
+                            rot = jax.lax.dot_general(
+                                a_rot, ev_vmem[buf_slot, j, 6:14, :],
+                                (((1,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                            wi_l = V3(rot[0:SUB], rot[SUB:2 * SUB],
+                                      rot[2 * SUB:3 * SUB])
+                            ndot = rot[3 * SUB:4 * SUB]
+                            dws = rot[4 * SUB:5 * SUB]     # wo_l . wi_l
 
-                    def pair_block(j, simple_path):
-                        if neuter == "pairs":
-                            z = (ev_vmem[buf_slot, j, 0, :]
-                                 .reshape(1, 128) * 0.0
-                                 + hpx.x * 0.0)
-                            return (z, z, z, z)
-                        # cell keys ride in the event table as ONE f32 row
-                        # (the GXY^2*GZ = 2^23 key domain is f32-exact; a
-                        # raw int32 bitcast through f32 would flush keys
-                        # < 2^23 as denormals).  Alien rows in over-fetched
-                        # 128-blocks (other cells of the sorted table) are
-                        # excluded by the key gate; the four flux/count
-                        # partials accumulate in REGISTERS across the
-                        # block loop (one VMEM RMW per chunk instead of
-                        # one per pair block — the RMWs were a measured
-                        # third of the kernel)
-                        keys = ev_vmem[buf_slot, j, 12, :].reshape(1, 128)
-                        in_cell = (keys >= qf) & (keys <= qf + (DZ_LO
-                                                                + DZ_HI))
-                        ep = V3(ev_vmem[buf_slot, j, 0, :].reshape(1, 128),
-                                ev_vmem[buf_slot, j, 1, :].reshape(1, 128),
-                                ev_vmem[buf_slot, j, 2, :].reshape(1, 128))
-                        efl = V3(
-                            ev_vmem[buf_slot, j, 3, :].reshape(1, 128),
-                            ev_vmem[buf_slot, j, 4, :].reshape(1, 128),
-                            ev_vmem[buf_slot, j, 5, :].reshape(1, 128))
-                        rot = jax.lax.dot_general(
-                            a_rot, ev_vmem[buf_slot, j, 6:14, :],
-                            (((1,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-                        wi_l = V3(rot[0:SUB], rot[SUB:2 * SUB],
-                                  rot[2 * SUB:3 * SUB])
-                        ndot = rot[3 * SUB:4 * SUB]
-                        dws = rot[4 * SUB:5 * SUB]     # wo_l . wi_l
+                            dx = hpx.x - ep.x              # (SUB, 128)
+                            dy = hpx.y - ep.y
+                            dz = hpx.z - ep.z
+                            dist2 = dx * dx + dy * dy + dz * dz
+                            ok = (in_cell & (dist2 < r2)
+                                  & (ndot > 0.01) & live)
+                            if neuter == "eval":
+                                # bisect: gates + MXU rotation, constant eval
+                                okf = ok.astype(jnp.float32)
+                                v = okf * (1e-6 + dws * 0.0 + wi_l.z * 0.0)
+                                return (efl.x * v, efl.y * v, efl.z * v, okf)
 
-                        dx = hpx.x - ep.x              # (SUB, 128)
-                        dy = hpx.y - ep.y
-                        dz = hpx.z - ep.z
-                        dist2 = dx * dx + dy * dy + dz * dz
-                        ok = (in_cell & (dist2 < r2)
-                              & (ndot > 0.01) & live)
-                        if neuter == "eval":
-                            # bisect: gates + MXU rotation, constant eval
-                            okf = ok.astype(jnp.float32)
-                            v = okf * (1e-6 + dws * 0.0 + wi_l.z * 0.0)
-                            return (efl.x * v, efl.y * v, efl.z * v, okf)
+                            # ---- shared pair terms (eval_local with the
+                            # per-hp factors hoisted to pack time, and the
+                            # half-vector reduced to its z component: both
+                            # wo_l and wi_l are unit, so |wo+wi|^2 = 2+2*dws
+                            # and wh.z = (wo.z+wi.z)/sqrt(l2); D and G need
+                            # only z's, and ci = wo.wh = (1+dws)/sqrt(l2)
+                            # (sign-flipped with wh's z<0 flip) ----
+                            s3z = wo_l.z + wi_l.z
+                            l2 = 2.0 + 2.0 * dws
+                            wh_ok = l2 >= 1e-12
+                            rl = jax.lax.rsqrt(jnp.maximum(l2, 1e-40))
+                            whz = s3z * rl
+                            ci = jnp.where(s3z < 0.0, -(1.0 + dws) * rl,
+                                           (1.0 + dws) * rl)
+                            zero_cos = (wo_l.z == 0.0) | (wi_l.z == 0.0)
+                            prod_z = wo_l.z * wi_l.z
+                            same = prod_z > 0.0
+                            # tr_d on wh.z^2 (flip-invariant)
+                            c2h = whz * whz
+                            s2h = jnp.maximum(0.0, 1.0 - c2h)
+                            t2h = s2h / (c2h + 1e-7)
+                            cos4 = c2h * c2h
+                            e = cos4 * (alpha2 + t2h * t2h)
+                            d = alpha2 / (jnp.pi * e)
+                            d = jnp.where(jnp.isinf(t2h) | (e < 1e-12), 0.0, d)
+                            # tr_lambda(wi) without the sqrt(s2):
+                            # (alpha*|tan|)^2 == alpha^2*s2/(z+1e-7)^2
+                            c2w = wi_l.z * wi_l.z
+                            s2w = jnp.maximum(0.0, 1.0 - c2w)
+                            den = wi_l.z + 1e-7
+                            a2t2 = alpha2 * s2w / (den * den)
+                            lam_wi = jnp.where(
+                                den == 0.0, 0.0,
+                                (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0)
+                            g = 1.0 / (1.0 + lam_wo + lam_wi)
+                            denom = jnp.maximum(
+                                4.0 * jnp.abs(wo_l.z) * jnp.abs(wi_l.z),
+                                1e-4)
+                            sg = d * g / denom
+                            zv = jnp.zeros_like(sg)
+                            dif_g = where3(prod_z < 0.0, V3(zv, zv, zv),
+                                           V3(dif.x + zv, dif.y + zv,
+                                              dif.z + zv))
 
-                        # ---- shared pair terms (eval_local with the
-                        # per-hp factors hoisted to pack time, and the
-                        # half-vector reduced to its z component: both
-                        # wo_l and wi_l are unit, so |wo+wi|^2 = 2+2*dws
-                        # and wh.z = (wo.z+wi.z)/sqrt(l2); D and G need
-                        # only z's, and ci = wo.wh = (1+dws)/sqrt(l2)
-                        # (sign-flipped with wh's z<0 flip) ----
-                        s3z = wo_l.z + wi_l.z
-                        l2 = 2.0 + 2.0 * dws
-                        wh_ok = l2 >= 1e-12
-                        rl = jax.lax.rsqrt(jnp.maximum(l2, 1e-40))
-                        whz = s3z * rl
-                        ci = jnp.where(s3z < 0.0, -(1.0 + dws) * rl,
-                                       (1.0 + dws) * rl)
-                        zero_cos = (wo_l.z == 0.0) | (wi_l.z == 0.0)
-                        prod_z = wo_l.z * wi_l.z
-                        same = prod_z > 0.0
-                        # tr_d on wh.z^2 (flip-invariant)
-                        c2h = whz * whz
-                        s2h = jnp.maximum(0.0, 1.0 - c2h)
-                        t2h = s2h / (c2h + 1e-7)
-                        cos4 = c2h * c2h
-                        e = cos4 * (alpha2 + t2h * t2h)
-                        d = alpha2 / (jnp.pi * e)
-                        d = jnp.where(jnp.isinf(t2h) | (e < 1e-12), 0.0, d)
-                        # tr_lambda(wi) without the sqrt(s2):
-                        # (alpha*|tan|)^2 == alpha^2*s2/(z+1e-7)^2
-                        c2w = wi_l.z * wi_l.z
-                        s2w = jnp.maximum(0.0, 1.0 - c2w)
-                        den = wi_l.z + 1e-7
-                        a2t2 = alpha2 * s2w / (den * den)
-                        lam_wi = jnp.where(
-                            den == 0.0, 0.0,
-                            (-1.0 + jnp.sqrt(1.0 + a2t2)) / 2.0)
-                        g = 1.0 / (1.0 + lam_wo + lam_wi)
-                        denom = jnp.maximum(
-                            4.0 * jnp.abs(wo_l.z) * jnp.abs(wi_l.z),
-                            1e-4)
-                        sg = d * g / denom
-                        zv = jnp.zeros_like(sg)
-                        dif_g = where3(prod_z < 0.0, V3(zv, zv, zv),
-                                       V3(dif.x + zv, dif.y + zv,
-                                          dif.z + zv))
+                            if simple_path:
+                                ci_cl = jnp.clip(ci, -1.0, 1.0)
+                                # fr_dielectric's NaN edges for eta=0
+                                nan_edge = (ci_cl >= 1.0) | (ci_cl == 0.0)
+                                outv = where3(
+                                    same, V3(dif_g.x + sg, dif_g.y + sg,
+                                             dif_g.z + sg), dif_g)
+                                kill = zero_cos | ~wh_ok
+                                brdf = where3(kill, V3(zv, zv, zv), outv)
+                                extra_drop = same & nan_edge
+                            else:
+                                smooth_diel = (eta > 0.0) & (rough < 0.001)
+                                fr = fr_dielectric(ci, jnp.ones_like(eta),
+                                                   eta)
+                                f = where3(metal > 0.0, fs_pre,
+                                           V3(fr, fr, fr))
+                                spec = V3(f.x * sg, f.y * sg, f.z * sg)
+                                outv = where3(
+                                    same, V3(dif_g.x + spec.x,
+                                             dif_g.y + spec.y,
+                                             dif_g.z + spec.z), dif_g)
+                                kill = zero_cos | smooth_diel | ~wh_ok
+                                brdf = where3(kill, V3(zv, zv, zv), outv)
+                                extra_drop = jnp.zeros_like(same)
 
-                        if simple_path:
-                            ci_cl = jnp.clip(ci, -1.0, 1.0)
-                            # fr_dielectric's NaN edges for eta=0
-                            nan_edge = (ci_cl >= 1.0) | (ci_cl == 0.0)
-                            outv = where3(
-                                same, V3(dif_g.x + sg, dif_g.y + sg,
-                                         dif_g.z + sg), dif_g)
-                            kill = zero_cos | ~wh_ok
-                            brdf = where3(kill, V3(zv, zv, zv), outv)
-                            extra_drop = same & nan_edge
-                        else:
-                            smooth_diel = (eta > 0.0) & (rough < 0.001)
-                            fr = fr_dielectric(ci, jnp.ones_like(eta),
-                                               eta)
-                            f = where3(metal > 0.0, fs_pre,
-                                       V3(fr, fr, fr))
-                            spec = V3(f.x * sg, f.y * sg, f.z * sg)
-                            outv = where3(
-                                same, V3(dif_g.x + spec.x,
-                                         dif_g.y + spec.y,
-                                         dif_g.z + spec.z), dif_g)
-                            kill = zero_cos | smooth_diel | ~wh_ok
-                            brdf = where3(kill, V3(zv, zv, zv), outv)
-                            extra_drop = jnp.zeros_like(same)
+                            if simple_path:
+                                # NaN/Inf are impossible here: d is 0-gated on
+                                # its e<1e-12 edge, g = 1/(1+lam) with lam in
+                                # [0, inf] (a2t2's 0/0 needs s2w==0 AND den==0,
+                                # which contradict), denom >= 1e-4, dif is a
+                                # finite pack-time product — only NEGATIVE
+                                # albedo (valid3's third clause) can occur
+                                nonneg = ((brdf.x >= 0.0) & (brdf.y >= 0.0)
+                                          & (brdf.z >= 0.0))
+                                okb = ok & nonneg & ~extra_drop
+                            else:
+                                okb = ok & valid3(brdf) & ~extra_drop
+                            okf = okb.astype(jnp.float32)
+                            # sanitize BEFORE the product: a NaN brdf on an
+                            # excluded pair would poison the row sum —
+                            # 0 * NaN = NaN.  (bx is already 0 on excluded
+                            # pairs, so the flux partials need no extra okf
+                            # factor; event tables are NaN-free by pack-time
+                            # zeroing, so efl * 0 stays 0.)
+                            bx = jnp.where(okb, brdf.x, 0.0)
+                            by = jnp.where(okb, brdf.y, 0.0)
+                            bz = jnp.where(okb, brdf.z, 0.0)
+                            return (efl.x * bx, efl.y * by, efl.z * bz, okf)
 
-                        if simple_path:
-                            # NaN/Inf are impossible here: d is 0-gated on
-                            # its e<1e-12 edge, g = 1/(1+lam) with lam in
-                            # [0, inf] (a2t2's 0/0 needs s2w==0 AND den==0,
-                            # which contradict), denom >= 1e-4, dif is a
-                            # finite pack-time product — only NEGATIVE
-                            # albedo (valid3's third clause) can occur
-                            nonneg = ((brdf.x >= 0.0) & (brdf.y >= 0.0)
-                                      & (brdf.z >= 0.0))
-                            okb = ok & nonneg & ~extra_drop
-                        else:
-                            okb = ok & valid3(brdf) & ~extra_drop
-                        okf = okb.astype(jnp.float32)
-                        # sanitize BEFORE the product: a NaN brdf on an
-                        # excluded pair would poison the row sum —
-                        # 0 * NaN = NaN.  (bx is already 0 on excluded
-                        # pairs, so the flux partials need no extra okf
-                        # factor; event tables are NaN-free by pack-time
-                        # zeroing, so efl * 0 stays 0.)
-                        bx = jnp.where(okb, brdf.x, 0.0)
-                        by = jnp.where(okb, brdf.y, 0.0)
-                        bz = jnp.where(okb, brdf.z, 0.0)
-                        return (efl.x * bx, efl.y * by, efl.z * bz, okf)
-
-                    def chunk_partials(simple_path):
-                        # WIDE (row, lane) partials carried in registers
-                        # over the STATICALLY UNROLLED block loop; ONE VMEM
-                        # RMW per channel per chunk.  Lane reduction and
-                        # the throughput multiply are deferred to once per
-                        # hp block.  A dynamic loop over only the live
-                        # blocks (n_live from the window size) was tried in
-                        # round 3 and REGRESSED the full pass 1.477 -> 1.285
-                        # Mphotons/s (docs/measurements_r3.jsonl ppm_fast):
-                        # the dynamic trip count defeats Mosaic's cross-
-                        # block software pipelining and forces dynamic
-                        # scratch indexing, costing more than the ~1/3 of
-                        # pair math the dead blocks burn.  Dead/alien
-                        # blocks are excluded by VALUE (the key gate — over-
-                        # fetched rows are other cells of the sorted table
-                        # or BIG-key padding).
-                        acc = list(pair_block(0, simple_path))
+                        # WIDE (row, lane) partials carried in registers over
+                        # the STATICALLY UNROLLED block loop; ONE VMEM RMW per
+                        # channel per chunk.  Lane reduction and the
+                        # throughput multiply are deferred to once per hp
+                        # block.  A dynamic loop over only the live blocks
+                        # (n_live from the window size) was tried in round 3
+                        # and REGRESSED the full pass 1.477 -> 1.285 Mphotons/s
+                        # (docs/measurements_r3.jsonl ppm_fast): the dynamic
+                        # trip count defeats Mosaic's cross-block software
+                        # pipelining and forces dynamic scratch indexing,
+                        # costing more than the ~1/3 of pair math the dead
+                        # blocks burn.  Dead/alien blocks are excluded by
+                        # VALUE (the key gate — over-fetched rows are other
+                        # cells of the sorted table or BIG-key padding).
+                        acc = list(pair_block(0))
                         for j in range(1, EB):
-                            part = pair_block(j, simple_path)
+                            part = pair_block(j)
                             for c in range(4):
                                 acc[c] = acc[c] + part[c]
                         for c in range(4):
                             accw_vmem[c, sub, :] += acc[c]
 
-                    @pl.when(all_simple)
-                    def _():
-                        chunk_partials(True)
+                    return all_simple, run
 
-                    @pl.when(~all_simple)
-                    def _():
-                        chunk_partials(False)
-                    return 0
+                def compute_chunk(buf_slot, qlo, n_sub=n_sub):
+                    """Join EV_CHUNK events (VMEM slot) x this cell's
+                    hitpoints, hitpoint sub-block OUTER / event block inner."""
+                    qf = qlo.astype(jnp.float32)               # hoisted scalar
 
-                jax.lax.fori_loop(0, n_sub, hp_sub, 0)
+                    def hp_sub(sidx, _):
+                        all_simple, run = make_sub(sidx)
 
-            # static offset loop: VMEM slot indices must be compile-time
-            # (dynamic-slot full-buffer reads miscompile on Mosaic); every
-            # window's first chunk is already in flight (eager prefetch
-            # above), one slot per offset
-            for o in range(9):
-                astart = meta_ref[0, 0, 2 + o]
-                asize = meta_ref[0, 0, 11 + o]
-                qlo = meta_ref[0, 0, 20 + o]
+                        @pl.when(all_simple)
+                        def _():
+                            run(buf_slot, qf, True)
 
-                @pl.when(asize > 0)
-                def _(o=o, astart=astart, asize=asize, qlo=qlo):
-                    wait_pair(o, astart)
-                    compute_chunk(o, qlo)
-                    n_chunks = (asize + EV_CHUNK - 1) // EV_CHUNK
-
-                    # rare multi-chunk windows drain synchronously (slot 9)
-                    def extra_chunk(k, _, astart=astart, qlo=qlo):
-                        start_pair(9, astart + k * EB)
-                        wait_pair(9, astart + k * EB)
-                        compute_chunk(9, qlo)
+                        @pl.when(~all_simple)
+                        def _():
+                            run(buf_slot, qf, False)
                         return 0
 
-                    jax.lax.fori_loop(1, n_chunks, extra_chunk, 0)
+                    jax.lax.fori_loop(0, n_sub, hp_sub, 0)
 
-            # deferred lane reduction + throughput multiply, whole block
-            for c, tpc in ((0, 21), (1, 22), (2, 23)):
-                acc_vmem[:, c:c + 1] = (
-                    jnp.sum(accw_vmem[c], axis=1, keepdims=True)
-                    * hp_vmem[:, tpc:tpc + 1])
-            acc_vmem[:, 3:4] = jnp.sum(accw_vmem[3], axis=1, keepdims=True)
+                # static offset loops: VMEM slot indices must be compile-time
+                # (dynamic-slot full-buffer reads miscompile on Mosaic); every
+                # window's first chunk is already in flight (eager prefetch
+                # above), one slot per offset
+                hp_outer = os.environ.get("PT_TPU_PPM_HP_OUTER") == "1"
+                if hp_outer and neuter != "windows":
+                    # A/B (round 3): hitpoint-sub OUTER x offsets INNER — the
+                    # per-sub column loads + MXU-operand build amortize over
+                    # all 9 windows instead of rebuilding per window
+                    for o in range(9):
+                        @pl.when(meta_ref[ci, 0, 11 + o] > 0)
+                        def _(o=o):
+                            wait_pair(o, meta_ref[ci, 0, 2 + o])
 
-            cp = pltpu.make_async_copy(
-                acc_vmem, out_ref.at[pl.ds(base, HP_CHUNK)], sems.at[11])
-            cp.start()
-            cp.wait()
-            return 0
+                    def hp_sub_all(sidx, _):
+                        all_simple, run = make_sub(sidx)
+                        for o in range(9):
+                            asize = meta_ref[ci, 0, 11 + o]
+                            qf = meta_ref[ci, 0, 20 + o].astype(jnp.float32)
 
-        jax.lax.fori_loop(0, n_hp_blocks, hp_block, 0)
+                            @pl.when((asize > 0) & all_simple)
+                            def _(o=o, qf=qf):
+                                run(o, qf, True)
+
+                            @pl.when((asize > 0) & ~all_simple)
+                            def _(o=o, qf=qf):
+                                run(o, qf, False)
+                        return 0
+
+                    jax.lax.fori_loop(0, n_sub, hp_sub_all, 0)
+                    # rare multi-chunk windows drain in the chunk-outer order
+                    for o in range(9):
+                        asize = meta_ref[ci, 0, 11 + o]
+
+                        @pl.when(asize > EV_CHUNK)
+                        def _(o=o, asize=asize):
+                            astart = meta_ref[ci, 0, 2 + o]
+                            qlo = meta_ref[ci, 0, 20 + o]
+                            n_chunks = (asize + EV_CHUNK - 1) // EV_CHUNK
+
+                            def extra_chunk(k, _):
+                                start_pair(9, astart + k * EB)
+                                wait_pair(9, astart + k * EB)
+                                compute_chunk(9, qlo)
+                                return 0
+
+                            jax.lax.fori_loop(1, n_chunks, extra_chunk, 0)
+
+                for o in range(9) if (neuter != "windows" and not hp_outer) \
+                        else ():
+                    astart = meta_ref[ci, 0, 2 + o]
+                    asize = meta_ref[ci, 0, 11 + o]
+                    qlo = meta_ref[ci, 0, 20 + o]
+
+                    @pl.when(asize > 0)
+                    def _(o=o, astart=astart, asize=asize, qlo=qlo):
+                        wait_pair(o, astart)
+                        compute_chunk(o, qlo)
+                        n_chunks = (asize + EV_CHUNK - 1) // EV_CHUNK
+
+                        # rare multi-chunk windows drain synchronously (slot 9)
+                        def extra_chunk(k, _, astart=astart, qlo=qlo):
+                            start_pair(9, astart + k * EB)
+                            wait_pair(9, astart + k * EB)
+                            compute_chunk(9, qlo)
+                            return 0
+
+                        jax.lax.fori_loop(1, n_chunks, extra_chunk, 0)
+
+                # deferred lane reduction + throughput multiply, whole block
+                for c, tpc in ((0, 21), (1, 22), (2, 23)):
+                    acc_vmem[:, c:c + 1] = (
+                        jnp.sum(accw_vmem[c], axis=1, keepdims=True)
+                        * hp_vmem[:, tpc:tpc + 1])
+                acc_vmem[:, 3:4] = jnp.sum(accw_vmem[3], axis=1, keepdims=True)
+
+                cp = pltpu.make_async_copy(
+                    acc_vmem, out_ref.at[pl.ds(base, HP_CHUNK)], sems.at[11])
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_hp_blocks, hp_block, 0)
+
+    for _ci in range(cpg):
+        do_cell(_ci)
 
 
 def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
@@ -571,11 +638,20 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
          qlo, jnp.zeros((cmax, 3), jnp.int32)],
         axis=1).reshape(cmax, 1, 32)
 
+    # cells per grid step (PT_TPU_PPM_CPG): amortizes the ~25 us fixed
+    # per-step cost over several cells; cmax is a multiple of any
+    # power-of-two cpg <= 16
+    import functools
+
+    cpg = int(os.environ.get("PT_TPU_PPM_CPG", "8"))
+    cpg = max(1, min(cpg, 16))
+    while cmax % cpg:
+        cpg //= 2
     out = pl.pallas_call(
-        _gather_kernel,
-        grid=(cmax,),
+        functools.partial(_gather_kernel, cpg=cpg),
+        grid=(cmax // cpg,),
         in_specs=[
-            pl.BlockSpec((1, 1, 32), lambda i: (i, 0, 0),
+            pl.BlockSpec((cpg, 1, 32), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),

@@ -94,6 +94,19 @@ STEPS = [
      _ns(config="4", fast=True)),
     ("ppm_no_eval",        {"PT_TPU_PPM_NEUTER": "eval"},
      _ns(config="4", fast=True)),
+    ("ppm_no_windows",     {"PT_TPU_PPM_NEUTER": "windows"},
+     _ns(config="4", fast=True)),
+    # cells-per-grid-step batching (round 3: the 'windows' neuter showed
+    # ~25 us of fixed machinery per grid step dominating the pass)
+    ("ppm_cpg1",           {"PT_TPU_PPM_CPG": "1"},
+     _ns(config="4", fast=True)),
+    ("ppm_cpg4",           {"PT_TPU_PPM_CPG": "4"},
+     _ns(config="4", fast=True)),
+    ("ppm_cpg16",          {"PT_TPU_PPM_CPG": "16"},
+     _ns(config="4", fast=True)),
+    # loop-nest A/B: hitpoint-sub outer x offsets inner
+    ("ppm_hp_outer",       {"PT_TPU_PPM_HP_OUTER": "1"},
+     _ns(config="4", fast=True)),
     # smaller ray TILES for the streamed sweep: unlike sub-windows
     # (which still DMA + loop per cluster at tile granularity and LOST),
     # an 8/16-row tile skips the whole per-cluster DMA+sweep when its own
@@ -142,7 +155,7 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_NO_MEGAKERNEL", "PT_TPU_DIR_BITS", "PT_TPU_SORT_TRIS",
             "PT_TPU_BDPT_NEUTER", "PT_TPU_PPM_NEUTER",
             "PT_TPU_STREAM_NEUTER", "PT_TPU_TILE_RIS",
-            "PT_TPU_BLOCK_GATE")
+            "PT_TPU_BLOCK_GATE", "PT_TPU_PPM_CPG", "PT_TPU_PPM_HP_OUTER")
 
 
 def main() -> int:
