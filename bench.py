@@ -174,7 +174,12 @@ def run(args) -> dict:
             # mean over 6 independent seed PAIRS: a single half-difference
             # RMS is itself noisy under firefly outliers (measured: 3
             # pairs still ranked K=24 above K=16 — inconsistent with
-            # monotonicity in K, i.e. estimator noise ~ +-0.03)
+            # monotonicity in K, i.e. estimator noise ~ +-0.03).
+            # Round 4: TRIMMED RMS — the top 0.1% of squared half-diffs
+            # (isolated fireflies, variance dominated by a handful of
+            # pixels even after the display clip) are dropped per pair,
+            # which is what stabilized the r3 estimator's +-0.015 spread
+            # enough to rank K values monotonically.
             os.environ["PT_TPU_TILE_RIS"] = "1" if tile else "0"
             jax.clear_caches()
             c2 = cfg.with_(bdpt_resample_vertices=k_res)
@@ -186,7 +191,10 @@ def run(args) -> dict:
                 a = np.clip(np.asarray(f(jax.random.PRNGKey(s))), 0, 1)
                 b = np.clip(np.asarray(f(jax.random.PRNGKey(s + 11))), 0,
                             1)
-                tot += float(np.sqrt(np.mean((a - b) ** 2) / 2.0))
+                sq = np.square(a - b).ravel()
+                keep = max(1, int(sq.size * 0.999))
+                trimmed = np.partition(sq, keep - 1)[:keep]
+                tot += float(np.sqrt(np.mean(trimmed) / 2.0))
             return tot / len(pairs)
 
         try:
@@ -197,8 +205,9 @@ def run(args) -> dict:
             n_t32 = noise(32, True)
         finally:
             os.environ.pop("PT_TPU_TILE_RIS", None)
-        return {"metric": f"config5 RIS noise (256^2 spp{spp}; RMS "
-                          "half-diff, 6 seed pairs): tile-K32 / global-K64",
+        return {"metric": f"config5 RIS noise (256^2 spp{spp}; 0.1%-trimmed"
+                          " RMS half-diff, 6 seed pairs): tile-K32 / "
+                          "global-K64",
                 "value": round(n_t32 / max(n_g64, 1e-9), 3), "unit": "x",
                 "vs_baseline": round(n_t32 / max(n_g64, 1e-9), 3),
                 "noise_global64": round(n_g64, 5),

@@ -204,7 +204,8 @@ def trace_light_paths(scene: Scene, cfg: RenderConfig, num_paths: int,
         k = rng.iter_key(jax.random.fold_in(key, 0x11F7), it)
         u = rng.uniforms(k, (P,), 3)
         lv = state["lv"]
-        hit = find_closest_hit(scene, state["ro"], state["rd"])
+        hit = find_closest_hit(scene, state["ro"], state["rd"],
+                               live=state["alive"])
         act = state["alive"] & hit.hit
         slot = state["slot"]
 
@@ -336,6 +337,19 @@ def compact_flat(lv_flat: LightVertices):
         jnp.sum(lv_flat.valid.astype(jnp.int32))
 
 
+def _ris_defensive_weight() -> float:
+    """Uniform-mixture weight of the RIS proposal (trace-time A/B knob,
+    round 4).  0.5 is the shipped default; smaller values bet harder on
+    the importance half (lower noise per draw where the heuristic is
+    right, heavier tails where it is wrong).  Unbiasedness holds for any
+    value in (0, 1] because the RIS weight divides by the exact mixture
+    p; the c5noise bench (0.1%-trimmed estimator) decides the default."""
+    import os
+
+    dw = float(os.environ.get("PT_TPU_RIS_DEFENSIVE", "0.5"))
+    return min(max(dw, 0.01), 1.0)
+
+
 def resample_light_vertices(lv_flat: LightVertices, n_valid, K: int, key):
     """Importance-cull the compacted vertex table to ``K`` rows by
     contribution-proportional resampling (unbiased).
@@ -370,10 +384,11 @@ def resample_light_vertices(lv_flat: LightVertices, n_valid, K: int, key):
     # where any support is unbiased because the estimate is zero).
     nc = jnp.sum(contrib.astype(jnp.int32))
     has = nc > 0
-    base = jnp.where(has, jnp.where(contrib, 0.5 / jnp.maximum(nc, 1), 0.0),
+    dw = _ris_defensive_weight()
+    base = jnp.where(has, jnp.where(contrib, dw / jnp.maximum(nc, 1), 0.0),
                      jnp.where(in_prefix, 1.0 / nv, 0.0))
-    p = base + jnp.where(wsum > 0.0, 0.5 * w / jnp.maximum(wsum, 1e-30),
-                         0.0)
+    p = base + jnp.where(wsum > 0.0,
+                         (1.0 - dw) * w / jnp.maximum(wsum, 1e-30), 0.0)
     cdf = jnp.cumsum(p)
     # stratified uniforms lower resampling variance at identical expectation
     u = (jnp.arange(K) + jax.random.uniform(key, (K,))) / K
@@ -455,11 +470,12 @@ def resample_light_vertices_tiled(lv_flat: LightVertices, n_valid, K: int,
     geom = jnp.maximum(cos_l, 0.05) / jnp.maximum(dist2, 1e-4)
     w = jnp.where(contrib[None], lum[None] * geom, 0.0)         # (T, V)
     wsum = jnp.sum(w, axis=1, keepdims=True)
+    dw = _ris_defensive_weight()
     base = jnp.where(has,
-                     jnp.where(contrib, 0.5 / jnp.maximum(nc, 1), 0.0),
+                     jnp.where(contrib, dw / jnp.maximum(nc, 1), 0.0),
                      jnp.where(in_prefix, 1.0 / nv, 0.0))[None]
-    p = base + jnp.where(wsum > 0.0, 0.5 * w / jnp.maximum(wsum, 1e-30),
-                         0.0)
+    p = base + jnp.where(wsum > 0.0,
+                         (1.0 - dw) * w / jnp.maximum(wsum, 1e-30), 0.0)
     cdf = jnp.cumsum(p, axis=1)                                  # (T, V)
     u = (jnp.arange(K)[None] + jax.random.uniform(key, (T, K))) / K
     tgt = u * cdf[:, -1:]
@@ -595,6 +611,7 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
         trans = shadow_factor(
             scene, p1, p2,
             dielectrics_block=cfg.shadow_dielectrics_block,
+            live=gate.reshape(-1),
         ).reshape(B, chunk, 3)
         gate &= jnp.any(trans > 0.0, axis=-1)
 
@@ -740,8 +757,8 @@ def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
                           (B, M, 3)).reshape(-1, 3)
     p2 = (lvg.pos + lvg.normal * EPSILON).reshape(-1, 3)
     trans = shadow_factor(scene, p1, p2,
-                          dielectrics_block=cfg.shadow_dielectrics_block
-                          ).reshape(B, M, 3)
+                          dielectrics_block=cfg.shadow_dielectrics_block,
+                          live=gate.reshape(-1)).reshape(B, M, 3)
     gate &= jnp.any(trans > 0.0, axis=-1)
 
     g_term = cos_e * cos_l / jnp.maximum(dist2, 1e-4)
@@ -812,7 +829,8 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
     def body(state, it):
         k = rng.iter_key(jax.random.fold_in(key, 0xE7E), it)
         u = rng.uniforms(k, (B,), 3)
-        hit = find_closest_hit(scene, state["ro"], state["rd"])
+        hit = find_closest_hit(scene, state["ro"], state["rd"],
+                               live=state["alive"])
         act = state["alive"] & hit.hit
         depth = state["depth"]
 

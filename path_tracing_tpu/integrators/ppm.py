@@ -139,7 +139,8 @@ def ppm_eye_trace(scene: Scene, cam: Camera, cfg: RenderConfig, px, py, key):
     def body(state, it):
         k = rng.iter_key(jax.random.fold_in(key, 0x9E2), it)
         u = rng.uniforms(k, (B,), 3)
-        hit = find_closest_hit(scene, state["ro"], state["rd"])
+        hit = find_closest_hit(scene, state["ro"], state["rd"],
+                               live=state["alive"])
         act = state["alive"] & hit.hit
         wo = -state["rd"]
 
@@ -222,7 +223,8 @@ def ppm_photon_trace(scene: Scene, cfg: RenderConfig, num_photons: int,
     def body(state, it):
         k = rng.iter_key(jax.random.fold_in(key, 0x408), it)
         u = rng.uniforms(k, (P,), 3)
-        hit = find_closest_hit(scene, state["ro"], state["rd"])
+        hit = find_closest_hit(scene, state["ro"], state["rd"],
+                               live=state["alive"])
         act = state["alive"] & hit.hit & ~hit.is_light \
             & (state["depth"] < cfg.light_depth)
 

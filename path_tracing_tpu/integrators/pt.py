@@ -105,7 +105,7 @@ def _light_emission_radiance(scene: Scene, hit_pos, depth):
 
 
 def _nee(scene: Scene, cfg: RenderConfig, hit, wo, throughput,
-         u_pick, u1, u2):
+         u_pick, u1, u2, live=None):
     """Next-event estimation at a non-delta vertex.  pt_cu.cu:125-201.
 
     Returns the (unmasked) NEE radiance contribution per lane — INCLUDING
@@ -148,7 +148,8 @@ def _nee(scene: Scene, cfg: RenderConfig, hit, wo, throughput,
     # (B,3): RGB when the scene carries legacy Ks materials, a broadcast
     # binary factor otherwise (geometric.cuh:293-325)
     tr = shadow_factor(scene, hit.pos + hit.normal * EPSILON, p2,
-                       dielectrics_block=cfg.shadow_dielectrics_block)
+                       dielectrics_block=cfg.shadow_dielectrics_block,
+                       live=live)
     tr_pos = jnp.any(tr > 0.0, axis=-1)
 
     brdf, pdf_b = bsdf_eval_pdf(hit.mtl, wo, wi, hit.normal)
@@ -199,7 +200,8 @@ def trace_paths(scene: Scene, cam: Camera, cfg: RenderConfig,
         it = state["it"]
         k = rng.iter_key(key, it)
         u = rng.uniforms(k, (B,), 6)
-        hit = find_closest_hit(scene, state["ro"], state["rd"])
+        hit = find_closest_hit(scene, state["ro"], state["rd"],
+                               live=state["alive"])
         act = state["alive"] & hit.hit
         wo = -state["rd"]
 
@@ -238,7 +240,7 @@ def trace_paths(scene: Scene, cam: Camera, cfg: RenderConfig,
                 & ((hit.mtl.metallic < 0.99) | (hit.mtl.roughness > 0.01)))
         if scene.num_lights > 0:
             nee = _nee(scene, cfg, hit, wo, state["throughput"],
-                       u[0], u[1], u[2])
+                       u[0], u[1], u[2], live=elig)
             nee = jnp.where(is_valid_color(nee)[:, None],
                             clamp_radiance(nee, cfg.clamp), 0.0)
             radiance = radiance + jnp.where(elig[:, None], nee, 0.0)
@@ -413,8 +415,9 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
                 if should_sort_rays(scene):
                     h = _sorted_call(
                         scene, ro, rd,
-                        lambda a, b: nearest_hit_pallas(scene, a, b,
-                                                        with_uv=True))
+                        lambda a, b, n_live=None: nearest_hit_pallas(
+                            scene, a, b, with_uv=True, n_live=n_live),
+                        live=alive)
                 else:
                     h = nearest_hit_pallas(scene, ro, rd, with_uv=True)
                 tex_id = h["tex"].astype(jnp.int32)
@@ -448,7 +451,7 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
             )
 
         # ---- one bounce for every live lane ----
-        hit = find_closest_hit(scene, ro, rd)
+        hit = find_closest_hit(scene, ro, rd, live=alive)
         act = alive & hit.hit
         wo = -rd
 
@@ -479,7 +482,8 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         elig = (act & ~hit.is_light & (hit.mtl.eta <= 0.0)
                 & ((hit.mtl.metallic < 0.99) | (hit.mtl.roughness > 0.01)))
         if scene.num_lights > 0:
-            nee = _nee(scene, cfg, hit, wo, throughput, u[0], u[1], u[2])
+            nee = _nee(scene, cfg, hit, wo, throughput, u[0], u[1], u[2],
+                       live=elig)
             nee = jnp.where(is_valid_color(nee)[:, None],
                             clamp_radiance(nee, cfg.clamp), 0.0)
             radiance = radiance + jnp.where(elig[:, None], nee, 0.0)

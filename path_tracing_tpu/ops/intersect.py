@@ -164,13 +164,32 @@ def should_sort_rays(scene) -> bool:
     return (not vmem_tris_ok(scene)) or scene.num_triangles >= thresh
 
 
-def _sorted_call(scene, ro, rd, fn, *extras):
-    """Run ``fn(ro, rd, *extras) -> pytree of (B,)-leading leaves`` on
-    coherence-sorted rays (extras sorted the same way) and unsort the
-    results."""
+def _sorted_call(scene, ro, rd, fn, *extras, live=None):
+    """Run ``fn(ro, rd, *extras, n_live=...) -> pytree of (B,)-leading
+    leaves`` on coherence-sorted rays (extras sorted the same way) and
+    unsort the results.
+
+    ``live`` (round 4, lane compaction): a (B,) bool mask of lanes whose
+    result is actually consumed.  Dead lanes sort to the END (behind every
+    live key) and ``n_live = sum(live)`` is forwarded to ``fn`` so the
+    Pallas kernels can skip whole ray tiles past the live boundary —
+    dead-lane tiles are stale incoherent rays that would otherwise pay a
+    full traversal each (at spp4 wavefront occupancy decays every bounce;
+    the sweep is the whole cost).  Results on dead lanes are the kernels'
+    init values (miss / unblocked); callers already mask them out."""
     b = ro.shape[0]
-    order = jnp.argsort(_coherence_key(scene, ro, rd))
-    out = fn(ro[order], rd[order], *(e[order] for e in extras))
+    key = _coherence_key(scene, ro, rd)
+    if live is None:
+        order = jnp.argsort(key)
+        out = fn(ro[order], rd[order], *(e[order] for e in extras))
+    else:
+        # the key uses at most 21 + PT_TPU_DIR_BITS(<=8) = 29 bits; bit 30
+        # is free for the dead flag, keeping one int32 argsort
+        order = jnp.argsort(
+            jnp.where(live, key, key | (jnp.int32(1) << 30)))
+        n_live = jnp.sum(live.astype(jnp.int32))
+        out = fn(ro[order], rd[order], *(e[order] for e in extras),
+                 n_live=n_live)
     inv = jnp.zeros((b,), order.dtype).at[order].set(
         jnp.arange(b, dtype=order.dtype))
     return jax.tree.map(lambda x: x[inv], out)
@@ -197,8 +216,15 @@ def use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
-    """Nearest hit over spheres, light balls and triangles. geometric.cuh:327-388."""
+def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
+                     live: jnp.ndarray | None = None) -> Hit:
+    """Nearest hit over spheres, light balls and triangles. geometric.cuh:327-388.
+
+    ``live`` (optional (B,) bool): lanes whose result is consumed.  Only
+    the coherence-sorted Pallas path uses it (tile compaction — dead lanes
+    sort last and whole dead tiles skip the sweep); other paths ignore it,
+    so passing it never changes which lanes are *valid*, only how much the
+    kernel works for lanes nobody reads."""
     B = ro.shape[0]
     ns, nl, nt = scene.num_spheres, scene.num_lights, scene.num_triangles
 
@@ -217,8 +243,10 @@ def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray) -> Hit:
             # incoherent tile)
             h = _sorted_call(
                 scene, ro, rd,
-                lambda a, b: nearest_hit_pallas(
-                    scene, a, b, with_uv=scene.has_textures))
+                lambda a, b, n_live=None: nearest_hit_pallas(
+                    scene, a, b, with_uv=scene.has_textures,
+                    n_live=n_live),
+                live=live)
         else:
             h = nearest_hit_pallas(scene, ro, rd,
                                    with_uv=scene.has_textures)
@@ -327,7 +355,8 @@ def _shadow_ray(p1: jnp.ndarray, p2: jnp.ndarray):
 
 
 def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
-                  dielectrics_block: bool) -> jnp.ndarray:
+                  dielectrics_block: bool,
+                  live: jnp.ndarray | None = None) -> jnp.ndarray:
     """Shadow-ray transmittance between two points, returned as (B,).
 
     ``dielectrics_block=True`` reproduces the GPU ``check_visibility``
@@ -348,9 +377,9 @@ def transmittance(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
         if should_sort_rays(scene):
             blocked = _sorted_call(
                 scene, p1, rd,
-                lambda a, b, m: any_blocker_pallas(scene, a, b, m,
-                                                   dielectrics_block),
-                dist - _SHADOW_EPS)
+                lambda a, b, m, n_live=None: any_blocker_pallas(
+                    scene, a, b, m, dielectrics_block, n_live=n_live),
+                dist - _SHADOW_EPS, live=live)
         else:
             blocked = any_blocker_pallas(scene, p1, rd, dist - _SHADOW_EPS,
                                          dielectrics_block)
@@ -445,7 +474,8 @@ def _transmittance_rgb_block(scene: Scene, p1: jnp.ndarray,
 
 
 def shadow_factor(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
-                  dielectrics_block: bool) -> jnp.ndarray:
+                  dielectrics_block: bool,
+                  live: jnp.ndarray | None = None) -> jnp.ndarray:
     """Shadow transmittance as (B, 3), RGB when the scene carries legacy
     Ks/refract materials (GPU-parity rule only; the CPU oracle's
     ``dielectrics_block=False`` rule is binary in the reference,
@@ -454,5 +484,5 @@ def shadow_factor(scene: Scene, p1: jnp.ndarray, p2: jnp.ndarray,
     if dielectrics_block and scene.has_legacy_ks:
         return transmittance_rgb(scene, p1, p2)
     return jnp.broadcast_to(
-        transmittance(scene, p1, p2, dielectrics_block)[:, None],
+        transmittance(scene, p1, p2, dielectrics_block, live=live)[:, None],
         (p1.shape[0], 3))

@@ -469,11 +469,8 @@ def _make_tri_test(rox, roy, roz, rdx, rdy, rdz, keep, with_uv):
     return tri_test
 
 
-def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
-                    dz, t_out, nx_out, ny_out, nz_out,
-                    bcr_out, bcg_out, bcb_out, rough_out, metal_out, eta_out,
-                    flags_out, *rest, ns, nl, nt, with_uv=False,
-                    use_super=False, sr=None):
+def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, *args, ns, nl, nt,
+                    with_uv=False, use_super=False, sr=None, compact=False):
     """Nearest hit + in-kernel attribute resolution (VMEM-resident tables;
     big meshes go through ``_nearest_stream_kernel_vpu``).
 
@@ -490,12 +487,64 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
     count >= 16, decided by the wrapper) run the whole triangle traversal
     once per ``sr``-row window so the slab cull tests each window against
     ITS OWN best-t and windows that can't improve skip the sweep.
+
+    ``compact``: an SMEM ``(1, 1)`` ``n_live`` scalar precedes the ray
+    refs; tiles wholly past the (dead-last sorted) live boundary write
+    miss defaults and skip every sweep (see ``_sorted_call``).
     """
-    uv_outs = rest
+    if compact:
+        nlive_ref = args[0]
+        args = args[1:]
+    ox, oy, oz, dx, dy, dz = args[:6]
+    (t_out, nx_out, ny_out, nz_out, bcr_out, bcg_out, bcb_out, rough_out,
+     metal_out, eta_out, flags_out) = args[6:17]
+    uv_outs = args[17:]
     rows = ox.shape[0]
     sr = sr or rows
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
+
+    if compact:
+        live_tile = pl.program_id(0) * rows * LANE < nlive_ref[0, 0]
+
+        @pl.when(~live_tile)
+        def _():
+            zf = jnp.zeros(rox.shape, jnp.float32)
+            t_out[...] = zf + INF
+            for ref in (nx_out, ny_out, nz_out, bcr_out, bcg_out, bcb_out,
+                        rough_out, metal_out, eta_out):
+                ref[...] = zf
+            flags_out[...] = jnp.zeros(rox.shape, jnp.int32)
+            if with_uv:
+                iu_o, iv_o, tex_o = uv_outs
+                iu_o[...] = zf
+                iv_o[...] = zf
+                tex_o[...] = zf - 1.0
+
+        @pl.when(live_tile)
+        def _():
+            _nearest_vmem_body(
+                sph_ref, tri_ref, cl_ref, sup_ref,
+                rox, roy, roz, rdx, rdy, rdz, dx, dy, dz,
+                t_out, nx_out, ny_out, nz_out, bcr_out, bcg_out, bcb_out,
+                rough_out, metal_out, eta_out, flags_out, uv_outs,
+                ns=ns, nl=nl, with_uv=with_uv, use_super=use_super,
+                rows=rows, sr=sr)
+        return
+    _nearest_vmem_body(
+        sph_ref, tri_ref, cl_ref, sup_ref,
+        rox, roy, roz, rdx, rdy, rdz, dx, dy, dz,
+        t_out, nx_out, ny_out, nz_out, bcr_out, bcg_out, bcb_out,
+        rough_out, metal_out, eta_out, flags_out, uv_outs,
+        ns=ns, nl=nl, with_uv=with_uv, use_super=use_super,
+        rows=rows, sr=sr)
+
+
+def _nearest_vmem_body(sph_ref, tri_ref, cl_ref, sup_ref,
+                       rox, roy, roz, rdx, rdy, rdz, dx, dy, dz,
+                       t_out, nx_out, ny_out, nz_out, bcr_out, bcg_out,
+                       bcb_out, rough_out, metal_out, eta_out, flags_out,
+                       uv_outs, *, ns, nl, with_uv, use_super, rows, sr):
 
     f0 = jnp.zeros(rox.shape, jnp.float32)
     best = dict(t=jnp.full(rox.shape, INF, jnp.float32),
@@ -661,19 +710,49 @@ def _nearest_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
         tex_out[...] = best["tex"]
 
 
-def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, ox, oy, oz, dx, dy,
-                    dz, maxd, blocked_out, *, ns, nl, nt, blocks_col,
-                    use_super=False, sr=None):
+def _blocker_kernel(sph_ref, tri_ref, cl_ref, sup_ref, *args, ns, nl, nt,
+                    blocks_col, use_super=False, sr=None, compact=False):
     """any-hit in (1e-3, maxd) honoring the per-prim blocks flag
     (VMEM-resident tables; big meshes go through
     ``_blocker_stream_kernel_vpu``).  Light balls are excluded by their
     blocks flag being 0.  ``sr``: sub-tile height for the cluster walk
-    (see ``_nearest_kernel``)."""
+    (see ``_nearest_kernel``); ``compact``: dead-lane tiles write 0
+    (unblocked) and skip every sweep (see ``_sorted_call``)."""
+    if compact:
+        nlive_ref = args[0]
+        args = args[1:]
+    ox, oy, oz, dx, dy, dz, maxd, blocked_out = args
     rows = ox.shape[0]
     sr = sr or rows
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     md = maxd[...]
+    if compact:
+        live_tile = pl.program_id(0) * rows * LANE < nlive_ref[0, 0]
+
+        @pl.when(~live_tile)
+        def _():
+            blocked_out[...] = jnp.zeros(rox.shape, jnp.int32)
+
+        @pl.when(live_tile)
+        def _():
+            _blocker_vmem_body(
+                sph_ref, tri_ref, cl_ref, sup_ref,
+                rox, roy, roz, rdx, rdy, rdz, dx, dy, dz, md, blocked_out,
+                ns=ns, nl=nl, blocks_col=blocks_col, use_super=use_super,
+                rows=rows, sr=sr)
+        return
+    _blocker_vmem_body(
+        sph_ref, tri_ref, cl_ref, sup_ref,
+        rox, roy, roz, rdx, rdy, rdz, dx, dy, dz, md, blocked_out,
+        ns=ns, nl=nl, blocks_col=blocks_col, use_super=use_super,
+        rows=rows, sr=sr)
+
+
+def _blocker_vmem_body(sph_ref, tri_ref, cl_ref, sup_ref,
+                       rox, roy, roz, rdx, rdy, rdz, dx, dy, dz, md,
+                       blocked_out, *, ns, nl, blocks_col, use_super,
+                       rows, sr):
     MIN_D = 1e-3
 
     # NB: carry int32, not bool — Mosaic miscompiles i1 vector loop carries
@@ -1066,9 +1145,8 @@ def _nearest_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz,
 
 
 def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
-                               ox, oy, oz, dx, dy, dz,
-                               t_out, idx_out, kind_out, tri_vmem, dma_sem,
-                               *, ns, nl, use_super, block_gate=False):
+                               *args, ns, nl, use_super, block_gate=False,
+                               compact=False):
     """Nearest hit for HBM-streamed meshes: triangles stream as 8x16-lane
     slot rows (``pack_scene_stream_vpu``) and each slot sweeps one SUB-TILE
     of rays with the ``_mt_core`` arithmetic, best (t, idx, kind) carried
@@ -1087,12 +1165,52 @@ def _nearest_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
     ``PT_TPU_STREAM_NEUTER=sweep`` (trace-time, timing bisect ONLY —
     results are wrong) keeps the full traversal + DMA skeleton but skips
     the per-slot triangle math, attributing streamed-pass cycles between
-    the sweep and everything around it."""
+    the sweep and everything around it.
+
+    ``compact`` (round 4, lane compaction): an extra SMEM ``(1, 1)``
+    ``n_live`` scalar precedes the ray refs; the caller sorted dead lanes
+    to the END of the batch, so any tile whose first lane is at or past
+    ``n_live`` holds ONLY dead lanes and skips the sphere sweep and the
+    whole traversal (outputs keep their miss init)."""
+    if compact:
+        nlive_ref, ox, oy, oz, dx, dy, dz = args[:7]
+        t_out, idx_out, kind_out, tri_vmem, dma_sem = args[7:]
+    else:
+        ox, oy, oz, dx, dy, dz = args[:6]
+        t_out, idx_out, kind_out, tri_vmem, dma_sem = args[6:]
     neuter = os.environ.get("PT_TPU_STREAM_NEUTER", "")
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     rows = ox.shape[0]
     sr = sub_rows(rows)
+    if compact:
+        t_out[...] = jnp.full(rox.shape, INF, jnp.float32)
+        idx_out[...] = jnp.full(rox.shape, -1, jnp.int32)
+        kind_out[...] = jnp.zeros(rox.shape, jnp.int32)
+        live_tile = pl.program_id(0) * rows * LANE < nlive_ref[0, 0]
+
+        @pl.when(live_tile)
+        def _():
+            _nearest_stream_body(
+                sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
+                rox, roy, roz, rdx, rdy, rdz, dx, dy, dz,
+                t_out, idx_out, kind_out, tri_vmem, dma_sem,
+                ns=ns, nl=nl, use_super=use_super, block_gate=block_gate,
+                rows=rows, sr=sr, neuter=neuter)
+        return
+    _nearest_stream_body(
+        sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
+        rox, roy, roz, rdx, rdy, rdz, dx, dy, dz,
+        t_out, idx_out, kind_out, tri_vmem, dma_sem,
+        ns=ns, nl=nl, use_super=use_super, block_gate=block_gate,
+        rows=rows, sr=sr, neuter=neuter)
+
+
+def _nearest_stream_body(sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
+                         rox, roy, roz, rdx, rdy, rdz, dx, dy, dz,
+                         t_out, idx_out, kind_out, tri_vmem, dma_sem,
+                         *, ns, nl, use_super, block_gate, rows, sr,
+                         neuter):
     could_hit = _nearest_stream_prologue(
         sph_ref, rox, roy, roz, rdx, rdy, rdz,
         t_out, idx_out, kind_out, ns, nl)
@@ -1246,19 +1364,51 @@ def _blocker_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz, md,
 
 
 def _blocker_stream_kernel_vpu(sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
-                               ox, oy, oz, dx, dy, dz, maxd,
-                               blocked_out, tri_vmem, dma_sem,
-                               *, ns, nl, blocks_col, use_super,
-                               block_gate=False):
+                               *args, ns, nl, blocks_col, use_super,
+                               block_gate=False, compact=False):
     """any-hit in (1e-3, maxd) for HBM-streamed meshes; the per-triangle
     can-block flag rides in slot lane 9 (``pack_scene_stream_vpu``).
     Sub-tile predicated like the nearest kernel — a row window whose lanes
-    are all blocked (or can't reach the cluster) skips the sweep."""
+    are all blocked (or can't reach the cluster) skips the sweep.
+    ``compact``: see ``_nearest_stream_kernel_vpu`` (dead-lane tiles skip
+    everything; their lanes report unblocked)."""
+    if compact:
+        nlive_ref, ox, oy, oz, dx, dy, dz, maxd = args[:8]
+        blocked_out, tri_vmem, dma_sem = args[8:]
+    else:
+        ox, oy, oz, dx, dy, dz, maxd = args[:7]
+        blocked_out, tri_vmem, dma_sem = args[7:]
     rox, roy, roz = ox[...], oy[...], oz[...]
     rdx, rdy, rdz = dx[...], dy[...], dz[...]
     md = maxd[...]
     rows = ox.shape[0]
     sr = sub_rows(rows)
+    if compact:
+        blocked_out[...] = jnp.zeros(rox.shape, jnp.int32)
+        live_tile = pl.program_id(0) * rows * LANE < nlive_ref[0, 0]
+
+        @pl.when(live_tile)
+        def _():
+            _blocker_stream_body(
+                sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
+                rox, roy, roz, rdx, rdy, rdz, dx, dy, dz, md,
+                blocked_out, tri_vmem, dma_sem,
+                ns=ns, nl=nl, blocks_col=blocks_col, use_super=use_super,
+                block_gate=block_gate, rows=rows, sr=sr)
+        return
+    _blocker_stream_body(
+        sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
+        rox, roy, roz, rdx, rdy, rdz, dx, dy, dz, md,
+        blocked_out, tri_vmem, dma_sem,
+        ns=ns, nl=nl, blocks_col=blocks_col, use_super=use_super,
+        block_gate=block_gate, rows=rows, sr=sr)
+
+
+def _blocker_stream_body(sph_ref, a_hbm, cl_ref, sup_ref, blk_ref,
+                         rox, roy, roz, rdx, rdy, rdz, dx, dy, dz, md,
+                         blocked_out, tri_vmem, dma_sem,
+                         *, ns, nl, blocks_col, use_super, block_gate,
+                         rows, sr):
     MIN_D = 1e-3
     could_hit = _blocker_stream_prologue(
         sph_ref, rox, roy, roz, rdx, rdy, rdz, md, blocked_out,
@@ -1411,7 +1561,14 @@ def block_gate_on(blk_tab) -> bool:
     return blk_tab.shape[0] <= cap
 
 
-def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
+def _nlive_smem(n_live):
+    """(1, 1) SMEM operand + spec for the lane-compaction scalar."""
+    arr = jnp.asarray(n_live, jnp.int32).reshape(1, 1)
+    spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return arr, spec
+
+
+def _nearest_hit_stream(scene, ro, rd, with_uv, interpret, n_live=None):
     sph_tab, a_tab, attr_tab, vert_tab, cl_tab, ns, nl, nt, blk_tab = \
         pack_scene_stream_vpu(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
@@ -1422,9 +1579,15 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
 
+    compact = n_live is not None
+    extra_in, extra_spec = ([], [])
+    if compact:
+        arr, spec = _nlive_smem(n_live)
+        extra_in, extra_spec = [arr], [spec]
     kernel = functools.partial(_nearest_stream_kernel_vpu, ns=ns, nl=nl,
                                use_super=use_super,
-                               block_gate=block_gate_on(blk_tab))
+                               block_gate=block_gate_on(blk_tab),
+                               compact=compact)
     shapes = [jnp.float32, jnp.int32, jnp.int32]
     outs = pl.pallas_call(
         kernel,
@@ -1435,6 +1598,7 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
             _whole(cl_tab),
             _whole(sup_tab),
             _whole(blk_tab),
+            *extra_spec,
             *_ray_specs(6, rows),
         ],
         out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
@@ -1444,13 +1608,14 @@ def _nearest_hit_stream(scene, ro, rd, with_uv, interpret):
                    for dt in shapes],
         scratch_shapes=_stream_scratch(VPU_WINDOW),
         interpret=interpret,
-    )(sph_tab, a_tab, cl_tab, sup_tab, blk_tab, *tiled)
+    )(sph_tab, a_tab, cl_tab, sup_tab, blk_tab, *extra_in, *tiled)
     t, idx, kind = (o.reshape(-1)[:B] for o in outs)
     return _resolve_stream_attrs(t, idx, kind, ro, rd, sph_tab, attr_tab,
                                  vert_tab, with_uv)
 
 
-def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
+def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret,
+                        n_live=None):
     sph_tab, a_tab, _, _, cl_tab, ns, nl, nt, blk_tab = \
         pack_scene_stream_vpu(scene, dielectrics_block=dielectrics_block)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
@@ -1462,10 +1627,15 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
 
+    compact = n_live is not None
+    extra_in, extra_spec = ([], [])
+    if compact:
+        arr, spec = _nlive_smem(n_live)
+        extra_in, extra_spec = [arr], [spec]
     kernel = functools.partial(
         _blocker_stream_kernel_vpu, ns=ns, nl=nl,
         blocks_col=4 if dielectrics_block else 5, use_super=use_super,
-        block_gate=block_gate_on(blk_tab))
+        block_gate=block_gate_on(blk_tab), compact=compact)
     blocked = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1475,6 +1645,7 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
             _whole(cl_tab),
             _whole(sup_tab),
             _whole(blk_tab),
+            *extra_spec,
             *_ray_specs(7, rows),
         ],
         out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
@@ -1482,13 +1653,13 @@ def _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block, interpret):
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
         scratch_shapes=_stream_scratch(VPU_WINDOW),
         interpret=interpret,
-    )(sph_tab, a_tab, cl_tab, sup_tab, blk_tab, *tiled)
+    )(sph_tab, a_tab, cl_tab, sup_tab, blk_tab, *extra_in, *tiled)
     return blocked.reshape(-1)[:B] != 0
 
 
 def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
                        with_uv: bool = False, force_stream: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False, n_live=None):
     """Returns a dict of per-ray hit attributes (all (B,)):
     t, normal xyz (flipped toward the ray), material fields, and flag
     (0 miss / 1 surface / 2 light ball).  ``with_uv`` adds interpolated
@@ -1496,10 +1667,15 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     untextured) for textured mesh scenes.
 
     Meshes beyond ``max_vmem_tris()`` automatically switch to the
-    HBM-streaming kernel (``force_stream`` pins it for tests)."""
+    HBM-streaming kernel (``force_stream`` pins it for tests).
+
+    ``n_live``: lane-compaction scalar — the caller sorted consumed lanes
+    first (``_sorted_call(live=...)``); tiles wholly past ``n_live``
+    report misses without sweeping anything."""
     interpret = interpret or interp_forced()
     if _stream_mode(scene.num_triangles, force_stream):
-        return _nearest_hit_stream(scene, ro, rd, with_uv, interpret)
+        return _nearest_hit_stream(scene, ro, rd, with_uv, interpret,
+                                   n_live=n_live)
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, with_uv=with_uv)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
@@ -1509,12 +1685,18 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
 
+    compact = n_live is not None
+    extra_in, extra_spec = ([], [])
+    if compact:
+        arr, spec = _nlive_smem(n_live)
+        extra_in, extra_spec = [arr], [spec]
     # sub-tile the cluster walk only for real meshes: tiny scenes (one
     # all-covering cluster) would pay the per-window loop overhead for
     # nothing
     sr = sub_rows(rows) if cl_tab.shape[0] >= 16 else None
     kernel = functools.partial(_nearest_kernel, ns=ns, nl=nl, nt=nt,
-                               with_uv=with_uv, use_super=use_super, sr=sr)
+                               with_uv=with_uv, use_super=use_super, sr=sr,
+                               compact=compact)
     shapes = [jnp.float32] * 10 + [jnp.int32]
     if with_uv:
         shapes += [jnp.float32] * 3
@@ -1526,6 +1708,7 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
             _whole(tri_tab),
             _whole(cl_tab),
             _whole(sup_tab),
+            *extra_spec,
             *_ray_specs(6, rows),
         ],
         out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
@@ -1534,7 +1717,7 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
                    for dt in shapes],
         interpret=interpret,
-    )(sph_tab, tri_tab, cl_tab, sup_tab, *tiled)
+    )(sph_tab, tri_tab, cl_tab, sup_tab, *extra_in, *tiled)
     names = ["t", "nx", "ny", "nz", "bcr", "bcg", "bcb", "rough", "metal",
              "eta", "flag"]
     if with_uv:
@@ -1544,12 +1727,14 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
 
 def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
                        max_d: jnp.ndarray, dielectrics_block: bool,
-                       force_stream: bool = False, interpret: bool = False):
-    """Returns blocked (B,) bool for shadow rays p1 + t*rd, t in (1e-3, max_d)."""
+                       force_stream: bool = False, interpret: bool = False,
+                       n_live=None):
+    """Returns blocked (B,) bool for shadow rays p1 + t*rd, t in (1e-3, max_d).
+    ``n_live``: lane compaction (see ``nearest_hit_pallas``)."""
     interpret = interpret or interp_forced()
     if _stream_mode(scene.num_triangles, force_stream):
         return _any_blocker_stream(scene, p1, rd, max_d, dielectrics_block,
-                                   interpret)
+                                   interpret, n_live=n_live)
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = p1.shape[0]
@@ -1560,10 +1745,16 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows
 
+    compact = n_live is not None
+    extra_in, extra_spec = ([], [])
+    if compact:
+        arr, spec = _nlive_smem(n_live)
+        extra_in, extra_spec = [arr], [spec]
     kernel = functools.partial(
         _blocker_kernel, ns=ns, nl=nl, nt=nt,
         blocks_col=4 if dielectrics_block else 5, use_super=use_super,
-        sr=sub_rows(rows) if cl_tab.shape[0] >= 16 else None)
+        sr=sub_rows(rows) if cl_tab.shape[0] >= 16 else None,
+        compact=compact)
     blocked = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -1572,11 +1763,12 @@ def any_blocker_pallas(scene: Scene, p1: jnp.ndarray, rd: jnp.ndarray,
             _whole(tri_tab),
             _whole(cl_tab),
             _whole(sup_tab),
+            *extra_spec,
             *_ray_specs(7, rows),
         ],
         out_specs=pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_total, LANE), jnp.int32),
         interpret=interpret,
-    )(sph_tab, tri_tab, cl_tab, sup_tab, *tiled)
+    )(sph_tab, tri_tab, cl_tab, sup_tab, *extra_in, *tiled)
     return blocked.reshape(-1)[:B] != 0

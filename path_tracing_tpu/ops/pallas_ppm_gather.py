@@ -104,7 +104,7 @@ def _pad_to(x, n, value=0):
 
 def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                    hp_vmem, ev_vmem, acc_vmem, accw_vmem, sems, *,
-                   cpg=1):
+                   cpg=1, ev_chunk=EV_CHUNK):
     # PT_TPU_PPM_NEUTER (trace-time, BISECT ONLY — flux is wrong):
     # 'pairs' skips all pair math (DMA/loop skeleton remains), 'eval'
     # keeps the gates + MXU rotation but replaces the BSDF eval with a
@@ -116,7 +116,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
     # 1M-photon pass — came from uncommitted /tmp variants).
     neuter = os.environ.get("PT_TPU_PPM_NEUTER", "")
     r2 = r2_ref[0, 0]
-    EB = EV_CHUNK // 128
+    EB = ev_chunk // 128
 
     def ev_dma(slot, blk):
         return pltpu.make_async_copy(
@@ -437,11 +437,11 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                     for o in range(9):
                         asize = meta_ref[ci, 0, 11 + o]
 
-                        @pl.when(asize > EV_CHUNK)
+                        @pl.when(asize > ev_chunk)
                         def _(o=o, asize=asize):
                             astart = meta_ref[ci, 0, 2 + o]
                             qlo = meta_ref[ci, 0, 20 + o]
-                            n_chunks = (asize + EV_CHUNK - 1) // EV_CHUNK
+                            n_chunks = (asize + ev_chunk - 1) // ev_chunk
 
                             def extra_chunk(k, _):
                                 start_pair(9, astart + k * EB)
@@ -461,7 +461,7 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                     def _(o=o, astart=astart, asize=asize, qlo=qlo):
                         wait_pair(o, astart)
                         compute_chunk(o, qlo)
-                        n_chunks = (asize + EV_CHUNK - 1) // EV_CHUNK
+                        n_chunks = (asize + ev_chunk - 1) // ev_chunk
 
                         # rare multi-chunk windows drain synchronously (slot 9)
                         def extra_chunk(k, _, astart=astart, qlo=qlo):
@@ -526,9 +526,14 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # so truncating the order to a static cap compacts the tensor for free
     # (the argsort over all E keys is ~0.07 s; the row gather + transpose
     # below are the expensive part and now run at the capped size).
+    # events per DMA'd chunk — PT_TPU_PPM_EVCHUNK A/B (trace-time): 512
+    # halves dead-lane over-fetch for sub-chunk windows but pushes more
+    # windows onto the synchronous multi-chunk drain; 2048 the reverse
+    ev_chunk = int(os.environ.get("PT_TPU_PPM_EVCHUNK", str(EV_CHUNK)))
+    ev_chunk = max(128, (ev_chunk // 128) * 128)
     frac = getattr(cfg, "ppm_event_cap_frac", None)
     frac = 1.0 if frac is None else min(max(float(frac), 0.0), 1.0)
-    cap = min(E, max(EV_CHUNK, int(-(-E * frac // EV_CHUNK)) * EV_CHUNK))
+    cap = min(E, max(ev_chunk, int(-(-E * frac // ev_chunk)) * ev_chunk))
     eorder = jnp.argsort(ekey)[:cap]
     skey = ekey[eorder]
     n_valid_ev = jnp.sum(events.valid.astype(jnp.int32))
@@ -538,7 +543,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # valid window; their values may be NaN (dead-photon flux) and 0*NaN
     # would poison the row sums — zero them here (fused into the gather)
     ev_mat = jnp.where((skey < BIG)[:, None], ev_mat, 0.0)
-    Ep = ((cap + EV_CHUNK - 1) // EV_CHUNK + 1) * EV_CHUNK
+    Ep = ((cap + ev_chunk - 1) // ev_chunk + 1) * ev_chunk
     # keys travel inside the event table as ONE f32 row — every key in the
     # GXY^2*GZ = 2^23 domain is f32-exact (a raw int32 bitcast through an
     # f32 column would silently corrupt keys < 2^23: TPU flushes denormals)
@@ -648,7 +653,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     while cmax % cpg:
         cpg //= 2
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, cpg=cpg),
+        functools.partial(_gather_kernel, cpg=cpg, ev_chunk=ev_chunk),
         grid=(cmax // cpg,),
         in_specs=[
             pl.BlockSpec((cpg, 1, 32), lambda i: (i, 0, 0),
@@ -664,7 +669,7 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
             # 10 event slots: one per eagerly-prefetched neighbor window
             # (0..8) + one synchronous slot (9) for rare multi-chunk drains
-            pltpu.VMEM((10, EV_CHUNK // 128, EV_ROWS, 128), jnp.float32),
+            pltpu.VMEM((10, ev_chunk // 128, EV_ROWS, 128), jnp.float32),
             pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
             pltpu.VMEM((4, HP_CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((12,)),

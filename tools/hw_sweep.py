@@ -107,6 +107,16 @@ STEPS = [
     # loop-nest A/B: hitpoint-sub outer x offsets inner
     ("ppm_hp_outer",       {"PT_TPU_PPM_HP_OUTER": "1"},
      _ns(config="4", fast=True)),
+    # hp-outer composed with the larger cell batch (round 4)
+    ("ppm_hp_cpg16",       {"PT_TPU_PPM_HP_OUTER": "1",
+                            "PT_TPU_PPM_CPG": "16"},
+     _ns(config="4", fast=True)),
+    # event chunk size (round 4): 512 halves over-fetch on sub-chunk
+    # windows, 2048 keeps big windows single-chunk
+    ("ppm_ev512",          {"PT_TPU_PPM_EVCHUNK": "512"},
+     _ns(config="4", fast=True)),
+    ("ppm_ev2048",         {"PT_TPU_PPM_EVCHUNK": "2048"},
+     _ns(config="4", fast=True)),
     # smaller ray TILES for the streamed sweep: unlike sub-windows
     # (which still DMA + loop per cluster at tile granularity and LOST),
     # an 8/16-row tile skips the whole per-cluster DMA+sweep when its own
@@ -129,6 +139,9 @@ STEPS = [
     ("config5_tile24",     {"PT_TPU_TILE_RIS": "1"},
      _ns(config="5", resample=24)),
     ("c5noise",            {}, _ns(config="c5noise")),
+    # RIS defensive-mixture weight (round 4; needs the trimmed estimator)
+    ("c5noise_d25",        {"PT_TPU_RIS_DEFENSIVE": "0.25"},
+     _ns(config="c5noise")),
     # per-32-tri-block AABB gating in the streamed chunk sweep (round 3)
     ("stream_bgate_on",    {"PT_TPU_BLOCK_GATE": "1"},
      _ns(config="3", gen_tris=249000, spp=4)),
@@ -155,7 +168,8 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_NO_MEGAKERNEL", "PT_TPU_DIR_BITS", "PT_TPU_SORT_TRIS",
             "PT_TPU_BDPT_NEUTER", "PT_TPU_PPM_NEUTER",
             "PT_TPU_STREAM_NEUTER", "PT_TPU_TILE_RIS",
-            "PT_TPU_BLOCK_GATE", "PT_TPU_PPM_CPG", "PT_TPU_PPM_HP_OUTER")
+            "PT_TPU_BLOCK_GATE", "PT_TPU_PPM_CPG", "PT_TPU_PPM_HP_OUTER",
+            "PT_TPU_PPM_EVCHUNK", "PT_TPU_RIS_DEFENSIVE")
 
 
 def main() -> int:
