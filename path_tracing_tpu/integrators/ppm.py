@@ -386,6 +386,22 @@ def gather_flux_dispatch(scene: Scene, cfg: RenderConfig, hp: HitPoints,
     join on TPU (or under ``PT_TPU_INTERPRET``), the XLA hash-grid path
     otherwise.  Shared by ``render_ppm_with_stats`` and the sharded renderer
     so multi-chip PPM rides the same kernel as single-chip."""
+    import os
+
+    if os.environ.get("PT_TPU_PPM_NEUTER") == "gather":
+        # timing bisect ONLY (flux is wrong): skip the gather entirely —
+        # what remains is eye trace + photon trace + event production,
+        # cleanly splitting config4's cycles between the trace phases and
+        # the gather kernel (the in-kernel 'pairs'/'windows' neuters keep
+        # the gather's own DMA/loop machinery and cannot see this split)
+        B = hp.pos.shape[0]
+        # anchor every event field so XLA cannot DCE the photon trace
+        anchor = (jnp.sum(events.flux) + jnp.sum(events.pos)
+                  + jnp.sum(events.wi) + jnp.sum(events.normal)
+                  + jnp.sum(events.valid)) * 0.0
+        anchor = jnp.where(jnp.isnan(anchor), 0.0, anchor)
+        return (jnp.zeros((B, 3)) + anchor, jnp.zeros((B,), jnp.int32),
+                jnp.zeros((), jnp.int32))
     if _use_gather_kernel():
         from ..ops.pallas_ppm_gather import gather_flux_pallas
         return gather_flux_pallas(scene, cfg, hp, events, r2_scale)

@@ -165,8 +165,20 @@ def connect_core(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, n_valid,
         wi_l_l = to_local(-wi, lt, lb, ln)
         wh_l, ok_l = half_vector(wo_t_l, wi_l_l)
         one = jnp.ones_like(zero)
-        f_l = where3(is_src, V3(one, one, one),
-                     eval_local(m_l, wo_t_l, wi_l_l, alpha_l, wh_l, ok_l))
+        if os.environ.get("PT_TPU_C5_SRC_SKIP") == "1":
+            # is_src is a per-vertex SCALAR: a lax.cond skips the whole
+            # light-side eval for emitter vertices instead of computing
+            # and discarding it (round-4 A/B; identical results — the
+            # where3 already discarded the eval on source vertices)
+            f_l = jax.lax.cond(
+                is_src,
+                lambda _: V3(one, one, one),
+                lambda _: eval_local(m_l, wo_t_l, wi_l_l, alpha_l, wh_l,
+                                     ok_l), 0)
+        else:
+            f_l = where3(is_src, V3(one, one, one),
+                         eval_local(m_l, wo_t_l, wi_l_l, alpha_l, wh_l,
+                                    ok_l))
         wi_t_l = wi_l_l.scale(dist)
         wh_t, ok_t = half_vector(wo_t_l, wi_t_l)
         pdf_t = jnp.maximum(

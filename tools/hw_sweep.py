@@ -96,6 +96,11 @@ STEPS = [
      _ns(config="4", fast=True)),
     ("ppm_no_windows",     {"PT_TPU_PPM_NEUTER": "windows"},
      _ns(config="4", fast=True)),
+    # round 4: no gather AT ALL — isolates eye+photon trace + event
+    # production from the gather kernel (the trace phases were invisible
+    # to the in-kernel neuters and may dominate the 'skeleton' bucket)
+    ("ppm_no_gather",      {"PT_TPU_PPM_NEUTER": "gather"},
+     _ns(config="4", fast=True)),
     # cells-per-grid-step batching (round 3: the 'windows' neuter showed
     # ~25 us of fixed machinery per grid step dominating the pass)
     ("ppm_cpg1",           {"PT_TPU_PPM_CPG": "1"},
@@ -142,6 +147,8 @@ STEPS = [
     # RIS defensive-mixture weight (round 4; needs the trimmed estimator)
     ("c5noise_d25",        {"PT_TPU_RIS_DEFENSIVE": "0.25"},
      _ns(config="c5noise")),
+    # scalar-cond skip of the light-side eval on emitter vertices (round 4)
+    ("config5_srcskip",    {"PT_TPU_C5_SRC_SKIP": "1"}, _ns(config="5")),
     # per-32-tri-block AABB gating in the streamed chunk sweep (round 3)
     ("stream_bgate_on",    {"PT_TPU_BLOCK_GATE": "1"},
      _ns(config="3", gen_tris=249000, spp=4)),
@@ -169,7 +176,8 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_BDPT_NEUTER", "PT_TPU_PPM_NEUTER",
             "PT_TPU_STREAM_NEUTER", "PT_TPU_TILE_RIS",
             "PT_TPU_BLOCK_GATE", "PT_TPU_PPM_CPG", "PT_TPU_PPM_HP_OUTER",
-            "PT_TPU_PPM_EVCHUNK", "PT_TPU_RIS_DEFENSIVE")
+            "PT_TPU_PPM_EVCHUNK", "PT_TPU_RIS_DEFENSIVE",
+            "PT_TPU_C5_SRC_SKIP")
 
 
 def main() -> int:
