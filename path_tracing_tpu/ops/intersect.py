@@ -177,6 +177,10 @@ def _sorted_call(scene, ro, rd, fn, *extras, live=None):
     full traversal each (at spp4 wavefront occupancy decays every bounce;
     the sweep is the whole cost).  Results on dead lanes are the kernels'
     init values (miss / unblocked); callers already mask them out."""
+    import os
+
+    if live is not None and os.environ.get("PT_TPU_NO_COMPACT") == "1":
+        live = None   # A/B: round-3 behavior (every tile sweeps)
     b = ro.shape[0]
     key = _coherence_key(scene, ro, rd)
     if live is None:

@@ -47,6 +47,9 @@ STEPS = [
      _ns(config="3", gen_tris=249000, spp=4)),
     ("stream_sub0",     {"PT_TPU_SUBROWS": "0"},
      _ns(config="3", gen_tris=249000, spp=4)),
+    # round-4 lane compaction A/B (default ON; this step reverts it)
+    ("stream_nocompact", {"PT_TPU_NO_COMPACT": "1"},
+     _ns(config="3", gen_tris=249000, spp=4)),
     ("tex50k_sub8",     {"PT_TPU_SUBROWS": "8"},
      _ns(config="3", gen_tris=50000, gen_tex=True, spp=16)),
     ("tex50k_sub0",     {"PT_TPU_SUBROWS": "0"},
@@ -177,7 +180,7 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_STREAM_NEUTER", "PT_TPU_TILE_RIS",
             "PT_TPU_BLOCK_GATE", "PT_TPU_PPM_CPG", "PT_TPU_PPM_HP_OUTER",
             "PT_TPU_PPM_EVCHUNK", "PT_TPU_RIS_DEFENSIVE",
-            "PT_TPU_C5_SRC_SKIP")
+            "PT_TPU_C5_SRC_SKIP", "PT_TPU_NO_COMPACT")
 
 
 def main() -> int:
