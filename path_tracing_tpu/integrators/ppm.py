@@ -216,6 +216,19 @@ def ppm_photon_trace(scene: Scene, cfg: RenderConfig, num_photons: int,
     flux0 = scene.light_illum[li] * (float(nl) / max(float(spl), 1.0))
     iters = cfg.max_light_iters
 
+    from ..ops.pallas_photon import photon_mega_enabled, photon_trace_pallas
+
+    if photon_mega_enabled(scene):
+        # persistent megakernel: the whole bounce loop in one pallas_call
+        # (round-4 attribution: the XLA scan's full-width HBM round trips
+        # were ~half the non-gather cost of a pass).  Emission sampling
+        # stays Threefry above; the bounce RNG is the on-core stream.
+        pos, normal, wi, fl, valid = photon_trace_pallas(
+            scene, cfg, emit.origin, emit.direction, flux0, real,
+            jax.random.fold_in(key, 0x408))
+        return PhotonEvents(pos=pos, normal=normal, wi=wi, flux=fl,
+                            valid=valid)
+
     state = dict(ro=emit.origin, rd=emit.direction, flux=flux0,
                  eta=jnp.ones((P,)), depth=jnp.zeros((P,), jnp.int32),
                  alive=real)

@@ -199,6 +199,32 @@ def _sorted_call(scene, ro, rd, fn, *extras, live=None):
     return jax.tree.map(lambda x: x[inv], out)
 
 
+def _compact_small() -> bool:
+    """Partition-compaction for small (VMEM, unsorted) scenes
+    (PT_TPU_COMPACT_SMALL=1, default OFF until measured): dead lanes are
+    stable-partitioned to the end (no coherence key — small-scene tiles
+    don't stream) and whole dead tiles skip the sweep.  Candidate payoff:
+    the PPM photon trace loses ~half its lanes per bounce and input.txt
+    is exactly such a scene."""
+    import os
+
+    return os.environ.get("PT_TPU_COMPACT_SMALL") == "1"
+
+
+def _partition_call(ro, rd, fn, *extras, live):
+    """Run ``fn(ro, rd, *extras, n_live=...)`` with lanes stable-partitioned
+    live-first and results unsorted (the keyless sibling of
+    ``_sorted_call(live=...)``)."""
+    b = ro.shape[0]
+    order = jnp.argsort((~live).astype(jnp.int32), stable=True)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    out = fn(ro[order], rd[order], *(e[order] for e in extras),
+             n_live=n_live)
+    inv = jnp.zeros((b,), order.dtype).at[order].set(
+        jnp.arange(b, dtype=order.dtype))
+    return jax.tree.map(lambda x: x[inv], out)
+
+
 def use_pallas() -> bool:
     """Pallas kernels carry the hot path on TPU; pure XLA elsewhere.
 
@@ -247,6 +273,13 @@ def find_closest_hit(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
             # incoherent tile)
             h = _sorted_call(
                 scene, ro, rd,
+                lambda a, b, n_live=None: nearest_hit_pallas(
+                    scene, a, b, with_uv=scene.has_textures,
+                    n_live=n_live),
+                live=live)
+        elif live is not None and _compact_small():
+            h = _partition_call(
+                ro, rd,
                 lambda a, b, n_live=None: nearest_hit_pallas(
                     scene, a, b, with_uv=scene.has_textures,
                     n_live=n_live),

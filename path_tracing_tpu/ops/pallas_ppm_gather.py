@@ -648,7 +648,13 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # power-of-two cpg <= 16
     import functools
 
-    cpg = int(os.environ.get("PT_TPU_PPM_CPG", "8"))
+    # DEFAULT 1 (round-4 hardware A/B, /tmp/hw_measure/r4_ppm_knobs.jsonl):
+    # the round-3 snapshot shipped cpg=8 untested and it REGRESSED the
+    # 1M-photon pass 1.446 -> 1.009 Mphotons/s — batching cells into one
+    # grid step doubles the PAIR-math bucket (skeleton unchanged at
+    # ~0.476 s), i.e. the bigger kernel body defeats Mosaic's pipelining
+    # exactly like the round-3 dynamic block loop did
+    cpg = int(os.environ.get("PT_TPU_PPM_CPG", "1"))
     cpg = max(1, min(cpg, 16))
     while cmax % cpg:
         cpg //= 2

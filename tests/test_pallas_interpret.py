@@ -339,12 +339,17 @@ def test_bdpt_eye_tiled_table_identity(cornell, interp_env):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_ppm_render_interpret_statistical(cornell, interp_env):
+def test_ppm_render_interpret_statistical(cornell, interp_env,
+                                          monkeypatch):
     """The Pallas gather uses collision-free lexicographic cell keys while
     the XLA hash grid reproduces the reference's in-neighborhood collision
-    double-counts — small per-pixel diffs are semantic, not bugs."""
+    double-counts — small per-pixel diffs are semantic, not bugs.  The
+    photon MEGAKERNEL is pinned off here (its on-core stream differs from
+    Threefry, round 4) so both sides trace identical photons and the
+    comparison isolates the gather."""
     from path_tracing_tpu.integrators.ppm import render_ppm
 
+    monkeypatch.setenv("PT_TPU_NO_PHOTON_MEGA", "1")
     scene, cam, cfg = cornell
     key = jax.random.PRNGKey(0)
     interp_env("xla")
@@ -354,6 +359,42 @@ def test_ppm_render_interpret_statistical(cornell, interp_env):
 
     assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 5e-3
     np.testing.assert_allclose(a, b, atol=0.05)
+
+
+def test_photon_megakernel_statistical(cornell, interp_env):
+    """Photon-trace megakernel vs the XLA scan: different RNG streams
+    (on-core / counter-hash vs Threefry), same estimator — valid-event
+    count and total deposited flux agree statistically, and the kernel is
+    deterministic per seed."""
+    from path_tracing_tpu.config import RenderConfig
+    from path_tracing_tpu.integrators.ppm import ppm_photon_trace
+
+    scene, _cam, _cfg = cornell
+    cfg = RenderConfig(width=W, height=H, eye_depth=2, light_depth=3,
+                       delta_budget=2)
+    key = jax.random.PRNGKey(1)
+    interp_env("interpret")
+    ev = ppm_photon_trace(scene, cfg, 4096, 4096, key)
+    v = np.asarray(ev.valid)
+    f = np.asarray(ev.flux)
+    ev_rep = ppm_photon_trace(scene, cfg, 4096, 4096, key)
+    np.testing.assert_array_equal(v, np.asarray(ev_rep.valid))
+    np.testing.assert_array_equal(f, np.asarray(ev_rep.flux))
+
+    os.environ["PT_TPU_NO_PHOTON_MEGA"] = "1"
+    try:
+        jax.clear_caches()
+        ev2 = ppm_photon_trace(scene, cfg, 4096, 4096, key)
+    finally:
+        os.environ.pop("PT_TPU_NO_PHOTON_MEGA", None)
+        jax.clear_caches()
+    v2 = np.asarray(ev2.valid)
+    f2 = np.asarray(ev2.flux)
+    assert np.isfinite(f[v]).all()
+    # counts and totals within 5% (independent streams at 4096 photons)
+    assert abs(v.sum() - v2.sum()) / max(v2.sum(), 1) < 0.05
+    tot, tot2 = float(f[v].sum()), float(f2[v2].sum())
+    assert abs(tot - tot2) / max(tot2, 1e-6) < 0.05
 
 
 def test_sharded_renderers_ride_pallas_tiers(cornell, interp_env,

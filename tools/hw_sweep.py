@@ -104,6 +104,9 @@ STEPS = [
     # to the in-kernel neuters and may dominate the 'skeleton' bucket)
     ("ppm_no_gather",      {"PT_TPU_PPM_NEUTER": "gather"},
      _ns(config="4", fast=True)),
+    # small-scene photon-trace compaction (round 4, default off)
+    ("ppm_compact_small",  {"PT_TPU_COMPACT_SMALL": "1"},
+     _ns(config="4", fast=True)),
     # cells-per-grid-step batching (round 3: the 'windows' neuter showed
     # ~25 us of fixed machinery per grid step dominating the pass)
     ("ppm_cpg1",           {"PT_TPU_PPM_CPG": "1"},
@@ -180,7 +183,8 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_STREAM_NEUTER", "PT_TPU_TILE_RIS",
             "PT_TPU_BLOCK_GATE", "PT_TPU_PPM_CPG", "PT_TPU_PPM_HP_OUTER",
             "PT_TPU_PPM_EVCHUNK", "PT_TPU_RIS_DEFENSIVE",
-            "PT_TPU_C5_SRC_SKIP", "PT_TPU_NO_COMPACT")
+            "PT_TPU_C5_SRC_SKIP", "PT_TPU_NO_COMPACT",
+            "PT_TPU_COMPACT_SMALL")
 
 
 def main() -> int:
