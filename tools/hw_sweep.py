@@ -104,8 +104,15 @@ STEPS = [
     # to the in-kernel neuters and may dominate the 'skeleton' bucket)
     ("ppm_no_gather",      {"PT_TPU_PPM_NEUTER": "gather"},
      _ns(config="4", fast=True)),
-    # small-scene photon-trace compaction (round 4, default off)
-    ("ppm_compact_small",  {"PT_TPU_COMPACT_SMALL": "1"},
+    # small-scene photon-trace compaction (round 4, default off).  Pinned
+    # to the XLA scan: compaction lives in find_closest_hit, which the
+    # photon megakernel bypasses — A/B against ppm_nomega, not ppm_fast.
+    ("ppm_compact_small",  {"PT_TPU_COMPACT_SMALL": "1",
+                            "PT_TPU_NO_PHOTON_MEGA": "1"},
+     _ns(config="4", fast=True)),
+    # round 4: photon-trace megakernel is the new default — this step
+    # reverts to the XLA Threefry scan (same-session A/B)
+    ("ppm_nomega",         {"PT_TPU_NO_PHOTON_MEGA": "1"},
      _ns(config="4", fast=True)),
     # cells-per-grid-step batching (round 3: the 'windows' neuter showed
     # ~25 us of fixed machinery per grid step dominating the pass)
@@ -184,7 +191,7 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_BLOCK_GATE", "PT_TPU_PPM_CPG", "PT_TPU_PPM_HP_OUTER",
             "PT_TPU_PPM_EVCHUNK", "PT_TPU_RIS_DEFENSIVE",
             "PT_TPU_C5_SRC_SKIP", "PT_TPU_NO_COMPACT",
-            "PT_TPU_COMPACT_SMALL")
+            "PT_TPU_COMPACT_SMALL", "PT_TPU_NO_PHOTON_MEGA")
 
 
 def main() -> int:
@@ -200,7 +207,7 @@ def main() -> int:
                          "runs' in one file; ADVICE r2 item 5)")
     args = ap.parse_args()
     t_end = time.time() + args.deadline_min * 60
-    want = set(s for s in args.steps.split(",") if s)
+    want = [s for s in args.steps.split(",") if s]
     if not args.out:
         args.out = time.strftime(
             "/tmp/hw_measure/results-%Y%m%d-%H%M%S.jsonl")
@@ -229,9 +236,12 @@ def main() -> int:
 
     failures = 0
     prev_env: dict = {}
-    for tag, env, ns in STEPS:
-        if want and tag not in want:
-            continue
+    by_tag = {tag: (tag, env, ns) for tag, env, ns in STEPS}
+    # --steps runs in the GIVEN order (round 4: lets a sweep front-load
+    # safe decision steps before brand-new kernels that might fault the
+    # worker and kill the process's remaining steps)
+    todo = [by_tag[t] for t in want] if want else STEPS
+    for tag, env, ns in todo:
         if time.time() > t_end:
             emit({"metric": f"sweep: {tag}", "value": 0, "unit": "",
                   "vs_baseline": 0, "error": "deadline — not started"})
