@@ -155,6 +155,14 @@ def photon_trace_pallas(scene: Scene, cfg, ro, rd, flux, real, key):
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     iters = cfg.max_light_iters
     rows = mega_rows(P)
+    # VMEM budget: the 13 (iters*rows, LANE) event blocks and the 10 ray
+    # blocks are double-buffered by the output pipeline; at rows=128 and
+    # iters=8 that lands 64 KiB OVER the 16 MiB scoped limit (measured
+    # r4: AOT "scoped allocation 16.06M > 16.00M").  Shrink rows until
+    # they fit a 12 MiB budget (headroom for tables + stack).
+    while rows > 8 and (2 * (13 * iters + 10) * rows * LANE * 4
+                        > 12 * 2**20):
+        rows -= 8
 
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2],
              flux[:, 0], flux[:, 1], flux[:, 2],
