@@ -203,6 +203,7 @@ def run(args) -> dict:
             n_t16 = noise(16, True)
             n_t24 = noise(24, True)
             n_t32 = noise(32, True)
+            n_t48 = noise(48, True)
         finally:
             os.environ.pop("PT_TPU_TILE_RIS", None)
         return {"metric": f"config5 RIS noise (256^2 spp{spp}; 0.1%-trimmed"
@@ -212,6 +213,7 @@ def run(args) -> dict:
                 "vs_baseline": round(n_t32 / max(n_g64, 1e-9), 3),
                 "noise_global64": round(n_g64, 5),
                 "noise_tile64": round(n_t64, 5),
+                "noise_tile48": round(n_t48, 5),
                 "noise_tile32": round(n_t32, 5),
                 "noise_tile24": round(n_t24, 5),
                 "noise_tile16": round(n_t16, 5)}

@@ -156,6 +156,10 @@ STEPS = [
      _ns(config="5", resample=32)),
     ("config5_tile24",     {"PT_TPU_TILE_RIS": "1"},
      _ns(config="5", resample=24)),
+    # K=48: candidate default if the trimmed estimator confirms tile-K32
+    # is ~1.25x noisier than global-K64 (round-4 finding)
+    ("config5_tile48",     {"PT_TPU_TILE_RIS": "1"},
+     _ns(config="5", resample=48)),
     ("c5noise",            {}, _ns(config="c5noise")),
     # RIS defensive-mixture weight (round 4; needs the trimmed estimator)
     ("c5noise_d25",        {"PT_TPU_RIS_DEFENSIVE": "0.25"},
@@ -171,6 +175,16 @@ STEPS = [
     # for the round-3 record at the new defaults
     ("tex50k_r3",          {}, _ns(config="3", gen_tris=50000,
                                    gen_tex=True, spp=16)),
+    # round 4: the standalone-kernel 32-row tile default was measured on
+    # the STREAMED mesh (culling-selectivity-bound); on VMEM tables the
+    # megakernel's sweep said 128 rows ~1.5x over 32 (loop amortization).
+    # The fused-tex tier + PPM eye pass + small scenes all ride these.
+    ("tex50k_rows64",      {"PT_TPU_TILE_ROWS": "64"},
+     _ns(config="3", gen_tris=50000, gen_tex=True, spp=16)),
+    ("tex50k_rows128",     {"PT_TPU_TILE_ROWS": "128"},
+     _ns(config="3", gen_tris=50000, gen_tex=True, spp=16)),
+    ("ppm_rows128",        {"PT_TPU_TILE_ROWS": "128"},
+     _ns(config="4", fast=True)),
     # VMEM-resident mesh tier: leaf 32 was never swept (64-vs-256 only)
     ("vmem100k_leaf32",    {"PT_TPU_LEAF_SIZE": "32"},
      _ns(config="3", gen_tris=100000, spp=16)),
@@ -191,7 +205,8 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_BLOCK_GATE", "PT_TPU_PPM_CPG", "PT_TPU_PPM_HP_OUTER",
             "PT_TPU_PPM_EVCHUNK", "PT_TPU_RIS_DEFENSIVE",
             "PT_TPU_C5_SRC_SKIP", "PT_TPU_NO_COMPACT",
-            "PT_TPU_COMPACT_SMALL", "PT_TPU_NO_PHOTON_MEGA")
+            "PT_TPU_COMPACT_SMALL", "PT_TPU_NO_PHOTON_MEGA",
+            "PT_TPU_TILE_ROWS")
 
 
 def main() -> int:
