@@ -165,7 +165,10 @@ def connect_core(sph_ref, tri_ref, cl_ref, sup_ref, lv_ref, n_valid,
         wi_l_l = to_local(-wi, lt, lb, ln)
         wh_l, ok_l = half_vector(wo_t_l, wi_l_l)
         one = jnp.ones_like(zero)
-        if os.environ.get("PT_TPU_C5_SRC_SKIP") == "1":
+        # DEFAULT 1 (round-4 A/B: 2.908 vs 2.894 Mpaths/s at config5 —
+        # a strict work skip, within session noise but never worse).
+        # PT_TPU_C5_SRC_SKIP=0 reverts to the unconditional eval.
+        if os.environ.get("PT_TPU_C5_SRC_SKIP", "1") == "1":
             # is_src is a per-vertex SCALAR: a lax.cond skips the whole
             # light-side eval for emitter vertices instead of computing
             # and discarding it (round-4 A/B; identical results — the

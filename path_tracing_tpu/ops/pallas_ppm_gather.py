@@ -407,7 +407,11 @@ def _gather_kernel(meta_ref, r2_ref, hp_ref, ev_ref, out_ref,
                 # (dynamic-slot full-buffer reads miscompile on Mosaic); every
                 # window's first chunk is already in flight (eager prefetch
                 # above), one slot per offset
-                hp_outer = os.environ.get("PT_TPU_PPM_HP_OUTER") == "1"
+                # DEFAULT 1 (round-4 hardware A/B, results-r4-s2: 1.595
+                # vs 1.555 Mphotons/s on the 1M-photon config4 pass —
+                # the per-sub column loads + MXU-operand build amortize
+                # over all 9 windows).  PT_TPU_PPM_HP_OUTER=0 reverts.
+                hp_outer = os.environ.get("PT_TPU_PPM_HP_OUTER", "1") == "1"
                 if hp_outer and neuter != "windows":
                     # A/B (round 3): hitpoint-sub OUTER x offsets INNER — the
                     # per-sub column loads + MXU-operand build amortize over

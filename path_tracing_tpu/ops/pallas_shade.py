@@ -33,7 +33,7 @@ from ..scene.types import Scene
 from .math3 import EPSILON, PI
 from .pallas_intersect import (LANE, TILE_ROWS, _ray_specs, _tile,
                                interp_forced, mega_rows, pack_scene,
-                               super_table)
+                               super_table, tile_rows)
 
 INF = 1e20
 
@@ -928,9 +928,10 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
              tp[:, 0], tp[:, 1], tp[:, 2], eta, depth,
              act.astype(jnp.int32), last_delta.astype(jnp.int32), last_pdf,
              u[0], u[1], u[2], u[3], u[4], u[5]]
-    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    rows = tile_rows(False)   # PT_TPU_TILE_ROWS A/B rides along (round 4)
+    tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
-    grid = rows_total // TILE_ROWS
+    grid = rows_total // rows
 
     kernel = functools.partial(
         _shade_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=clamp_val,
@@ -953,9 +954,9 @@ def shade_step_pallas(scene: Scene, light_tab, ro, rd, tp, eta, depth,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(light_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            *_ray_specs(len(comps)),
+            *_ray_specs(len(comps), rows),
         ],
-        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
                    for _ in out_dtypes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
@@ -1063,9 +1064,10 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
              bc_mod[:, 0], bc_mod[:, 1], bc_mod[:, 2],
              hit["rough"], hit["metal"], hit["eta"],
              hit["flag"]]
-    tiled = [_tile(c, TILE_ROWS)[0] for c in comps]
+    rows = tile_rows(False)   # PT_TPU_TILE_ROWS A/B rides along (round 4)
+    tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
-    grid = rows_total // TILE_ROWS
+    grid = rows_total // rows
 
     kernel = functools.partial(
         _shade_tex_kernel, ns=ns, nl_lights=nl, nt=nt, clamp_val=clamp_val,
@@ -1087,9 +1089,9 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(light_tab.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            *_ray_specs(len(comps)),
+            *_ray_specs(len(comps), rows),
         ],
-        out_specs=[pl.BlockSpec((TILE_ROWS, LANE), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((rows, LANE), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
                    for _ in out_dtypes],
         out_shape=[jax.ShapeDtypeStruct((rows_total, LANE), dt)
