@@ -102,19 +102,29 @@ def mega_rows(nlanes: int | None = None) -> int:
     return 128
 
 
-def tile_rows(stream: bool) -> int:
+def tile_rows(stream: bool, tex: bool = False) -> int:
     """Ray-tile rows for the standalone nearest/blocker kernels.  Measured
     on the 249k-tri streamed mesh at 1080p (sorted secondary rays): 32 rows
     766 ms, 64 rows 855 ms, 128 rows 1190 ms — unlike the megakernel
     (VMEM tables, where 128 beat 32 by 1.5x), the streamed sweep is
     dominated by tile-level culling selectivity, and a wider tile's union
     frustum passes more clusters than the amortized scalar/DMA overhead
-    saves.  32 stays the default; the env knobs exist for re-sweeps."""
+    saves.  32 stays the general default; the env knobs exist for
+    re-sweeps.
+
+    ``tex``: the textured fused tier (with_uv nearest + tex shade) runs
+    64-row tiles — round-4 hardware A/B on the 81,920-tri textured
+    icosphere at 1080p spp16: 32 rows 1.178, 64 rows 1.332 (+13%), 128
+    rows 1.306 Mpaths/s (the VMEM sweep amortizes its sequential
+    cluster/vertex loops over more lanes; 128 tips the VMEM budget).
+    The PPM eye pass measured the OPPOSITE (128 rows 1.312 vs 32-row
+    1.632 Mphotons/s on config4), so the wider tile stays tex-only."""
     import os
 
     if stream:
         return int(os.environ.get("PT_TPU_STREAM_TILE_ROWS", "32"))
-    return int(os.environ.get("PT_TPU_TILE_ROWS", str(TILE_ROWS)))
+    return int(os.environ.get("PT_TPU_TILE_ROWS",
+                              "64" if tex else str(TILE_ROWS)))
 
 
 def max_vmem_tris() -> int:
@@ -1679,7 +1689,7 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, with_uv=with_uv)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
-    rows = tile_rows(False)
+    rows = tile_rows(False, tex=with_uv)
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
     tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]

@@ -662,30 +662,44 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     cpg = max(1, min(cpg, 16))
     while cmax % cpg:
         cpg //= 2
-    out = pl.pallas_call(
-        functools.partial(_gather_kernel, cpg=cpg, ev_chunk=ev_chunk),
-        grid=(cmax // cpg,),
-        in_specs=[
-            pl.BlockSpec((cpg, 1, 32), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
-            # 10 event slots: one per eagerly-prefetched neighbor window
-            # (0..8) + one synchronous slot (9) for rare multi-chunk drains
-            pltpu.VMEM((10, ev_chunk // 128, EV_ROWS, 128), jnp.float32),
-            pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
-            pltpu.VMEM((4, HP_CHUNK, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((12,)),
-        ],
-        interpret=interpret,
-    )(meta, r2.reshape(1, 1), hp_tab, ev_tab)
+    if os.environ.get("PT_TPU_PPM_NEUTER") == "kernel":
+        # timing bisect ONLY (flux is wrong): run ALL the XLA prep (event
+        # sort/pack, hitpoint pack, per-cell meta) but skip the pallas
+        # join — paired with the 'gather' neuter (which skips prep too)
+        # this isolates the sort/pack bucket, the largest remaining
+        # config4 term after the round-4 hp-outer default (r4-s3: full
+        # 0.613 s/M, window machinery 0.065, pairs 0.205, trace 0.104)
+        anchor = (jnp.sum(ev_tab) + jnp.sum(hp_tab)
+                  + jnp.sum(meta).astype(jnp.float32)) * 0.0
+        anchor = jnp.where(jnp.isnan(anchor), 0.0, anchor)
+        out = jnp.zeros((Bp, 128), jnp.float32) + anchor
+    else:
+        out = pl.pallas_call(
+            functools.partial(_gather_kernel, cpg=cpg, ev_chunk=ev_chunk),
+            grid=(cmax // cpg,),
+            in_specs=[
+                pl.BlockSpec((cpg, 1, 32), lambda i: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((Bp, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
+                # 10 event slots: one per eagerly-prefetched neighbor
+                # window (0..8) + one synchronous slot (9) for the rare
+                # multi-chunk drains
+                pltpu.VMEM((10, ev_chunk // 128, EV_ROWS, 128),
+                           jnp.float32),
+                pltpu.VMEM((HP_CHUNK, 128), jnp.float32),
+                pltpu.VMEM((4, HP_CHUNK, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((12,)),
+            ],
+            interpret=interpret,
+        )(meta, r2.reshape(1, 1), hp_tab, ev_tab)
 
     covered = (rank < cmax) & (shkey < BIG)               # sorted order
     flux_s = jnp.where(covered[:, None], out[:B, 0:3], 0.0)

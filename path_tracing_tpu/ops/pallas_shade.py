@@ -1064,7 +1064,9 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
              bc_mod[:, 0], bc_mod[:, 1], bc_mod[:, 2],
              hit["rough"], hit["metal"], hit["eta"],
              hit["flag"]]
-    rows = tile_rows(False)   # PT_TPU_TILE_ROWS A/B rides along (round 4)
+    # 64-row tiles (round-4 A/B: +13% on the textured 81,920-tri shape);
+    # PT_TPU_TILE_ROWS overrides for re-sweeps
+    rows = tile_rows(False, tex=True)
     tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows

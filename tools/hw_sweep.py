@@ -104,6 +104,10 @@ STEPS = [
     # to the in-kernel neuters and may dominate the 'skeleton' bucket)
     ("ppm_no_gather",      {"PT_TPU_PPM_NEUTER": "gather"},
      _ns(config="4", fast=True)),
+    # round 4b: XLA prep (event sort/pack + hp pack + meta) WITHOUT the
+    # join kernel — minus ppm_no_gather this prices the sort/pack bucket
+    ("ppm_no_kernel",      {"PT_TPU_PPM_NEUTER": "kernel"},
+     _ns(config="4", fast=True)),
     # small-scene photon-trace compaction (round 4, default off).  Pinned
     # to the XLA scan: compaction lives in find_closest_hit, which the
     # photon megakernel bypasses — A/B against ppm_nomega, not ppm_fast.
