@@ -284,11 +284,15 @@ def run(args) -> dict:
         passes = 1 if args.fast else 10  # BASELINE: 10 passes x 1M photons
         # event cap 0.5 is an explicit opt-in; the overflow counter is
         # checked after every pass so a drifted validity fraction fails
-        # loudly instead of silently biasing the render (ADVICE r1)
+        # loudly instead of silently biasing the render (ADVICE r1).
+        # PT_TPU_PPM_CAPFRAC sweeps a tighter cap (round 4: the sorted
+        # 12-col event gather runs at cap size, so a cap just above the
+        # true valid fraction cuts the pack cost; overflow still guards)
+        cap = float(os.environ.get("PT_TPU_PPM_CAPFRAC", "0.5"))
         scene, cam, cfg = setup("/root/reference/input.txt", W, H,
                                 eye_depth=4, light_depth=4, delta_budget=4,
                                 ppm_max_per_cell=128, ppm_cell_samples=32,
-                                ppm_event_cap_frac=0.5)
+                                ppm_event_cap_frac=cap)
         spl = photons // max(scene.num_lights, 1)
 
         def one_pass(i):

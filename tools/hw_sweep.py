@@ -108,6 +108,12 @@ STEPS = [
     # join kernel — minus ppm_no_gather this prices the sort/pack bucket
     ("ppm_no_kernel",      {"PT_TPU_PPM_NEUTER": "kernel"},
      _ns(config="4", fast=True)),
+    # tighter event cap: the pack gather runs at cap size (overflow
+    # guards exactness — an overflowed row errors, it doesn't lie)
+    ("ppm_cap35",          {"PT_TPU_PPM_CAPFRAC": "0.35"},
+     _ns(config="4", fast=True)),
+    ("ppm_cap25",          {"PT_TPU_PPM_CAPFRAC": "0.25"},
+     _ns(config="4", fast=True)),
     # small-scene photon-trace compaction (round 4, default off).  Pinned
     # to the XLA scan: compaction lives in find_closest_hit, which the
     # photon megakernel bypasses — A/B against ppm_nomega, not ppm_fast.
@@ -210,7 +216,7 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_PPM_EVCHUNK", "PT_TPU_RIS_DEFENSIVE",
             "PT_TPU_C5_SRC_SKIP", "PT_TPU_NO_COMPACT",
             "PT_TPU_COMPACT_SMALL", "PT_TPU_NO_PHOTON_MEGA",
-            "PT_TPU_TILE_ROWS")
+            "PT_TPU_TILE_ROWS", "PT_TPU_PPM_CAPFRAC")
 
 
 def main() -> int:
