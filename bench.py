@@ -282,13 +282,15 @@ def run(args) -> dict:
         W = H = 512
         photons = 1_000_000
         passes = 1 if args.fast else 10  # BASELINE: 10 passes x 1M photons
-        # event cap 0.5 is an explicit opt-in; the overflow counter is
+        # the event cap is an explicit opt-in; the overflow counter is
         # checked after every pass so a drifted validity fraction fails
         # loudly instead of silently biasing the render (ADVICE r1).
-        # PT_TPU_PPM_CAPFRAC sweeps a tighter cap (round 4: the sorted
-        # 12-col event gather runs at cap size, so a cap just above the
-        # true valid fraction cuts the pack cost; overflow still guards)
-        cap = float(os.environ.get("PT_TPU_PPM_CAPFRAC", "0.5"))
+        # 0.35 default since round 4: the sorted 12-col event gather
+        # runs at cap size (the sort/pack bucket was 32% of a pass at
+        # cap 0.5), the measured valid fraction is ~0.31 (cap 0.25
+        # overflowed by 379k events, loudly), and 0.35 measured 1.645
+        # -> 1.783 Mphotons/s.  PT_TPU_PPM_CAPFRAC sweeps it.
+        cap = float(os.environ.get("PT_TPU_PPM_CAPFRAC", "0.35"))
         scene, cam, cfg = setup("/root/reference/input.txt", W, H,
                                 eye_depth=4, light_depth=4, delta_budget=4,
                                 ppm_max_per_cell=128, ppm_cell_samples=32,
