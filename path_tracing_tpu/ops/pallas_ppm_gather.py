@@ -551,23 +551,13 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     # valid window; their values may be NaN (dead-photon flux) and 0*NaN
     # would poison the row sums — zero them (fused into the gathers)
     ev_valid = skey < BIG
-    if os.environ.get("PT_TPU_PPM_ROWGATHER") == "1":
-        # pre-round-4 form: one (E, 12) row gather, then a block
-        # transpose into the (n_blocks, EV_ROWS, 128) layout
-        ev_mat = jnp.stack(ev_cols, axis=1)[eorder]        # (cap, 12)
-        ev_mat = jnp.where(ev_valid[:, None], ev_mat, 0.0)
-        ev_mat = jnp.concatenate(
-            [_pad_to(ev_mat, Ep), skey_p.astype(jnp.float32)[:, None],
-             jnp.zeros((Ep, 1), jnp.float32)], axis=1)
-        ev_tab = ev_mat.reshape(Ep // 128, 128, EV_ROWS).transpose(0, 2, 1)
-    else:
-        # block-major (n_blocks, EV_ROWS, 128) built DIRECTLY from 12
-        # flat 1-D gathers: row r of block b is column r for events
-        # [128b, 128b+128), i.e. col[eorder] reshaped (n_blocks, 128) —
-        # no (E, 12) row gather, no transpose.  DEFAULT since round 4:
-        # the row-gather+transpose form cost ~0.19 s/M (32% of a config4
-        # pass, 'ppm_no_kernel' minus 'ppm_no_gather');
-        # PT_TPU_PPM_ROWGATHER=1 reverts for A/B.
+    if os.environ.get("PT_TPU_PPM_COLGATHER") == "1":
+        # REFUTED round-4 alternative (kept A/B-able): build block-major
+        # directly from 12 flat 1-D gathers — no (E, 12) row gather, no
+        # transpose.  Hardware says XLA TPU lowers flat 1-D gathers FAR
+        # worse than the single multi-column row gather: prep-only
+        # ('ppm_no_kernel') 0.297 -> 0.672 s/M, full 1-pass 1.78 ->
+        # 1.02 Mphotons/s.  The row gather IS the fast form.
         nb = Ep // 128
         planes = [
             _pad_to(jnp.where(ev_valid, c[eorder], 0.0), Ep).reshape(
@@ -576,6 +566,15 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
         planes.append(skey_p.astype(jnp.float32).reshape(nb, 128))
         planes.append(jnp.zeros((nb, 128), jnp.float32))
         ev_tab = jnp.stack(planes, axis=1)
+    else:
+        # one (E, 12) row gather, then a block transpose into the
+        # (n_blocks, EV_ROWS, 128) layout
+        ev_mat = jnp.stack(ev_cols, axis=1)[eorder]        # (cap, 12)
+        ev_mat = jnp.where(ev_valid[:, None], ev_mat, 0.0)
+        ev_mat = jnp.concatenate(
+            [_pad_to(ev_mat, Ep), skey_p.astype(jnp.float32)[:, None],
+             jnp.zeros((Ep, 1), jnp.float32)], axis=1)
+        ev_tab = ev_mat.reshape(Ep // 128, 128, EV_ROWS).transpose(0, 2, 1)
 
     # ---- hitpoints: precompute frame, sort, pack row-major -------------
     B = hp.pos.shape[0]

@@ -28,6 +28,7 @@ KNOBS = [
     {"PT_TPU_PPM_CPG": "4"},
     {"PT_TPU_PPM_EVCHUNK": "512"},
     {"PT_TPU_PPM_EVCHUNK": "2048"},
+    {"PT_TPU_PPM_COLGATHER": "1"},
 ]
 _ALL = sorted({k for d in KNOBS for k in d})
 

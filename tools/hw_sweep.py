@@ -114,9 +114,10 @@ STEPS = [
      _ns(config="4", fast=True)),
     ("ppm_cap25",          {"PT_TPU_PPM_CAPFRAC": "0.25"},
      _ns(config="4", fast=True)),
-    # round 4c: the pre-r4 (E,12) row-gather + transpose event pack
-    # (default is now 12 flat column gathers straight into block-major)
-    ("ppm_rowgather",      {"PT_TPU_PPM_ROWGATHER": "1"},
+    # round 4c: 12 flat column gathers straight into block-major —
+    # REFUTED (1.02 vs 1.78; XLA TPU flat 1-D gathers lower terribly),
+    # the (E,12) row gather + transpose stays the default
+    ("ppm_colgather",      {"PT_TPU_PPM_COLGATHER": "1"},
      _ns(config="4", fast=True)),
     # small-scene photon-trace compaction (round 4, default off).  Pinned
     # to the XLA scan: compaction lives in find_closest_hit, which the
@@ -221,7 +222,7 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_C5_SRC_SKIP", "PT_TPU_NO_COMPACT",
             "PT_TPU_COMPACT_SMALL", "PT_TPU_NO_PHOTON_MEGA",
             "PT_TPU_TILE_ROWS", "PT_TPU_PPM_CAPFRAC",
-            "PT_TPU_PPM_ROWGATHER")
+            "PT_TPU_PPM_COLGATHER")
 
 
 def main() -> int:
