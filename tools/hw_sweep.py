@@ -200,6 +200,10 @@ STEPS = [
      _ns(config="3", gen_tris=50000, gen_tex=True, spp=16)),
     ("ppm_rows128",        {"PT_TPU_TILE_ROWS": "128"},
      _ns(config="4", fast=True)),
+    # streamed + textured together (round 4: never measured before) —
+    # the with_uv stream kernel + atlas gather at the 327,680-tri shape
+    ("tex250k",            {},
+     _ns(config="3", gen_tris=249000, gen_tex=True, spp=4)),
     # VMEM-resident mesh tier: leaf 32 was never swept (64-vs-256 only)
     ("vmem100k_leaf32",    {"PT_TPU_LEAF_SIZE": "32"},
      _ns(config="3", gen_tris=100000, spp=16)),
