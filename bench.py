@@ -38,6 +38,10 @@ import time
 
 _EMIT_LOCK = threading.Lock()
 _RESULT_PRINTED = False
+# chip-speed calibration measured by the liveness probe (VERDICT r4 weak 6:
+# without it, BENCH_r*.json cannot separate the documented ±10-15%
+# session/chip drift from a real code regression).  Filled in by _probe.
+_CALIBRATION: dict = {}
 
 
 def _emit(rec: dict) -> None:
@@ -48,6 +52,7 @@ def _emit(rec: dict) -> None:
         if _RESULT_PRINTED:
             return
         _RESULT_PRINTED = True
+    rec = {**rec, **_CALIBRATION}
     print(json.dumps(rec), flush=True)
 
 
@@ -285,12 +290,12 @@ def run(args) -> dict:
         # the event cap is an explicit opt-in; the overflow counter is
         # checked after every pass so a drifted validity fraction fails
         # loudly instead of silently biasing the render (ADVICE r1).
-        # 0.35 default since round 4: the sorted 12-col event gather
-        # runs at cap size (the sort/pack bucket was 32% of a pass at
-        # cap 0.5), the measured valid fraction is ~0.31 (cap 0.25
-        # overflowed by 379k events, loudly), and 0.35 measured 1.645
-        # -> 1.783 Mphotons/s.  PT_TPU_PPM_CAPFRAC sweeps it.
-        cap = float(os.environ.get("PT_TPU_PPM_CAPFRAC", "0.35"))
+        # Round 5: the photon megakernel emits DEPTH-SLOTTED events
+        # (light_depth=4 slots instead of max_light_iters=8), so E halved
+        # and the valid fraction doubled to ~0.62 — cap 0.7 gathers the
+        # SAME absolute rows the round-4 0.35-of-8-slots cap did, with
+        # the same ~13% headroom.  PT_TPU_PPM_CAPFRAC sweeps it.
+        cap = float(os.environ.get("PT_TPU_PPM_CAPFRAC", "0.7"))
         scene, cam, cfg = setup("/root/reference/input.txt", W, H,
                                 eye_depth=4, light_depth=4, delta_budget=4,
                                 ppm_max_per_cell=128, ppm_cell_samples=32,
@@ -307,7 +312,19 @@ def run(args) -> dict:
                     f"capped gather is no longer exact at this scene/shape")
             return img
 
-        _sync(one_pass(0))  # compile + warm + overflow check
+        cap_fallback = False
+        try:
+            _sync(one_pass(0))  # compile + warm + overflow check
+        except RuntimeError:
+            # ADVICE r4: the default cap has only ~13% headroom over the
+            # measured valid fraction — a seed/scene shift must fall back
+            # to the always-exact full gather (cap 1.0, just slower)
+            # instead of killing the benchmark.  The emitted record
+            # carries the cap actually used so rows stay comparable.
+            cap, cap_fallback = 1.0, True
+            cfg = cfg.with_(ppm_event_cap_frac=cap)
+            jax.clear_caches()
+            _sync(one_pass(0))
         t0 = time.perf_counter()
         acc = None
         for i in range(passes):
@@ -316,10 +333,14 @@ def run(args) -> dict:
         _sync(acc)
         dt = time.perf_counter() - t0
         val = photons * passes / dt / 1e6
-        return {"metric": f"config4 PPM input.txt 512^2, {passes} pass(es) "
-                          f"x 1M photons, overflow=0",
-                "value": round(val, 3), "unit": "Mphotons/s",
-                "vs_baseline": round(val / 100.0, 4)}
+        rec = {"metric": f"config4 PPM input.txt 512^2, {passes} pass(es) "
+                         f"x 1M photons, overflow=0",
+               "value": round(val, 3), "unit": "Mphotons/s",
+               "vs_baseline": round(val / 100.0, 4),
+               "event_cap_frac": cap}
+        if cap_fallback:
+            rec["event_cap_fallback"] = True
+        return rec
     elif c == 5:
         from path_tracing_tpu.integrators.bdpt import render_bdpt
 
@@ -423,9 +444,26 @@ def main() -> int:
                 # plugin (which hangs while the chip is wedged)
                 from path_tracing_tpu.runtime import setup_jax_cache
                 setup_jax_cache()
+                import jax
                 import jax.numpy as jnp
+                t0 = time.perf_counter()
                 x = jnp.ones((1024, 1024))
                 box.append(float((x @ x).sum()))
+                _CALIBRATION["first_contact_s"] = round(
+                    time.perf_counter() - t0, 1)
+                # chip-speed calibration: 100 chained 4096^2 bf16 matmuls
+                # inside ONE jit (~13.7 TFLOP — compute-bound, so the
+                # ~40 ms tunnel RTT is noise).  a/4096 is a fixed point of
+                # a @ a, so the chain can't overflow.
+                a = jnp.full((4096, 4096), 1.0 / 4096, jnp.bfloat16)
+                f = jax.jit(lambda a: jax.lax.fori_loop(
+                    0, 100, lambda i, x: x @ a, a))
+                float(f(a).sum())  # compile + warm
+                t0 = time.perf_counter()
+                float(f(a).sum())
+                dt = time.perf_counter() - t0
+                _CALIBRATION["calibration_tflops"] = round(
+                    100 * 2 * 4096**3 / dt / 1e12, 1)
             except Exception as e:  # noqa: BLE001
                 box.append(e)
 

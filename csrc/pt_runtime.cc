@@ -57,6 +57,14 @@ struct Scene {
     // refract); all-zero unless the scene uses the 'K' extension record
     std::vector<float> sphere_legacy;
     std::vector<float> tri_legacy;
+    // textures (OBJ vt/map_Kd; empty for text scenes): per-triangle vertex
+    // UVs (6 floats), per-triangle texture id (-1 = untextured, else index
+    // into tex_paths), and the referenced image paths in first-use order.
+    // Decoding stays on the Python side (runtime/native.py) — the id is
+    // remapped there when a decode fails, matching obj_loader.tex_of.
+    std::vector<float> tri_uv;
+    std::vector<int> tri_tex;
+    std::vector<std::string> tex_paths;
 };
 
 constexpr double kPi = 3.14159265358979323846;
@@ -169,6 +177,7 @@ struct MtlDef {
     float ns = 10.0f, ni = 0.0f, d = 1.0f;
     int illum = 2;
     float pm = -1.0f, pr = -1.0f;  // (native default light matches Python)
+    std::string map_kd;            // diffuse texture filename (MTL-relative)
 
     Mtl resolve() const {
         Mtl m;
@@ -217,6 +226,12 @@ void parse_mtl_file(const std::string& path, std::map<std::string, MtlDef>* out)
         } else if (key == "illum") { float v; if (ls >> v) cur->illum = (int)v;
         } else if (key == "pm") { ls >> cur->pm;
         } else if (key == "pr") { ls >> cur->pr;
+        } else if (key == "map_kd") {
+            // options (-o, -s ...) precede the filename: keep the LAST
+            // token, matching obj_loader._parse_mtl's tok[-1]
+            std::string t2, last;
+            while (ls >> t2) last = t2;
+            if (!last.empty()) cur->map_kd = last;
         }
     }
 }
@@ -225,14 +240,30 @@ bool parse_obj_file(const std::string& path, Scene* out) {
     std::ifstream f(path);
     if (!f) return false;
     std::vector<float> verts;  // xyz triples
+    std::vector<float> uvs;    // uv pairs (vt records)
     std::map<std::string, MtlDef> mtls;
+    std::map<std::string, int> tex_ids;  // joined path -> tex_paths index
     Mtl cur{0.8f, 0.8f, 0.8f, 0.5f, 0.0f, 0.0f};
+    int cur_tex = -1;
     int group = 0, next_group = 0;
     std::string line;
 
     auto vidx = [&](const std::string& tok) -> long {
         long i = std::strtol(tok.c_str(), nullptr, 10);
         long n = (long)verts.size() / 3;
+        return i > 0 ? i - 1 : n + i;
+    };
+    // vt index of a face token, or -1 when absent (v or v//vn forms) —
+    // obj_loader.tidx
+    auto tuvidx = [&](const std::string& tok) -> long {
+        auto s1 = tok.find('/');
+        if (s1 == std::string::npos) return -1;
+        auto rest = tok.substr(s1 + 1);
+        auto s2 = rest.find('/');
+        std::string t2 = s2 == std::string::npos ? rest : rest.substr(0, s2);
+        if (t2.empty()) return -1;
+        long i = std::strtol(t2.c_str(), nullptr, 10);
+        long n = (long)uvs.size() / 2;
         return i > 0 ? i - 1 : n + i;
     };
 
@@ -245,19 +276,38 @@ bool parse_obj_file(const std::string& path, Scene* out) {
         if (key == "v") {
             float x, y, z;
             if (ls >> x >> y >> z) { verts.push_back(x); verts.push_back(y); verts.push_back(z); }
+        } else if (key == "vt") {
+            float u, v = 0.0f;
+            if (ls >> u) { ls >> v; uvs.push_back(u); uvs.push_back(v); }
         } else if (key == "mtllib") {
             std::string name; ls >> name;
             parse_mtl_file(dir_of(path) + "/" + name, &mtls);
         } else if (key == "usemtl") {
             std::string name; ls >> name;
             auto it = mtls.find(name);
-            if (it != mtls.end()) cur = it->second.resolve();
+            if (it != mtls.end()) {
+                cur = it->second.resolve();
+                cur_tex = -1;
+                if (!it->second.map_kd.empty()) {
+                    // dedup by joined path in first-use order (the Python
+                    // side normpaths + decodes and remaps failed ids to -1)
+                    std::string p = dir_of(path) + "/" + it->second.map_kd;
+                    auto t = tex_ids.find(p);
+                    if (t == tex_ids.end()) {
+                        cur_tex = (int)out->tex_paths.size();
+                        tex_ids[p] = cur_tex;
+                        out->tex_paths.push_back(p);
+                    } else {
+                        cur_tex = t->second;
+                    }
+                }
+            }
         } else if (key == "o" || key == "g") {
             group = ++next_group;
         } else if (key == "f") {
-            std::vector<long> idx;
+            std::vector<long> idx, uvi;
             std::string tok;
-            while (ls >> tok) idx.push_back(vidx(tok));
+            while (ls >> tok) { idx.push_back(vidx(tok)); uvi.push_back(tuvidx(tok)); }
             for (size_t k = 1; k + 1 < idx.size(); ++k) {
                 long a = idx[0], b = idx[k], c = idx[k + 1];
                 long n = (long)verts.size() / 3;
@@ -270,6 +320,21 @@ bool parse_obj_file(const std::string& path, Scene* out) {
                     cur.r, cur.g, cur.b, cur.rough, cur.metal, cur.eta};
                 out->triangles.insert(out->triangles.end(), row, row + 15);
                 out->tri_groups.push_back(group);
+                // UVs: all three corners must be in range at FACE time,
+                // else zeros + untextured (obj_loader's in_range rule)
+                long ua = uvi[0], ub = uvi[k], uc = uvi[k + 1];
+                long nu = (long)uvs.size() / 2;
+                bool in_range = ua >= 0 && ub >= 0 && uc >= 0
+                    && ua < nu && ub < nu && uc < nu;
+                if (in_range) {
+                    float uvrow[6] = {uvs[2 * ua], uvs[2 * ua + 1],
+                                      uvs[2 * ub], uvs[2 * ub + 1],
+                                      uvs[2 * uc], uvs[2 * uc + 1]};
+                    out->tri_uv.insert(out->tri_uv.end(), uvrow, uvrow + 6);
+                } else {
+                    out->tri_uv.insert(out->tri_uv.end(), {0, 0, 0, 0, 0, 0});
+                }
+                out->tri_tex.push_back(in_range ? cur_tex : -1);
             }
         }
     }
@@ -384,6 +449,36 @@ void pt_get_legacy(void* h, float* sph_out, float* tri_out) {
     if (!s->tri_legacy.empty())
         std::memcpy(tri_out, s->tri_legacy.data(),
                     std::min(s->tri_legacy.size(), nt * 4) * sizeof(float));
+}
+
+// Textures (OBJ vt/map_Kd).  tri_uv is zero-filled when the parse carried
+// no vt records (text scenes); tri_tex indexes the path list returned by
+// pt_get_texture_path (decode + failed-id remap happen on the Python side).
+void pt_get_tri_uv(void* h, float* out) {
+    auto* s = (Scene*)h;
+    size_t nt = s->triangles.size() / 15;
+    std::memset(out, 0, nt * 6 * sizeof(float));
+    if (!s->tri_uv.empty())
+        std::memcpy(out, s->tri_uv.data(),
+                    std::min(s->tri_uv.size(), nt * 6) * sizeof(float));
+}
+void pt_get_tri_tex(void* h, int* out) {
+    auto* s = (Scene*)h;
+    size_t nt = s->triangles.size() / 15;
+    for (size_t i = 0; i < nt; ++i)
+        out[i] = i < s->tri_tex.size() ? s->tri_tex[i] : -1;
+}
+int pt_num_textures(void* h) { return (int)((Scene*)h)->tex_paths.size(); }
+// Copies path i (NUL-terminated) into buf; returns 0, or the required
+// capacity when buf is too small, or -1 on a bad index.
+int pt_get_texture_path(void* h, int i, char* buf, int cap) {
+    auto* s = (Scene*)h;
+    if (i < 0 || i >= (int)s->tex_paths.size()) return -1;
+    const std::string& p = s->tex_paths[i];
+    int need = (int)p.size() + 1;
+    if (need > cap) return need;
+    std::memcpy(buf, p.c_str(), need);
+    return 0;
 }
 
 void pt_get_groups(void* h, int* sphere_groups, int* tri_groups) {

@@ -207,6 +207,8 @@ def main(argv=None) -> int:
             print(f"[Live] serving http://{live_http.host}:"
                   f"{live_http.port}/")
 
+        prev_u8 = None  # last tonemapped frame, for the live RMS series
+
         def on_frame(i, f):
             nonlocal state
             f.block_until_ready()
@@ -252,7 +254,19 @@ def main(argv=None) -> int:
             if live_http is not None:
                 from .film import encode_png
 
-                live_http.update(encode_png(u8), i + 1)
+                # frame-to-frame 8-bit RMS of the accumulation — the
+                # GUI's per-integrator convergence series (main.cpp:502-528)
+                # for the one integrator this CLI run renders; the live
+                # page sparklines it
+                nonlocal prev_u8
+                rms = None
+                if prev_u8 is not None:
+                    d = u8.astype(np.float32) - prev_u8.astype(np.float32)
+                    rms = float(np.sqrt(np.mean(d * d)))
+                prev_u8 = u8
+                live_http.update(encode_png(u8), i + 1,
+                                 stats={"rms": rms} if rms is not None
+                                 else None)
             state = new_state
 
         from .runtime.resilience import RenderSupervisor

@@ -126,8 +126,12 @@ def main(argv=None) -> int:
             if live_http is not None:
                 from .film import encode_png
 
+                # stream the four RMS histories too — the live page plots
+                # them as sparklines (the GUI's gnuplot window,
+                # main.cpp:533-559, during the render instead of after it)
                 live_http.update(encode_png(np.concatenate(
-                    [u8["ppm"], u8["bdpt"], u8["pt"]], axis=1)), it + 1)
+                    [u8["ppm"], u8["bdpt"], u8["pt"]], axis=1)), it + 1,
+                    stats={k: v for k, v in row.items() if k != "iter"})
     finally:
         # close even when an iteration raises — a leaked LiveServer keeps
         # its port bound for the rest of the (possibly library) process

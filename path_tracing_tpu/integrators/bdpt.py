@@ -152,7 +152,7 @@ def trace_light_paths(scene: Scene, cfg: RenderConfig, num_paths: int,
     real = jnp.ones((P,), bool) if total is None else gi < total
 
     k_emit = jax.random.fold_in(key, 0xE817)
-    u1, u2 = rng.uniforms(k_emit, (P,), 2)
+    u1, u2 = rng.uniforms_g(k_emit, P, 2, start, total)
     emit = sample_light_emission(
         scene.light_pos[li], scene.light_dir[li], scene.light_cutoff[li],
         scene.light_is_parallel[li], scene.light_ball_r[li],
@@ -202,7 +202,7 @@ def trace_light_paths(scene: Scene, cfg: RenderConfig, num_paths: int,
 
     def body(state, it):
         k = rng.iter_key(jax.random.fold_in(key, 0x11F7), it)
-        u = rng.uniforms(k, (P,), 3)
+        u = rng.uniforms_g(k, P, 3, start, total)
         lv = state["lv"]
         hit = find_closest_hit(scene, state["ro"], state["rd"],
                                live=state["alive"])
@@ -641,7 +641,7 @@ def _connect(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
 
 def _connect_sampled(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
                      n_valid, ev_pos, ev_normal, ev_tp, ev_mtl, wo_e, wo_s,
-                     eye_f, key):
+                     eye_f, key, start=0, total: int | None = None):
     """Unbiased stratified connection subsampling: each eye vertex connects
     to ``cfg.bdpt_connection_samples`` light vertices (stratified over the
     compacted valid prefix) and scales by ``n_valid / M``.
@@ -660,8 +660,11 @@ def _connect_sampled(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
     M = cfg.bdpt_connection_samples
     nv = jnp.maximum(n_valid, 1)
 
-    # per-lane stratified vertex indices
-    u = rng.uniforms(jax.random.fold_in(key, 0x5E1), (M, B), 1)[0]  # (M, B)
+    # per-lane stratified vertex indices (global counters: uniforms_g with
+    # n=M draws the same flat (M, B) Threefry block as the old
+    # uniforms(key, (M, B), 1)[0] when unsharded)
+    u = jnp.stack(rng.uniforms_g(jax.random.fold_in(key, 0x5E1),
+                                 B, M, start, total))              # (M, B)
     j = jnp.arange(M, dtype=jnp.float32)[:, None]
     vidx = jnp.minimum(((j + u) * (nv.astype(jnp.float32) / M))
                        .astype(jnp.int32), nv - 1)                   # (M, B)
@@ -690,8 +693,8 @@ def _connect_sampled(scene: Scene, cfg: RenderConfig, lv_flat: LightVertices,
             wo_e_l, wo_s_l, alpha_e, eye_f, et, eb, vidx_c)
 
     vchunks = vidx.reshape(B, M // mc, mc).transpose(1, 0, 2)
-    total = jax.lax.map(_chunk, vchunks)                 # (M/mc, B, 3)
-    return jnp.sum(total, axis=0) * scale
+    csum = jax.lax.map(_chunk, vchunks)                  # (M/mc, B, 3)
+    return jnp.sum(csum, axis=0) * scale
 
 
 def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
@@ -778,12 +781,16 @@ def _connect_sampled_chunk(scene, cfg, lv_flat, ev_pos, ev_normal, ev_tp,
 
 def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
                           lv_flat: LightVertices, n_valid, px, py, key,
-                          light_hit_scale: float, chunk: int) -> jnp.ndarray:
+                          light_hit_scale: float, chunk: int,
+                          start=0, total: int | None = None) -> jnp.ndarray:
     """One eye path per lane, connecting at every non-delta vertex.
 
     bdpt_cu.cu:289-536 / cpu_bdpt.cpp:336-473 (CPU semantics: defined light
     material for eye hits on light balls at depth>0, which then connect and
     bounce like diffuse surfaces — SURVEY.md quirk 6).
+
+    ``start``/``total``: global-lane RNG for sharded bit-exactness (see
+    ``wavefront_pt``); defaults reproduce the unsharded draws exactly.
     """
     import os
 
@@ -810,7 +817,8 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
         from ..ops.pallas_connect import connect_pallas, pack_light_vertices
 
         lv_tab = pack_light_vertices(lv_flat)
-    jx, jy = rng.uniforms(jax.random.fold_in(key, 0xA11CE), (B,), 2)
+    jx, jy = rng.uniforms_g(jax.random.fold_in(key, 0xA11CE), B, 2,
+                            start, total)
     rd0 = primary_ray_dirs(cam, px, py, jx, jy)
 
     state = dict(
@@ -828,7 +836,7 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
 
     def body(state, it):
         k = rng.iter_key(jax.random.fold_in(key, 0xE7E), it)
-        u = rng.uniforms(k, (B,), 3)
+        u = rng.uniforms_g(k, B, 3, start, total)
         hit = find_closest_hit(scene, state["ro"], state["rd"],
                                live=state["alive"])
         act = state["alive"] & hit.hit
@@ -850,20 +858,20 @@ def eye_trace_and_connect(scene: Scene, cam: Camera, cfg: RenderConfig,
             (depth == 0) | (hit.mtl.eta > 0.0), 0.0,
             (1.0 / PDF_FWD_FLOOR) * (1.0 + state["g_mis"]))
         if fused_connect:
-            total = connect_pallas(
+            total_c = connect_pallas(
                 scene, lv_tab, n_valid, hit.pos, hit.normal, state["tp"],
                 hit.mtl, wo_e, wo_s, eye_f, act,
                 clamp_val=cfg.clamp,
                 dielectrics_block=cfg.shadow_dielectrics_block)
         elif cfg.bdpt_connection_samples > 0:
-            total = _connect_sampled(
+            total_c = _connect_sampled(
                 scene, cfg, lv_flat, n_valid, hit.pos, hit.normal,
-                state["tp"], hit.mtl, wo_e, wo_s, eye_f, k)
+                state["tp"], hit.mtl, wo_e, wo_s, eye_f, k, start, total)
         else:
-            total = _connect(scene, cfg, lv_flat, n_valid, hit.pos,
-                             hit.normal, state["tp"], hit.mtl, wo_e, wo_s,
-                             eye_f, chunk)
-        radiance = radiance + jnp.where(act[:, None], total, 0.0)
+            total_c = _connect(scene, cfg, lv_flat, n_valid, hit.pos,
+                               hit.normal, state["tp"], hit.mtl, wo_e, wo_s,
+                               eye_f, chunk)
+        radiance = radiance + jnp.where(act[:, None], total_c, 0.0)
 
         # ---- bounce (bdpt_cu.cu:460-526) ----
         d_vec = hit.pos - state["last_pos"]
@@ -974,11 +982,16 @@ def render_bdpt(scene: Scene, cam: Camera, width: int, height: int, spp: int,
 
 def eye_pass(scene_used: Scene, lv, cam: Camera, cfg: RenderConfig,
              px, py, spp: int, key, light_hit_scale: float,
-             chunk: int = 128, oracle: bool = False) -> jnp.ndarray:
+             chunk: int = 128, oracle: bool = False,
+             start=0, total: int | None = None) -> jnp.ndarray:
     """Mean-over-spp eye trace + connect against a (possibly all-gathered)
     light-vertex tensor — the tier dispatch shared by ``render_bdpt`` and
     ``parallel.shard.render_bdpt_sharded`` so multi-chip BDPT rides the
-    same persistent eye megakernel as single-chip."""
+    same persistent eye megakernel as single-chip.
+
+    ``start``/``total``: global-lane RNG so a sharded eye pass draws the
+    exact bits of the matching single-device lane slice (XLA tier); the
+    megakernel tier decorrelates shards via a start-folded seed instead."""
     B = px.shape[0]
     if (_use_bdpt_megakernel() and not oracle
             and cfg.bdpt_connection_samples == 0
@@ -1008,9 +1021,11 @@ def eye_pass(scene_used: Scene, lv, cam: Camera, cfg: RenderConfig,
             lv_tab = pack_light_vertices(lv_flat)
         else:
             lv_tab = pack_light_vertices(lv_flat)
+        kseed = jax.random.fold_in(key, 0x0202)
+        if total is not None:
+            kseed = jax.random.fold_in(kseed, start)
         seed = jax.random.randint(
-            jax.random.fold_in(key, 0x0202), (), 0,
-            jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+            kseed, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
         acc = bdpt_eye_pallas(scene_used, lv_tab, n_valid, cam, px, py,
                               spp, cfg, seed, light_hit_scale)
         return acc / spp
@@ -1023,7 +1038,7 @@ def eye_pass(scene_used: Scene, lv, cam: Camera, cfg: RenderConfig,
         c = eye_trace_and_connect(
             scene_used, cam, cfg, lv_flat, n_valid, px, py,
             jax.random.fold_in(jax.random.fold_in(key, 0x0202), sidx),
-            light_hit_scale, chunk)
+            light_hit_scale, chunk, start, total)
         return acc + c, None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((B, 3)), jnp.arange(spp))

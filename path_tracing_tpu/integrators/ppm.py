@@ -111,15 +111,20 @@ def _cell_coords(pos, origin, cell_size):
     return jnp.floor(rel).astype(jnp.int32)
 
 
-def ppm_eye_trace(scene: Scene, cam: Camera, cfg: RenderConfig, px, py, key):
+def ppm_eye_trace(scene: Scene, cam: Camera, cfg: RenderConfig, px, py, key,
+                  start=0, total: int | None = None):
     """Delta-chase eye pass -> (direct image (B,3), HitPoints).
 
     ppm_cu.cu:64-150: follow perfect reflect/refract chains only; stop and
     deposit a hitpoint at the first rough surface; light hits through delta
     chains write direct radiance.
+
+    ``start``/``total``: global-lane RNG for sharded bit-exactness
+    (``rng.uniforms_g``); defaults reproduce the unsharded draws exactly.
     """
     B = px.shape[0]
-    jx, jy = rng.uniforms(jax.random.fold_in(key, 0x9E1), (B,), 2)
+    jx, jy = rng.uniforms_g(jax.random.fold_in(key, 0x9E1), B, 2,
+                            start, total)
     rd0 = primary_ray_dirs(cam, px, py, jx, jy)
 
     zero3 = jnp.zeros((B, 3))
@@ -138,7 +143,7 @@ def ppm_eye_trace(scene: Scene, cam: Camera, cfg: RenderConfig, px, py, key):
 
     def body(state, it):
         k = rng.iter_key(jax.random.fold_in(key, 0x9E2), it)
-        u = rng.uniforms(k, (B,), 3)
+        u = rng.uniforms_g(k, B, 3, start, total)
         hit = find_closest_hit(scene, state["ro"], state["rd"],
                                live=state["alive"])
         act = state["alive"] & hit.hit
@@ -207,7 +212,8 @@ def ppm_photon_trace(scene: Scene, cfg: RenderConfig, num_photons: int,
     li = gi % nl
     real = jnp.ones((P,), bool) if total is None else gi < total
 
-    u1, u2 = rng.uniforms(jax.random.fold_in(key, 0x407), (P,), 2)
+    u1, u2 = rng.uniforms_g(jax.random.fold_in(key, 0x407), P, 2,
+                            start, total)
     emit = sample_light_emission(
         scene.light_pos[li], scene.light_dir[li], scene.light_cutoff[li],
         scene.light_is_parallel[li], scene.light_ball_r[li],
@@ -223,9 +229,12 @@ def ppm_photon_trace(scene: Scene, cfg: RenderConfig, num_photons: int,
         # (round-4 attribution: the XLA scan's full-width HBM round trips
         # were ~half the non-gather cost of a pass).  Emission sampling
         # stays Threefry above; the bounce RNG is the on-core stream.
+        kmega = jax.random.fold_in(key, 0x408)
+        if total is not None:
+            # on-core PRNG: shards get decorrelated (not bit-equal) streams
+            kmega = jax.random.fold_in(kmega, start)
         pos, normal, wi, fl, valid = photon_trace_pallas(
-            scene, cfg, emit.origin, emit.direction, flux0, real,
-            jax.random.fold_in(key, 0x408))
+            scene, cfg, emit.origin, emit.direction, flux0, real, kmega)
         return PhotonEvents(pos=pos, normal=normal, wi=wi, flux=fl,
                             valid=valid)
 
@@ -235,7 +244,7 @@ def ppm_photon_trace(scene: Scene, cfg: RenderConfig, num_photons: int,
 
     def body(state, it):
         k = rng.iter_key(jax.random.fold_in(key, 0x408), it)
-        u = rng.uniforms(k, (P,), 3)
+        u = rng.uniforms_g(k, P, 3, start, total)
         hit = find_closest_hit(scene, state["ro"], state["rd"],
                                live=state["alive"])
         act = state["alive"] & hit.hit & ~hit.is_light \

@@ -322,7 +322,8 @@ def _use_megakernel() -> bool:
 
 
 def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
-                 px: jnp.ndarray, py: jnp.ndarray, spp: int, key) -> jnp.ndarray:
+                 px: jnp.ndarray, py: jnp.ndarray, spp: int, key,
+                 start=0, total: int | None = None) -> jnp.ndarray:
     """Wavefront PT with path regeneration: one persistent lane per pixel;
     when a lane's path terminates it immediately starts the pixel's next
     sample, so the batch stays ~fully occupied instead of burning full-width
@@ -330,6 +331,14 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     way its divergent threads do — this is the wavefront re-architecture
     SURVEY.md §2.2 calls for).  Returns the per-pixel radiance SUM over
     ``spp`` samples (callers divide).
+
+    ``start``/``total``: these lanes are rows [start, start+B) of a GLOBAL
+    ``total``-lane render — per-lane RNG comes from the global Threefry
+    counters (``rng.uniforms_g``), so a sharded render is per-pixel
+    bit-exact against single-device on the XLA/fused tiers.  Defaults
+    reproduce the unsharded call exactly.  The full-megakernel tier draws
+    from the on-core PRNG instead; there shards get decorrelated (not
+    bit-equal) streams via a start-folded seed.
     """
     B = px.shape[0]
     if (_use_megakernel() and not scene.has_textures
@@ -339,7 +348,8 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
         light_tab = _light_table(scene)
         # the megakernel draws from the on-core PRNG; derive its seed from
         # the caller's key so renders stay reproducible per (key, layout)
-        seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+        kseed = key if total is None else jax.random.fold_in(key, start)
+        seed = jax.random.randint(kseed, (), 0, jnp.iinfo(jnp.int32).max,
                                   dtype=jnp.int32)
         return render_wavefront_pallas(scene, light_tab, cam, px, py, spp,
                                        cfg, seed)
@@ -383,7 +393,7 @@ def wavefront_pt(scene: Scene, cam: Camera, cfg: RenderConfig,
     def body(state):
         it = state["it"]
         k = rng.iter_key(key, it)
-        u = rng.uniforms(k, (B,), 8)
+        u = rng.uniforms_g(k, B, 8, start, total)
 
         # ---- regenerate dead lanes that still owe samples ----
         regen = ~state["alive"] & (state["sample"] < spp)

@@ -102,7 +102,7 @@ def mega_rows(nlanes: int | None = None) -> int:
     return 128
 
 
-def tile_rows(stream: bool, tex: bool = False) -> int:
+def tile_rows(stream: bool, tex: bool = False, nt: int = 0) -> int:
     """Ray-tile rows for the standalone nearest/blocker kernels.  Measured
     on the 249k-tri streamed mesh at 1080p (sorted secondary rays): 32 rows
     766 ms, 64 rows 855 ms, 128 rows 1190 ms — unlike the megakernel
@@ -118,13 +118,21 @@ def tile_rows(stream: bool, tex: bool = False) -> int:
     rows 1.306 Mpaths/s (the VMEM sweep amortizes its sequential
     cluster/vertex loops over more lanes; 128 tips the VMEM budget).
     The PPM eye pass measured the OPPOSITE (128 rows 1.312 vs 32-row
-    1.632 Mphotons/s on config4), so the wider tile stays tex-only."""
+    1.632 Mphotons/s on config4), so the wider tile stays tex-only.
+
+    ``nt``: triangle count of the VMEM table, for the budget guard — the
+    64-row tex default was validated at 81,920 tris; near the 131,072-tri
+    VMEM ceiling the doubled ray tiles plus the 31-col with_uv table risk
+    the scoped-VMEM limit (ADVICE r4 item 3), so >100k tris falls back to
+    32 rows (mirroring pallas_photon's budget guard).  The env override
+    still wins for A/B sweeps."""
     import os
 
     if stream:
         return int(os.environ.get("PT_TPU_STREAM_TILE_ROWS", "32"))
-    return int(os.environ.get("PT_TPU_TILE_ROWS",
-                              "64" if tex else str(TILE_ROWS)))
+    default = "64" if tex and nt <= 100_000 else ("32" if tex else
+                                                  str(TILE_ROWS))
+    return int(os.environ.get("PT_TPU_TILE_ROWS", default))
 
 
 def max_vmem_tris() -> int:
@@ -1689,7 +1697,7 @@ def nearest_hit_pallas(scene: Scene, ro: jnp.ndarray, rd: jnp.ndarray,
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene, with_uv=with_uv)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     B = ro.shape[0]
-    rows = tile_rows(False, tex=with_uv)
+    rows = tile_rows(False, tex=with_uv, nt=nt)
     comps = [ro[:, 0], ro[:, 1], ro[:, 2], rd[:, 0], rd[:, 1], rd[:, 2]]
     tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]

@@ -23,11 +23,21 @@ Threefry draws — equivalence is statistical, exactly like the PT/BDPT-eye
 megakernels (the estimator is unchanged; renders stay bit-reproducible
 per (seed, layout)).  ``PT_TPU_NO_PHOTON_MEGA=1`` reverts to the XLA scan.
 
-Event rows are written per bounce at sublane offset ``it * rows`` of each
-(iters*rows, 128) output block; tiles whose photons all died exit the
-while loop early, leaving the pre-zeroed ``valid`` rows (the gather keys
-invalid rows to the BIG sentinel and zeroes their payload at pack time,
-so garbage in the dead rows' other fields is unreachable).
+Event rows are written DEPTH-SLOTTED (round 5): a photon deposits at most
+once per depth value (every deposit is a non-delta bounce, which is
+exactly what increments ``dep``), so the event blocks are
+``(light_depth * rows, 128)`` — HALF the old ``(max_light_iters * rows,
+128)`` iteration-slot layout at the bench shape (delta budget = depth) —
+and each bounce writes slot ``dep`` via per-slot predicated RMW (Mosaic
+has no per-lane dynamic sublane scatter; ``pl.when(any(sel))`` skips the
+slots no lane is at).  This is VERDICT r4 item 1's "emit events
+pre-binned from the megakernel": the XLA sort/pack that follows
+(`integrators/ppm.gather_flux` prep — cell-key argsort + row gather) now
+runs over half the rows, and the freed VMEM lets the tile go back to 128
+rows.  Tiles whose photons all died exit the while loop early, leaving
+the pre-zeroed ``valid`` rows (the gather keys invalid rows to the BIG
+sentinel and zeroes their payload at pack time, so garbage in the dead
+rows' other fields is unreachable).
 """
 from __future__ import annotations
 
@@ -63,7 +73,8 @@ def _photon_kernel(sph_ref, tri_ref, cl_ref, sup_ref, seed_ref,
                    rox, roy, roz, rdx, rdy, rdz, flx, fly, flz, alv,
                    epx, epy, epz, enx, eny, enz, ewx, ewy, ewz,
                    efx, efy, efz, evd,
-                   *, ns, nl, nt, light_depth, iters, rows, use_super):
+                   *, ns, nl, nt, light_depth, iters, rows, slots,
+                   use_super):
     seed = seed_ref[0] + pl.program_id(0)
     if not interp_forced():
         pltpu.prng_seed(seed)
@@ -75,8 +86,8 @@ def _photon_kernel(sph_ref, tri_ref, cl_ref, sup_ref, seed_ref,
     zero_i = zero.astype(jnp.int32)
 
     # pre-zero the validity rows: tiles can exit the loop early and the
-    # gather must treat the unwritten bounces as empty
-    evd[...] = jnp.zeros((iters * rows, LANE), jnp.float32)
+    # gather must treat the unwritten slots as empty
+    evd[...] = jnp.zeros((slots * rows, LANE), jnp.float32)
 
     def cond(c):
         (it, work, *_rest) = c
@@ -99,21 +110,40 @@ def _photon_kernel(sph_ref, tri_ref, cl_ref, sup_ref, seed_ref,
                        & ((mtl.metal < 0.99) | (mtl.rough > 0.01)))
 
         # ---- emit this bounce's deposit event ----
-        r0 = pl.multiple_of(it * rows, rows)
-        w = pl.ds(r0, rows)
-        epx[w] = pos.x
-        epy[w] = pos.y
-        epz[w] = pos.z
-        enx[w] = n.x
-        eny[w] = n.y
-        enz[w] = n.z
-        ewx[w] = wi_light.x
-        ewy[w] = wi_light.y
-        ewz[w] = wi_light.z
-        efx[w] = flux.x
-        efy[w] = flux.y
-        efz[w] = flux.z
-        evd[w] = depositable.astype(jnp.float32)
+        if slots < iters:
+            # DEPTH-slotted (default): a lane deposits at most once per
+            # dep value (deposits are non-delta bounces, which increment
+            # dep), so slot `dep` is collision-free; per-slot predicated
+            # RMW because Mosaic has no per-lane sublane scatter.
+            # pl.when skips slots no lane is at (depths concentrate:
+            # most iterations touch 1-2 slots).
+            for s in range(slots):
+                sel = depositable & (dep == s)
+
+                @pl.when(jnp.any(sel))
+                def _(s=s, sel=sel):
+                    w = pl.ds(s * rows, rows)
+                    for ref, v in ((epx, pos.x), (epy, pos.y),
+                                   (epz, pos.z),
+                                   (enx, n.x), (eny, n.y), (enz, n.z),
+                                   (ewx, wi_light.x), (ewy, wi_light.y),
+                                   (ewz, wi_light.z),
+                                   (efx, flux.x), (efy, flux.y),
+                                   (efz, flux.z)):
+                        ref[w] = jnp.where(sel, v, ref[w])
+                    evd[w] = jnp.where(sel, 1.0, evd[w])
+        else:
+            # iteration-slotted (PT_TPU_PPM_DEPTH_SLOTS=0 A/B revert):
+            # one unconditional write per bounce at sublane it*rows
+            r0 = pl.multiple_of(it * rows, rows)
+            w = pl.ds(r0, rows)
+            for ref, v in ((epx, pos.x), (epy, pos.y), (epz, pos.z),
+                           (enx, n.x), (eny, n.y), (enz, n.z),
+                           (ewx, wi_light.x), (ewy, wi_light.y),
+                           (ewz, wi_light.z),
+                           (efx, flux.x), (efy, flux.y), (efz, flux.z)):
+                ref[w] = v
+            evd[w] = depositable.astype(jnp.float32)
 
         # ---- bounce (ppm_cu.cu:265-293 semantics via bsdf_sample_k) ----
         wi_w, val, pdf, is_delta, new_eta = bsdf_sample_k(
@@ -154,13 +184,28 @@ def photon_trace_pallas(scene: Scene, cfg, ro, rd, flux, real, key):
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)
     iters = cfg.max_light_iters
+    # depth-slotted event blocks: deposits per photon <= light_depth (see
+    # module docstring), so the event tensor is (slots*rows, 128) per
+    # field — half the iteration-slot layout at the bench shape.
+    # PT_TPU_PPM_DEPTH_SLOTS=0 reverts to the round-4 iteration slots
+    # (same-session A/B; the gather is layout-agnostic either way)
+    if os.environ.get("PT_TPU_PPM_DEPTH_SLOTS", "1") == "0":
+        slots = int(iters)
+    else:
+        slots = max(1, min(int(cfg.light_depth), int(iters)))
     rows = mega_rows(P)
-    # VMEM budget: the 13 (iters*rows, LANE) event blocks and the 10 ray
-    # blocks are double-buffered by the output pipeline; at rows=128 and
-    # iters=8 that lands 64 KiB OVER the 16 MiB scoped limit (measured
-    # r4: AOT "scoped allocation 16.06M > 16.00M").  Shrink rows until
-    # they fit a 12 MiB budget (headroom for tables + stack).
-    while rows > 8 and (2 * (13 * iters + 10) * rows * LANE * 4
+    # VMEM budget: the 13 (slots*rows, LANE) event blocks and the 10 ray
+    # blocks are double-buffered by the output pipeline; the old
+    # iteration-slot layout at rows=128/iters=8 landed 64 KiB OVER the
+    # 16 MiB scoped limit (measured r4: "scoped allocation 16.06M >
+    # 16.00M").  Shrink rows until the formula fits 12 MiB.  NOTE the
+    # formula UNDERESTIMATES the compiler's real footprint by ~11%
+    # (predicted 14.94 MiB vs 16.06 measured at rows=128, 8 slots), so
+    # the 12 MiB target really buys ~13.3 MiB actual — keep that margin
+    # in mind before trusting the formula for future edits.  At the
+    # depth-slotted slots=4 the formula passes at the full rows=128
+    # (8.1 MiB predicted).
+    while rows > 8 and (2 * (13 * slots + 10) * rows * LANE * 4
                         > 12 * 2**20):
         rows -= 8
 
@@ -175,7 +220,7 @@ def photon_trace_pallas(scene: Scene, cfg, ro, rd, flux, real, key):
                               dtype=jnp.int32)
     kernel = functools.partial(
         _photon_kernel, ns=ns, nl=nl, nt=nt, light_depth=cfg.light_depth,
-        iters=iters, rows=rows, use_super=use_super)
+        iters=iters, rows=rows, slots=slots, use_super=use_super)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -191,10 +236,10 @@ def photon_trace_pallas(scene: Scene, cfg, ro, rd, flux, real, key):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             *_ray_specs(len(comps), rows),
         ],
-        out_specs=[pl.BlockSpec((iters * rows, LANE), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((slots * rows, LANE), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
                    for _ in range(13)],
-        out_shape=[jax.ShapeDtypeStruct((grid * iters * rows, LANE),
+        out_shape=[jax.ShapeDtypeStruct((grid * slots * rows, LANE),
                                         jnp.float32) for _ in range(13)],
         interpret=interp_forced(),
     )(sph_tab, tri_tab, cl_tab, sup_tab,

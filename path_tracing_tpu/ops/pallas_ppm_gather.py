@@ -77,7 +77,12 @@ EV_CHUNK = 1024          # events per DMA'd chunk (8 sublane-blocks of 128)
 # (dynamic) block number, which Mosaic supports everywhere
 EV_ROWS = 14
 HP_CHUNK = 128           # hitpoints per DMA'd block
-SUB = 16                 # hitpoint sub-block rows per pair block
+# hitpoint sub-block rows per pair block.  PT_TPU_PPM_SUB re-sweeps it
+# (re-read at every gather_flux_pallas call, i.e. at trace time after a
+# jax.clear_caches(); must divide HP_CHUNK): 16/32/64 measured identical
+# under the OLD pair-block nest (round 2); VERDICT r4 item 2 asks for a
+# re-sweep under the hp-sub-outer join shipped in round 4.
+SUB = 16
 # (dx, dy) neighbor offsets in key units; dz is folded into the +-1 range
 OFFS = tuple((dx * G + dy) * G for dx in (-1, 0, 1) for dy in (-1, 0, 1))
 DZ_LO, DZ_HI = 1, 1      # kernel window: key in [qlo, qlo + DZ_LO + DZ_HI]
@@ -507,6 +512,12 @@ def gather_flux_pallas(scene: Scene, cfg: RenderConfig, hp, events,
     """
     from .pallas_intersect import interp_forced
     interpret = interpret or interp_forced()
+    # SUB is a module global referenced by the kernel at trace time;
+    # re-read the sweep knob here so PT_TPU_PPM_SUB + jax.clear_caches()
+    # takes effect without re-importing the module
+    global SUB
+    SUB = int(os.environ.get("PT_TPU_PPM_SUB", "16"))
+    assert HP_CHUNK % SUB == 0, f"PT_TPU_PPM_SUB={SUB} must divide 128"
     cmax = int(max_cells or cfg.ppm_max_cells)
     origin = scene.scene_min
     cell = _cell_size(scene, cfg)

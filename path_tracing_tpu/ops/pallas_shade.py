@@ -1065,8 +1065,9 @@ def shade_step_tex_pallas(scene: Scene, light_tab, hit, bc_mod, ro, rd, tp,
              hit["rough"], hit["metal"], hit["eta"],
              hit["flag"]]
     # 64-row tiles (round-4 A/B: +13% on the textured 81,920-tri shape);
-    # PT_TPU_TILE_ROWS overrides for re-sweeps
-    rows = tile_rows(False, tex=True)
+    # PT_TPU_TILE_ROWS overrides for re-sweeps.  nt routes the >100k-tri
+    # VMEM budget fallback (ADVICE r4 item 3)
+    rows = tile_rows(False, tex=True, nt=nt)
     tiled = [_tile(c, rows)[0] for c in comps]
     rows_total = tiled[0].shape[0]
     grid = rows_total // rows

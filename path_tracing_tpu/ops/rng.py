@@ -41,3 +41,31 @@ def uniforms(key: jax.Array, shape, n: int):
     u = jax.random.uniform(key, shape=(n,) + tuple(shape), dtype=jnp.float32)
     u = 1.0 - u
     return tuple(u[i] for i in range(n))
+
+
+def uniforms_g(key: jax.Array, P: int, n: int, start=0,
+               total: int | None = None):
+    """Global-counter variant of :func:`uniforms` for mesh-invariant lanes.
+
+    The ``P`` lanes are rows ``[start, start+P)`` of a GLOBAL ``total``-lane
+    draw: a shard slices bit-identical values out of the same ``(n, total)``
+    Threefry array a single-device run draws, which is what makes sharded
+    renders per-pixel bit-exact against single-device (``__graft_entry__``
+    gate / tests/test_sharding.py).  ``total=None`` reproduces
+    ``uniforms(key, (P,), n)`` exactly (the unsharded path is unchanged).
+
+    ``start`` may be traced (``mesh_linear_index * P`` inside ``shard_map``).
+    Mesh-rounding pad lanes (``start + i >= total``) read a padded constant;
+    callers already gate those lanes off.  Shards whose slice begins past
+    ``total`` are entirely pad lanes — ``dynamic_slice`` clamps their window,
+    returning in-bounds (unused) values.
+    """
+    if total is None:
+        return uniforms(key, (P,), n)
+    u = jax.random.uniform(key, shape=(n, total), dtype=jnp.float32)
+    u = 1.0 - u
+    W = ((total + P - 1) // P) * P
+    if W > total:
+        u = jnp.pad(u, ((0, 0), (0, W - total)), constant_values=1.0)
+    u = jax.lax.dynamic_slice_in_dim(u, start, P, axis=1)
+    return tuple(u[i] for i in range(n))

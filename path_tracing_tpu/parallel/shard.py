@@ -17,9 +17,18 @@ the scaling design it lacks:
 Meshes can be flat (single host: ``("dp",)``) or hybrid multi-host
 (``("dcn", "dp")`` via ``make_mesh(..., dcn=k)``): the renderers shard their
 lane axis over ALL mesh axes and run their collectives over the full axis
-tuple, which XLA decomposes hierarchically (ICI inside a host, DCN across) —
-per-shard RNG folds use the mesh-linear index, so a hybrid mesh renders the
-same image as a flat mesh of the same size.
+tuple, which XLA decomposes hierarchically (ICI inside a host, DCN across).
+
+**Mesh-invariant RNG**: every per-lane draw uses GLOBAL Threefry counters
+(``rng.uniforms_g`` with ``start = mesh_linear_index * lanes_per_shard``),
+so each shard draws the exact bits of the matching single-device lane
+slice.  Consequences, pinned by ``__graft_entry__.dryrun_multichip`` and
+``tests/test_sharding.py``: a sharded PT/BDPT render is per-pixel
+BIT-EXACT against single-device on the XLA tiers (PPM matches to float
+associativity of its flux ``psum``), and any two mesh shapes of any size
+render identical images.  The only exception is the TPU megakernel tiers'
+on-core PRNG, which decorrelates shards via a start-folded seed (same
+estimator, different stream).
 
 Everything compiles and runs on a virtual CPU mesh
 (``--xla_force_host_platform_device_count=N``) for hardware-free CI.
@@ -117,8 +126,10 @@ def render_pt_sharded(scene: Scene, cam: Camera, width: int, height: int,
              out_specs=lane, check_rep=False)
     def shard_fn(scene, cam, px_l, py_l, key):
         me = _linear_index(mesh)
-        k = jax.random.fold_in(key, me)
-        return wavefront_pt(scene, cam, cfg, px_l, py_l, spp, k) / spp
+        # global-counter RNG: this shard draws rows [me*B/n, (me+1)*B/n) of
+        # the single-device (B,) draw — per-pixel bit-exact vs single chip
+        return wavefront_pt(scene, cam, cfg, px_l, py_l, spp, key,
+                            start=me * (B // n), total=B) / spp
 
     return shard_fn(scene, cam, px, py, key)
 
@@ -151,7 +162,8 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
     def shard_fn(scene_s, cam_s, px_l, py_l, key):
         me = _linear_index(mesh)
         direct, hp_local = ppm_eye_trace(scene_s, cam_s, cfg, px_l, py_l,
-                                         jax.random.fold_in(key, 1))
+                                         jax.random.fold_in(key, 1),
+                                         start=me * (B // n), total=B)
         # Photon events STAY on the chip that traced them (they are the big
         # tensor: photons x light_iters rows).  Instead the small per-pixel
         # hitpoint table is all-gathered (B rows total — pixel-sized), every
@@ -163,9 +175,12 @@ def render_ppm_sharded(scene: Scene, cam: Camera, width: int, height: int,
         # index % num_lights) identical to single-device — each light gets
         # exactly spl photons across the WHOLE mesh — and kill the
         # mesh-rounding pad lanes (no silent flux inflation)
+        # key is NOT me-folded: ppm_photon_trace's start/total now route the
+        # RNG too (global counters), so local events are the bit-exact slice
+        # of the single-device event tensor
         ev_local = ppm_photon_trace(
             scene_s, cfg, num_photons // n, spl,
-            jax.random.fold_in(jax.random.fold_in(key, 2), me),
+            jax.random.fold_in(key, 2),
             start=me * (num_photons // n), total=true_photons)
         hp_all = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
@@ -219,17 +234,22 @@ def render_bdpt_sharded(scene: Scene, cam: Camera, width: int, height: int,
         # paths*light_depth vertices)
         # global start/total: light assignment (global path index % Nl)
         # matches single-device, and mesh-rounding pad lanes store nothing
+        # key is NOT me-folded: start/total route the RNG through global
+        # counters, so the gathered vertex tensor is bit-identical to the
+        # single-device trace (all_gather(tiled) concatenates in mesh-linear
+        # order = global lane order)
         lv_local = trace_light_paths(
             scene_s, cfg, num_paths // n, spl,
-            jax.random.fold_in(jax.random.fold_in(key, 0x0101), me),
+            jax.random.fold_in(key, 0x0101),
             start=me * (num_paths // n), total=true_paths)
         lv = jax.tree.map(
             lambda x: jax.lax.all_gather(x, ax, axis=0, tiled=True),
             lv_local)
-        # decorrelate eye sampling across shards via the mesh-linear index,
-        # then run the shared tier dispatch (megakernel on TPU, scan+kernel
-        # connections elsewhere) on this shard's pixels
+        # eye sampling also draws global counters (bit-exact per pixel on
+        # the XLA tier; the TPU eye megakernel decorrelates by start-folded
+        # seed), then runs the shared tier dispatch on this shard's pixels
         return eye_pass(scene_s, lv, cam_s, cfg, px_l, py_l, spp,
-                        jax.random.fold_in(key, me), float(ls), chunk)
+                        key, float(ls), chunk,
+                        start=me * (B // n), total=B)
 
     return shard_fn(scene_used, cam, px, py, key)

@@ -59,6 +59,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pt_get_legacy.argtypes = [ctypes.c_void_p, fp, fp]
     except AttributeError:
         pass
+    try:  # added with OBJ vt/map_Kd support (round 5); stale .so lacks them
+        lib.pt_get_tri_uv.argtypes = [ctypes.c_void_p, fp]
+        lib.pt_get_tri_tex.argtypes = [ctypes.c_void_p, ip]
+        lib.pt_num_textures.restype = ctypes.c_int
+        lib.pt_num_textures.argtypes = [ctypes.c_void_p]
+        lib.pt_get_texture_path.restype = ctypes.c_int
+        lib.pt_get_texture_path.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                            ctypes.c_char_p, ctypes.c_int]
+    except AttributeError:
+        pass
     lib.pt_build_clusters.restype = ctypes.c_int
     lib.pt_build_clusters.argtypes = [fp, ctypes.c_int, ctypes.c_int,
                                       ip, fp, ip, ctypes.c_int]
@@ -105,6 +115,19 @@ def parse_scene_native(path: str):
         tleg = np.zeros((max(nt, 1), 4), np.float32)
         if hasattr(lib, "pt_get_legacy"):
             lib.pt_get_legacy(h, sleg.reshape(-1), tleg.reshape(-1))
+        uv = tex = tex_paths = None
+        if is_obj and nt and hasattr(lib, "pt_get_tri_uv"):
+            uv = np.zeros((nt, 6), np.float32)
+            tex = np.zeros(nt, np.int32)
+            lib.pt_get_tri_uv(h, uv.reshape(-1))
+            lib.pt_get_tri_tex(h, tex)
+            tex_paths = []
+            for i in range(lib.pt_num_textures(h)):
+                buf = ctypes.create_string_buffer(4096)
+                if lib.pt_get_texture_path(h, i, buf, 4096) == 0:
+                    tex_paths.append(os.path.normpath(buf.value.decode()))
+                else:
+                    tex_paths.append(None)
     finally:
         lib.pt_scene_free(h)
 
@@ -120,13 +143,28 @@ def parse_scene_native(path: str):
         out.sph_mtl.append(sph[i, 4:10].tolist())
         out.sph_legacy.append(sleg[i].tolist())
         out.sph_group.append(int(sg[i]))
-    for i in range(nt):
-        out.tri_verts.append([tri[i, 0:3].tolist(), tri[i, 3:6].tolist(),
-                              tri[i, 6:9].tolist()])
-        out.tri_mtl.append(tri[i, 9:15].tolist())
-        out.tri_legacy.append(tleg[i].tolist())
-        out.tri_group.append(int(tg[i]))
+    # triangles: vectorized ndarray fields (ParsedScene.to_device accepts
+    # either; the per-row Python loop was O(seconds) at 300k-tri meshes)
+    out.tri_verts = tri[:nt, 0:9].reshape(nt, 3, 3)
+    out.tri_mtl = tri[:nt, 9:15]
+    out.tri_legacy = tleg[:nt]
+    out.tri_group = tg[:nt]
     out.lights = [lig[i].tolist() for i in range(nl)]
+
+    if uv is not None:
+        # decode the referenced images (first-use order, like
+        # obj_loader.tex_of) and remap ids: failed decodes become -1 and do
+        # not consume an output slot, so ids match the Python loader's
+        from ..scene.obj_loader import _decode_texture
+
+        id_map = np.full(max(len(tex_paths), 1) + 1, -1, np.int32)
+        for i, p in enumerate(tex_paths):
+            img = _decode_texture(p) if p else None
+            if img is not None:
+                id_map[i] = len(out.textures)
+                out.textures.append(img)
+        out.tri_uv = uv
+        out.tri_tex = id_map[tex]  # tex == -1 hits the sentinel last row
     return out
 
 

@@ -209,13 +209,27 @@ def load_obj(path: str, default_mtl: List[float] | None = None) -> ParsedScene:
 def load_any_scene(path: str) -> ParsedScene:
     """Dispatch text-scene vs OBJ by extension; OBJ scenes get a default
     camera framing the mesh bounds and one overhead spot light unless a
-    companion ``<name>.lights.txt`` text scene provides E/V/F/R/L records."""
+    companion ``<name>.lights.txt`` text scene provides E/V/F/R/L records.
+
+    Parsing runs on the native C++ runtime (csrc/pt_runtime.cc, incl.
+    vt/map_Kd textures) when the library is available — the production
+    path, like the reference's C++ host layers (main_cli.cpp:99-141) —
+    with this module as the behavioral spec and always-available fallback.
+    ``PT_TPU_NO_NATIVE=1`` forces the Python parsers (A/B + tests)."""
+    native_out = None
+    if not os.environ.get("PT_TPU_NO_NATIVE"):
+        from ..runtime.native import parse_scene_native
+
+        native_out = parse_scene_native(path)
+
     if not path.lower().endswith(".obj"):
+        if native_out is not None:
+            return native_out
         from .parser import load_scene
 
         return load_scene(path)
 
-    out = load_obj(path)
+    out = native_out if native_out is not None else load_obj(path)
     companion = os.path.splitext(path)[0] + ".lights.txt"
     if os.path.exists(companion):
         from .parser import load_scene

@@ -107,13 +107,16 @@ class ParsedScene:
                 tex_atlas[i, h, w] = t[0, 0]
                 tex_size[i] = (h, w)
 
+        # fields may be lists (Python parsers) or ndarrays (the native C++
+        # parser's vectorized conversion) — np.asarray + len() handle both
+        tv = np.asarray(self.tri_verts, np.float32).reshape(-1, 3, 3)
         return scene_from_numpy(
             sph_center=np.asarray(self.sph_center, np.float32).reshape(-1, 3),
             sph_radius=np.asarray(self.sph_radius, np.float32),
             sph_mtl=mtl_of(self.sph_mtl),
-            tri_v0=np.asarray([v[0] for v in self.tri_verts], np.float32).reshape(-1, 3),
-            tri_v1=np.asarray([v[1] for v in self.tri_verts], np.float32).reshape(-1, 3),
-            tri_v2=np.asarray([v[2] for v in self.tri_verts], np.float32).reshape(-1, 3),
+            tri_v0=tv[:, 0],
+            tri_v1=tv[:, 1],
+            tri_v2=tv[:, 2],
             tri_mtl=mtl_of(self.tri_mtl),
             light_pos=lights[:, 0:3],
             light_dir=lights[:, 3:6],
@@ -123,15 +126,15 @@ class ParsedScene:
             light_ball_r=lights[:, 11],
             cluster_leaf_size=cluster_leaf_size,
             tri_uv=(np.asarray(self.tri_uv, np.float32).reshape(-1, 6)
-                    if self.tri_uv else None),
+                    if len(self.tri_uv) else None),
             tri_tex=(np.asarray(self.tri_tex, np.int32)
-                     if self.tri_tex else None),
+                     if len(self.tri_tex) else None),
             tex_atlas=tex_atlas,
             tex_size=tex_size,
             sph_legacy=(np.asarray(self.sph_legacy, np.float32).reshape(-1, 4)
-                        if self.sph_legacy else None),
+                        if len(self.sph_legacy) else None),
             tri_legacy=(np.asarray(self.tri_legacy, np.float32).reshape(-1, 4)
-                        if self.tri_legacy else None),
+                        if len(self.tri_legacy) else None),
         )
 
 

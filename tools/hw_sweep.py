@@ -214,6 +214,41 @@ STEPS = [
     # eye-megakernel tile height: 160 won +2% on the PT megakernel at
     # 1080p but was never measured on the BDPT eye kernel
     ("config5_rows160",    {"PT_TPU_MEGA_ROWS": "160"}, _ns(config="5")),
+    # ---- round-5 steps ----
+    # depth-slotted photon events (new default): the megakernel bins
+    # deposits by depth into light_depth slots, halving the event tensor
+    # the XLA sort/pack chews (VERDICT r4 item 1).  Cap fractions pinned
+    # per side: 0.7-of-4-slots gathers the same absolute rows as the
+    # round-4 0.35-of-8-slots.
+    ("ppm_r5_depth",    {"PT_TPU_PPM_DEPTH_SLOTS": "1",
+                         "PT_TPU_PPM_CAPFRAC": "0.7"},
+     _ns(config="4", fast=True)),
+    ("ppm_r5_iter",     {"PT_TPU_PPM_DEPTH_SLOTS": "0",
+                         "PT_TPU_PPM_CAPFRAC": "0.35"},
+     _ns(config="4", fast=True)),
+    # re-attribution under the new layout (timing-only neuters)
+    ("ppm_r5_no_gather", {"PT_TPU_PPM_NEUTER": "gather",
+                          "PT_TPU_PPM_CAPFRAC": "0.7"},
+     _ns(config="4", fast=True)),
+    ("ppm_r5_no_kernel", {"PT_TPU_PPM_NEUTER": "kernel",
+                          "PT_TPU_PPM_CAPFRAC": "0.7"},
+     _ns(config="4", fast=True)),
+    # pair-math SUB width re-sweep under the hp-sub-outer nest (VERDICT
+    # r4 item 2: 16/32/64 were only swept under the OLD join order)
+    ("ppm_sub8",        {"PT_TPU_PPM_SUB": "8",
+                         "PT_TPU_PPM_CAPFRAC": "0.7"},
+     _ns(config="4", fast=True)),
+    ("ppm_sub32",       {"PT_TPU_PPM_SUB": "32",
+                         "PT_TPU_PPM_CAPFRAC": "0.7"},
+     _ns(config="4", fast=True)),
+    ("ppm_sub64",       {"PT_TPU_PPM_SUB": "64",
+                         "PT_TPU_PPM_CAPFRAC": "0.7"},
+     _ns(config="4", fast=True)),
+    ("ppm_r5_full",     {}, _ns(config="4")),
+    # config3's honest shape (VERDICT r4 weak 3): the recorded textured
+    # rows are all spp-16 sweep steps; one full spp-1024 row (~25 min)
+    ("tex50k_honest1024", {}, _ns(config="3", gen_tris=50000,
+                                  gen_tex=True, spp=1024)),
 ]
 
 _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
@@ -226,7 +261,8 @@ _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
             "PT_TPU_C5_SRC_SKIP", "PT_TPU_NO_COMPACT",
             "PT_TPU_COMPACT_SMALL", "PT_TPU_NO_PHOTON_MEGA",
             "PT_TPU_TILE_ROWS", "PT_TPU_PPM_CAPFRAC",
-            "PT_TPU_PPM_COLGATHER")
+            "PT_TPU_PPM_COLGATHER", "PT_TPU_PPM_DEPTH_SLOTS",
+            "PT_TPU_PPM_SUB", "PT_TPU_NO_NATIVE")
 
 
 def main() -> int:
@@ -243,6 +279,15 @@ def main() -> int:
     args = ap.parse_args()
     t_end = time.time() + args.deadline_min * 60
     want = [s for s in args.steps.split(",") if s]
+    # validate tags BEFORE touching jax / acquiring the TPU grant: a typo
+    # that dies after first contact wastes a multi-minute grant cycle
+    # (ADVICE r4 item 1)
+    known = {tag for tag, _env, _ns in STEPS}
+    unknown = [t for t in want if t not in known]
+    if unknown:
+        print(f"unknown --steps tags: {', '.join(unknown)}\n"
+              f"known tags: {', '.join(sorted(known))}", file=sys.stderr)
+        return 2
     if not args.out:
         args.out = time.strftime(
             "/tmp/hw_measure/results-%Y%m%d-%H%M%S.jsonl")
