@@ -185,30 +185,39 @@ def run(args) -> dict:
             # pixels even after the display clip) are dropped per pair,
             # which is what stabilized the r3 estimator's +-0.015 spread
             # enough to rank K values monotonically.
+            # Round 5 (VERDICT r4 weak 8): ALSO computes the same trimmed
+            # RMS on LINEAR HDR radiance (no display clip) from the same
+            # renders — the clip truncates K=16's fireflies
+            # non-monotonically, breaking the metric exactly where the
+            # K-curve gets interesting.  Returns (clipped, linear).
             os.environ["PT_TPU_TILE_RIS"] = "1" if tile else "0"
             jax.clear_caches()
             c2 = cfg.with_(bdpt_resample_vertices=k_res)
             f = jax.jit(lambda key: render_bdpt(
                 scene, cam, W, H, spp, 8, c2, key))
-            tot = 0.0
+            tot = tot_lin = 0.0
             pairs = (11, 33, 55, 77, 99, 121)
-            for s in pairs:
-                a = np.clip(np.asarray(f(jax.random.PRNGKey(s))), 0, 1)
-                b = np.clip(np.asarray(f(jax.random.PRNGKey(s + 11))), 0,
-                            1)
+
+            def trimmed_rms(a, b):
                 sq = np.square(a - b).ravel()
                 keep = max(1, int(sq.size * 0.999))
-                trimmed = np.partition(sq, keep - 1)[:keep]
-                tot += float(np.sqrt(np.mean(trimmed) / 2.0))
-            return tot / len(pairs)
+                return float(np.sqrt(
+                    np.mean(np.partition(sq, keep - 1)[:keep]) / 2.0))
+
+            for s in pairs:
+                a = np.asarray(f(jax.random.PRNGKey(s)))
+                b = np.asarray(f(jax.random.PRNGKey(s + 11)))
+                tot += trimmed_rms(np.clip(a, 0, 1), np.clip(b, 0, 1))
+                tot_lin += trimmed_rms(a, b)
+            return tot / len(pairs), tot_lin / len(pairs)
 
         try:
-            n_g64 = noise(64, False)
-            n_t64 = noise(64, True)
-            n_t16 = noise(16, True)
-            n_t24 = noise(24, True)
-            n_t32 = noise(32, True)
-            n_t48 = noise(48, True)
+            n_g64, l_g64 = noise(64, False)
+            n_t64, l_t64 = noise(64, True)
+            n_t16, l_t16 = noise(16, True)
+            n_t24, l_t24 = noise(24, True)
+            n_t32, l_t32 = noise(32, True)
+            n_t48, l_t48 = noise(48, True)
         finally:
             os.environ.pop("PT_TPU_TILE_RIS", None)
         return {"metric": f"config5 RIS noise (256^2 spp{spp}; 0.1%-trimmed"
@@ -221,7 +230,94 @@ def run(args) -> dict:
                 "noise_tile48": round(n_t48, 5),
                 "noise_tile32": round(n_t32, 5),
                 "noise_tile24": round(n_t24, 5),
-                "noise_tile16": round(n_t16, 5)}
+                "noise_tile16": round(n_t16, 5),
+                "lin_global64": round(l_g64, 5),
+                "lin_tile64": round(l_t64, 5),
+                "lin_tile48": round(l_t48, 5),
+                "lin_tile32": round(l_t32, 5),
+                "lin_tile24": round(l_t24, 5),
+                "lin_tile16": round(l_t16, 5)}
+
+    if args.config == "texprobe":
+        # VERDICT r4 item 6 go/no-go probe: time the in-megakernel one-hot
+        # MXU atlas fetch (the only Mosaic-legal per-lane gather) at
+        # candidate atlas sizes.  Per tile-row of 128 rays the fetch is
+        # "build onehot (Dc,128) chunks from the ray's flat texel index,
+        # accumulate (12, Dc) @ (Dc, 128)" — 12 = 4 bilinear taps x RGB.
+        # The viability bar: the megakernel's measured tile-bounce budget
+        # is ~1.1 ms (1080p, 128-row tiles, 1.86 Mpaths/s untextured), so
+        # the fetch must cost <~10% of that across a tile's 128 rows.
+        import functools
+
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        from path_tracing_tpu.ops.pallas_intersect import interp_forced
+
+        rows = 128
+
+        def probe_kernel(tab_ref, idx_ref, out_ref, *, D, DC):
+            def row(r, _):
+                n = idx_ref[pl.ds(r, 1), :]                   # (1, 128)
+                acc = jnp.zeros((12, 128), jnp.float32)
+
+                def dchunk(k, acc):
+                    base = k * DC
+                    sub = jax.lax.broadcasted_iota(
+                        jnp.int32, (DC, 128), 0) + base
+                    oh = (sub == n).astype(jnp.float32)       # (DC, 128)
+                    return acc + jnp.dot(
+                        tab_ref[:, pl.ds(k * DC, DC)], oh,
+                        preferred_element_type=jnp.float32)
+
+                acc = jax.lax.fori_loop(0, D // DC, dchunk, acc)
+                out_ref[pl.ds(r * 12, 12), :] = acc
+                return 0
+
+            jax.lax.fori_loop(0, rows, row, 0)
+
+        res = {}
+        for d_name, D in (("64sq", 4352), ("128sq", 16640),
+                          ("256sq", 66048)):
+            DC = 512
+            tab = jnp.asarray(
+                np.random.RandomState(0).rand(12, D), jnp.float32)
+            idx = jnp.asarray(np.random.RandomState(1).randint(
+                0, D, size=(rows, 128)), jnp.int32)
+            f = pl.pallas_call(
+                functools.partial(probe_kernel, D=D, DC=DC),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((rows * 12, 128),
+                                               jnp.float32),
+                interpret=interp_forced(),
+            )
+            # sub-ms kernel vs ~40 ms tunnel dispatch: amortize over REPS
+            # kernel invocations inside ONE jit (index varies per rep so
+            # XLA cannot CSE the calls)
+            REPS = 64
+
+            def g(t, i):
+                def body(k, acc):
+                    out = f(t, (i + k) % D)
+                    return acc + out[0, 0]
+                return jax.lax.fori_loop(0, REPS, body, jnp.float32(0))
+
+            gj = jax.jit(g)
+            _sync(gj(tab, idx))  # compile + warm
+            t0 = time.perf_counter()
+            _sync(gj(tab, idx))
+            dt = (time.perf_counter() - t0) / REPS
+            res[f"fetch_ms_tile_{d_name}"] = round(dt * 1e3, 3)
+        # overhead fraction vs the measured ~1.1 ms tile-bounce budget
+        frac = res["fetch_ms_tile_64sq"] / 1.1
+        return {"metric": "in-megakernel one-hot atlas fetch, ms per "
+                          "128-row tile (12 outputs = 4 taps x RGB)",
+                "value": res["fetch_ms_tile_64sq"], "unit": "ms",
+                "vs_baseline": round(frac, 3), **res}
 
     c = int(args.config)
     if c in (0, 2, 3):
@@ -260,12 +356,41 @@ def run(args) -> dict:
                     f"spp={spp}, eye_depth=4")
         # big shapes: one timed pass is plenty (the estimator is a spp loop)
         iters = 1 if W * H * spp > 600_000_000 else 3
-        dt = _timeit(lambda i: render_pt(scene, cam, W, H, spp, cfg,
-                                         jax.random.fold_in(key, i)),
-                     iters=iters)
+        # bound the PER-LAUNCH path count: a single XLA execution running
+        # tens of minutes crashes the TPU worker (measured round 5: the
+        # honest textured spp-1024 row faulted at launch ~20 min, while
+        # the same shape at spp 16 is fine).  Chunk the spp loop into
+        # bounded launches — identical estimator, per-launch ~<1 min.
+        chunk = spp
+        if W * H * spp > 600_000_000:
+            for cand in (16, 8, 4, 2, 1):
+                if spp % cand == 0:
+                    chunk = cand
+                    break
+
+        if chunk == spp:
+            dt = _timeit(lambda i: render_pt(scene, cam, W, H, spp, cfg,
+                                             jax.random.fold_in(key, i)),
+                         iters=iters)
+        else:
+            # warm/compile with ONE chunk launch, then time the full
+            # chunked accumulation once (the loop reuses the compiled fn)
+            _sync(render_pt(scene, cam, W, H, chunk, cfg,
+                            jax.random.fold_in(key, 0)))
+            t0 = time.perf_counter()
+            acc = None
+            for j in range(spp // chunk):
+                img = render_pt(scene, cam, W, H, chunk, cfg,
+                                jax.random.fold_in(key, j + 1))
+                acc = img if acc is None else acc + img
+            _sync(acc)
+            dt = time.perf_counter() - t0
         val = W * H * spp / dt / 1e6
-        return {"metric": name, "value": round(val, 3), "unit": "Mpaths/s",
-                "vs_baseline": round(val / 100.0, 4)}
+        rec = {"metric": name, "value": round(val, 3), "unit": "Mpaths/s",
+               "vs_baseline": round(val / 100.0, 4)}
+        if chunk != spp:
+            rec["chunked_spp"] = chunk
+        return rec
     elif c == 1:
         from path_tracing_tpu.integrators.bdpt import render_oracle
 

@@ -249,6 +249,8 @@ STEPS = [
     # rows are all spp-16 sweep steps; one full spp-1024 row (~25 min)
     ("tex50k_honest1024", {}, _ns(config="3", gen_tris=50000,
                                   gen_tex=True, spp=1024)),
+    # in-megakernel one-hot atlas fetch go/no-go (VERDICT r4 item 6)
+    ("texprobe",          {}, _ns(config="texprobe")),
 ]
 
 _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
