@@ -319,6 +319,59 @@ def run(args) -> dict:
                 "value": res["fetch_ms_tile_64sq"], "unit": "ms",
                 "vs_baseline": round(frac, 3), **res}
 
+    if args.config == "streamroof":
+        # VERDICT r4 item 4: roofline the streamed triangle sweep.  With
+        # PT_TPU_STREAM_NOCULL=1 every tile enters every cluster, so the
+        # test count is EXACT (rays x padded tri slots) and the measured
+        # wall prices the sweep core (DMA + _mt_core VPU arithmetic) with
+        # no culling unknowns.  ~41 VPU f32 ops per Moller-Trumbore test
+        # in the _mt_core form (edges precomputed at pack time).
+        import jax.numpy as jnp
+        import numpy as np
+
+        from path_tracing_tpu.ops.pallas_intersect import (
+            nearest_hit_pallas)
+        from path_tracing_tpu.scene.synth import icosphere_scene
+
+        os.environ["PT_TPU_STREAM_NOCULL"] = "1"
+        try:
+            jax.clear_caches()
+            p = icosphere_scene(5000)
+            scene = p.to_device()
+            # exact padded-slot count: the VPU sweep rounds each cluster
+            # to whole 8-triangle slot rows
+            cr = np.asarray(scene.tri_cluster_range)
+            nt_pad = int((np.ceil(cr[:, 1] / 8) * 8).sum())
+            B = 512 * 512
+            rs = np.random.RandomState(5)
+            ro = jnp.asarray(rs.uniform(-0.1, 0.1, (B, 3)), jnp.float32)
+            rd = rs.normal(size=(B, 3)).astype(np.float32)
+            rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+            rd = jnp.asarray(rd)
+
+            f = jax.jit(lambda a, b: nearest_hit_pallas(
+                scene, a, b, force_stream=True)["t"])
+            _sync(f(ro, rd))  # compile + warm
+            t0 = time.perf_counter()
+            reps = 5
+            for i in range(reps):
+                _sync(f(ro, rd))
+            dt = (time.perf_counter() - t0) / reps
+        finally:
+            os.environ.pop("PT_TPU_STREAM_NOCULL", None)
+        tests = B * nt_pad
+        rate = tests / dt / 1e9
+        # VPU f32 peak (assumption, documented): ~4 ALU ops x (8,128)
+        # vregs x ~1.75 GHz ~= 7.2 Tops -> ~175 Gtests/s at 41 ops/test
+        peak_tests = 7.2e12 / 41 / 1e9
+        return {"metric": f"streamed sweep core, no-cull exact-count "
+                          f"({B} rays x {nt_pad} padded tri slots)",
+                "value": round(rate, 2), "unit": "Gtests/s",
+                "vs_baseline": round(rate / peak_tests, 3),
+                "wall_s_per_call": round(dt, 3),
+                "est_vpu_peak_gtests": round(peak_tests, 1),
+                "est_ops_per_test": 41}
+
     c = int(args.config)
     if c in (0, 2, 3):
         from path_tracing_tpu.integrators.pt import render_pt

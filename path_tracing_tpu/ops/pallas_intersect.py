@@ -1157,7 +1157,14 @@ def _nearest_stream_prologue(sph_ref, rox, roy, roz, rdx, rdy, rdz,
         tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
                                      jnp.maximum(t0y, t1y)),
                          jnp.maximum(t0z, t1z))
-        return (tn <= tf) & (tn < tlim)
+        ok = (tn <= tf) & (tn < tlim)
+        if os.environ.get("PT_TPU_STREAM_NOCULL") == "1":
+            # roofline probe (bench --config streamroof): force every
+            # cluster/super entered so the triangle-test COUNT is exact
+            # (rays x padded tri slots) — the achieved tests/s then prices
+            # the sweep core against VPU peak with no culling unknowns
+            return ok | True
+        return ok
 
     return could_hit
 

@@ -278,10 +278,12 @@ def test_cli_live_http(tmp_path):
     captured = {}
     orig_update = lh.LiveServer.update
 
-    def spy_update(self, png, iteration):
+    def spy_update(self, png, iteration, stats=None):
         captured["png"], captured["iter"] = png, iteration
         captured["port"] = self.port
-        orig_update(self, png, iteration)
+        if stats is not None:
+            captured["stats"] = stats
+        orig_update(self, png, iteration, stats)
         # fetch through the real socket while the server is still up
         captured["served"] = urllib.request.urlopen(
             f"http://127.0.0.1:{self.port}/frame.png", timeout=10).read()
@@ -300,6 +302,10 @@ def test_cli_live_http(tmp_path):
     assert captured["iter"] == 2
     assert captured["served"] == captured["png"]
     assert captured["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    # iteration 2 streams the frame-to-frame RMS convergence series
+    # (the GUI's gnuplot observable, live on the page — VERDICT r4 #1)
+    assert "stats" in captured and "rms" in captured["stats"]
+    assert float(captured["stats"]["rms"]) >= 0.0
     img = read_png(out)
     assert img.shape == (16, 16, 3)
 
@@ -312,9 +318,11 @@ def test_compare_live_http(tmp_path):
     captured = {}
     orig_update = lh.LiveServer.update
 
-    def spy_update(self, png, iteration):
+    def spy_update(self, png, iteration, stats=None):
         captured["png"], captured["iter"] = png, iteration
-        return orig_update(self, png, iteration)
+        if stats is not None:
+            captured["stats"] = stats
+        return orig_update(self, png, iteration, stats)
 
     lh.LiveServer.update = spy_update
     try:
@@ -328,6 +336,10 @@ def test_compare_live_http(tmp_path):
     assert rc == 0
     assert captured["iter"] == 2
     assert captured["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    # the comparator streams all four RMS histories to the live page
+    assert "stats" in captured
+    for k in ("rms_ppm", "rms_bdpt", "rms_pt", "diff_rms"):
+        assert k in captured["stats"], captured["stats"]
     # 3W x H: the PNG IHDR width field reads 48 for a 16-wide render
     import struct
     w, h = struct.unpack(">II", captured["png"][16:24])

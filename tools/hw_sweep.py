@@ -251,6 +251,8 @@ STEPS = [
                                   gen_tex=True, spp=1024)),
     # in-megakernel one-hot atlas fetch go/no-go (VERDICT r4 item 6)
     ("texprobe",          {}, _ns(config="texprobe")),
+    # streamed-sweep roofline: exact-count no-cull core rate (item 4)
+    ("streamroof",        {}, _ns(config="streamroof")),
 ]
 
 _AB_KEYS = ("PT_TPU_SUBROWS", "PT_TPU_MEGA_ROWS", "PT_TPU_STREAM_TILE_ROWS",
