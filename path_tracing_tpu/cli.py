@@ -191,6 +191,23 @@ def main(argv=None) -> int:
 
     print("[Render] Starting Render...")
     import contextlib
+    import signal
+
+    # interactive in-render control for a headless host (the reference
+    # GUI's ImGui "Save Image" button, main.cpp:386-391, re-imagined):
+    #   SIGUSR1 -> snapshot the accumulation to <output>.snapN.png (+
+    #              checkpoint) at the end of the current iteration
+    #   SIGUSR2 -> save + stop gracefully (final image/checkpoint written
+    #              through the normal exit path)
+    _sig = {"snap": False, "stop": False}
+    _old_handlers = {}
+    try:
+        _old_handlers[signal.SIGUSR1] = signal.signal(
+            signal.SIGUSR1, lambda *_: _sig.__setitem__("snap", True))
+        _old_handlers[signal.SIGUSR2] = signal.signal(
+            signal.SIGUSR2, lambda *_: _sig.__setitem__("stop", True))
+    except (ValueError, OSError, AttributeError):
+        _old_handlers = {}  # non-main thread / platform without signals
 
     t0 = time.perf_counter()
     with contextlib.ExitStack() as stack:
@@ -269,18 +286,39 @@ def main(argv=None) -> int:
                                  else None)
             state = new_state
 
-        from .runtime.resilience import RenderSupervisor
+            # ---- signal-driven in-render control ----
+            if _sig["snap"]:
+                _sig["snap"] = False
+                snap = f"{args.output}.snap{i + 1}.png"
+                save_image(snap, np.asarray(state.radiance_sum)
+                           / max(int(state.n_iters), 1), W, H)
+                if args.checkpoint:
+                    save_checkpoint(args.checkpoint, state,
+                                    {"mode": mode, "width": W, "height": H})
+                print(f"[Signal] SIGUSR1: snapshot -> {snap}", flush=True)
+            if _sig["stop"]:
+                print("[Signal] SIGUSR2: stopping after iteration "
+                      f"{i + 1}; saving", flush=True)
+                raise StopRender
+
+        from .runtime.resilience import RenderSupervisor, StopRender
 
         def salvage_checkpoint():
             if args.checkpoint:
                 save_checkpoint(args.checkpoint, state,
                                 {"mode": mode, "width": W, "height": H})
 
-        RenderSupervisor(
-            max_retries=max(args.retries, 0), backoff_s=2.0,
-            checkpoint=salvage_checkpoint,
-            log=lambda m: print(m, file=sys.stderr),
-        ).run(frame, start_iter, args.iters, on_frame)
+        try:
+            RenderSupervisor(
+                max_retries=max(args.retries, 0), backoff_s=2.0,
+                checkpoint=salvage_checkpoint,
+                log=lambda m: print(m, file=sys.stderr),
+            ).run(frame, start_iter, args.iters, on_frame)
+        except StopRender:
+            pass  # SIGUSR2: fall through to the normal save path
+        finally:
+            for s, h in _old_handlers.items():
+                signal.signal(s, h)
     total = time.perf_counter() - t0
     paths = W * H * args.spp * args.iters
     print(f"[Render] Finished in {total * 1000:.1f} ms "

@@ -54,6 +54,13 @@ def probe_device(timeout_s: float = 30.0) -> bool:
     return bool(result) and result[0]
 
 
+class StopRender(BaseException):
+    """Graceful early-stop request from inside ``on_frame`` (e.g. the
+    CLI's SIGUSR2 handler).  Derives from BaseException so the
+    supervisor's device-fault retry loop (``except Exception``) passes it
+    through instead of re-running the iteration."""
+
+
 @dataclass
 class RenderSupervisor:
     """Retrying driver for a progressive render loop.
