@@ -247,37 +247,13 @@ def run(args) -> dict:
         # The viability bar: the megakernel's measured tile-bounce budget
         # is ~1.1 ms (1080p, 128-row tiles, 1.86 Mpaths/s untextured), so
         # the fetch must cost <~10% of that across a tile's 128 rows.
-        import functools
-
         import jax.numpy as jnp
         import numpy as np
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
 
         from path_tracing_tpu.ops.pallas_intersect import interp_forced
+        from path_tracing_tpu.ops.probes import onehot_fetch
 
         rows = 128
-
-        def probe_kernel(tab_ref, idx_ref, out_ref, *, D, DC):
-            def row(r, _):
-                n = idx_ref[pl.ds(r, 1), :]                   # (1, 128)
-                acc = jnp.zeros((12, 128), jnp.float32)
-
-                def dchunk(k, acc):
-                    base = k * DC
-                    sub = jax.lax.broadcasted_iota(
-                        jnp.int32, (DC, 128), 0) + base
-                    oh = (sub == n).astype(jnp.float32)       # (DC, 128)
-                    return acc + jnp.dot(
-                        tab_ref[:, pl.ds(k * DC, DC)], oh,
-                        preferred_element_type=jnp.float32)
-
-                acc = jax.lax.fori_loop(0, D // DC, dchunk, acc)
-                out_ref[pl.ds(r * 12, 12), :] = acc
-                return 0
-
-            jax.lax.fori_loop(0, rows, row, 0)
-
         res = {}
         for d_name, D in (("64sq", 4352), ("128sq", 16640),
                           ("256sq", 66048)):
@@ -286,15 +262,7 @@ def run(args) -> dict:
                 np.random.RandomState(0).rand(12, D), jnp.float32)
             idx = jnp.asarray(np.random.RandomState(1).randint(
                 0, D, size=(rows, 128)), jnp.int32)
-            f = pl.pallas_call(
-                functools.partial(probe_kernel, D=D, DC=DC),
-                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                          pl.BlockSpec(memory_space=pltpu.VMEM)],
-                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((rows * 12, 128),
-                                               jnp.float32),
-                interpret=interp_forced(),
-            )
+            f = onehot_fetch(rows, D, DC, interpret=interp_forced())
             # sub-ms kernel vs ~40 ms tunnel dispatch: amortize over REPS
             # kernel invocations inside ONE jit (index varies per rep so
             # XLA cannot CSE the calls)
@@ -334,6 +302,10 @@ def run(args) -> dict:
         from path_tracing_tpu.scene.synth import icosphere_scene
 
         os.environ["PT_TPU_STREAM_NOCULL"] = "1"
+        # the per-32-tri block gate (default ON) would still skip blocks
+        # behind the carried best hit, breaking the exact count (review
+        # r5 — the first recorded 19.24 Gtests/s row was inflated by it)
+        os.environ["PT_TPU_BLOCK_GATE"] = "0"
         try:
             jax.clear_caches()
             p = icosphere_scene(5000)
@@ -359,6 +331,7 @@ def run(args) -> dict:
             dt = (time.perf_counter() - t0) / reps
         finally:
             os.environ.pop("PT_TPU_STREAM_NOCULL", None)
+            os.environ.pop("PT_TPU_BLOCK_GATE", None)
         tests = B * nt_pad
         rate = tests / dt / 1e9
         # VPU f32 peak (assumption, documented): ~4 ALU ops x (8,128)
@@ -480,12 +453,17 @@ def run(args) -> dict:
                                 ppm_event_cap_frac=cap)
         spl = photons // max(scene.num_lights, 1)
 
+        class CapOverflow(RuntimeError):
+            """Event cap overflow — distinct from device RuntimeErrors
+            (jaxlib's XlaRuntimeError is a RuntimeError subclass; a fault
+            during warm must NOT be misdiagnosed as cap headroom)."""
+
         def one_pass(i):
             img, _count, overflow = render_ppm_with_stats(
                 scene, cam, W, H, spl, cfg, jax.random.fold_in(key, i))
             ov = int(overflow)
             if ov != 0:
-                raise RuntimeError(
+                raise CapOverflow(
                     f"PPM event cap overflowed ({ov} events dropped) — "
                     f"capped gather is no longer exact at this scene/shape")
             return img
@@ -493,7 +471,7 @@ def run(args) -> dict:
         cap_fallback = False
         try:
             _sync(one_pass(0))  # compile + warm + overflow check
-        except RuntimeError:
+        except CapOverflow:
             # ADVICE r4: the default cap has only ~13% headroom over the
             # measured valid fraction — a seed/scene shift must fall back
             # to the always-exact full gather (cap 1.0, just slower)

@@ -320,9 +320,13 @@ def main(argv=None) -> int:
             for s, h in _old_handlers.items():
                 signal.signal(s, h)
     total = time.perf_counter() - t0
-    paths = W * H * args.spp * args.iters
+    # completed iterations, not args.iters — a SIGUSR2 early stop would
+    # otherwise overstate the printed throughput (review r5)
+    done_iters = int(state.n_iters) - start_iter
+    paths = W * H * args.spp * done_iters
     print(f"[Render] Finished in {total * 1000:.1f} ms "
-          f"({paths / max(total, 1e-9) / 1e6:.2f} Mpaths/s)")
+          f"({paths / max(total, 1e-9) / 1e6:.2f} Mpaths/s, "
+          f"{done_iters} iters)")
 
     if args.checkpoint:
         save_checkpoint(args.checkpoint, state,

@@ -1006,12 +1006,20 @@ def eye_pass(scene_used: Scene, lv, cam: Camera, cfg: RenderConfig,
 
         lv_flat, n_valid = compact_flat(lv.flat())
         if cfg.bdpt_resample_vertices > 0 and tile_ris_enabled():
-            # tile-local RIS: one Kp-row table per megakernel tile
+            # tile-local RIS: one Kp-row table per megakernel tile.
+            # Sharded (total set): fold the shard offset into the RIS key —
+            # each shard's tiles cover DIFFERENT pixels, so sharing the
+            # stratified draws across shards would correlate tile choices
+            # between screen strips (review r5).  The global-RIS and CPU
+            # paths stay shard-invariant on purpose: their ONE resampled
+            # table is shared by all shards exactly like single-device.
+            kris = jax.random.fold_in(key, 0x5E5A)
+            if total is not None:
+                kris = jax.random.fold_in(kris, start)
             T, lanes = eye_tiling(B)
             reps = tile_representatives(scene_used, cam, px, py, lanes, T)
             lv_flat, Kp = resample_light_vertices_tiled(
-                lv_flat, n_valid, cfg.bdpt_resample_vertices,
-                jax.random.fold_in(key, 0x5E5A), reps)
+                lv_flat, n_valid, cfg.bdpt_resample_vertices, kris, reps)
             lv_tab = pack_light_vertices(lv_flat).reshape(T, Kp, -1)
             n_valid = jnp.asarray(Kp, jnp.int32)
         elif cfg.bdpt_resample_vertices > 0:

@@ -177,9 +177,10 @@ def _photon_kernel(sph_ref, tri_ref, cl_ref, sup_ref, seed_ref,
 def photon_trace_pallas(scene: Scene, cfg, ro, rd, flux, real, key):
     """Bounce-trace ``P`` photons (pre-sampled emission ``ro/rd/flux``,
     ``real`` = lanes that exist) and return the flat deposit-event arrays
-    ``(pos, normal, wi, flux, valid)`` with ``E = iters * P_padded`` rows
-    in (tile, bounce, row, lane) order — the gather sorts by cell key, so
-    event order is immaterial."""
+    ``(pos, normal, wi, flux, valid)`` with ``E = slots * P_padded`` rows
+    (slots = light_depth by default — the depth-slotted layout; iters
+    under PT_TPU_PPM_DEPTH_SLOTS=0) in (tile, slot, row, lane) order —
+    the gather sorts by cell key, so event order is immaterial."""
     P = ro.shape[0]
     sph_tab, tri_tab, cl_tab, ns, nl, nt = pack_scene(scene)
     cl_tab, sup_tab, use_super = super_table(cl_tab)

@@ -43,25 +43,57 @@ def uniforms(key: jax.Array, shape, n: int):
     return tuple(u[i] for i in range(n))
 
 
+def _windowed_ok(key) -> bool:
+    """The windowed path mirrors jax's PARTITIONABLE threefry bit layout
+    (element (j, i) of ``uniform(key, (n, total))`` is a pure function of
+    the flat 64-bit counter ``j*total + i``).  Any other configuration
+    falls back to generate-then-slice."""
+    if not jax.config.jax_threefry_partitionable:
+        return False
+    try:
+        impl = jax.random.key_impl(key)
+        return "threefry" in str(impl)
+    except Exception:  # raw uint32[2] legacy key arrays
+        return False
+
+
 def uniforms_g(key: jax.Array, P: int, n: int, start=0,
                total: int | None = None):
     """Global-counter variant of :func:`uniforms` for mesh-invariant lanes.
 
     The ``P`` lanes are rows ``[start, start+P)`` of a GLOBAL ``total``-lane
-    draw: a shard slices bit-identical values out of the same ``(n, total)``
-    Threefry array a single-device run draws, which is what makes sharded
-    renders per-pixel bit-exact against single-device (``__graft_entry__``
-    gate / tests/test_sharding.py).  ``total=None`` reproduces
-    ``uniforms(key, (P,), n)`` exactly (the unsharded path is unchanged).
+    draw: a shard draws bit-identical values to the matching slice of the
+    ``(n, total)`` Threefry array a single-device run draws, which is what
+    makes sharded renders per-pixel bit-exact against single-device
+    (``__graft_entry__`` gate / tests/test_sharding.py).  ``total=None``
+    reproduces ``uniforms(key, (P,), n)`` exactly (the unsharded path is
+    unchanged).
 
-    ``start`` may be traced (``mesh_linear_index * P`` inside ``shard_map``).
-    Mesh-rounding pad lanes (``start + i >= total``) read a padded constant;
-    callers already gate those lanes off.  Shards whose slice begins past
-    ``total`` are entirely pad lanes — ``dynamic_slice`` clamps their window,
-    returning in-bounds (unused) values.
+    Under jax's default PARTITIONABLE threefry the window is generated
+    directly from its own counters — O(P) work per shard instead of the
+    O(total) generate-then-slice (review r5; pinned bit-equal to the
+    slice form by tests/test_rng.py).  ``start`` may be traced
+    (``mesh_linear_index * P`` inside ``shard_map``).  Mesh-rounding pad
+    lanes (``start + i >= total``) draw counters that alias the next
+    row's prefix; callers already gate those lanes off.
     """
     if total is None:
         return uniforms(key, (P,), n)
+    if _windowed_ok(key) and n * total < 2**32:
+        from jax._src.prng import threefry2x32_p
+
+        kd = jax.random.key_data(key).astype(jnp.uint32)
+        lanes = jnp.uint32(start) + jnp.arange(P, dtype=jnp.uint32)
+        rows = (jnp.arange(n, dtype=jnp.uint32)
+                * jnp.uint32(total))[:, None]
+        flat = rows + lanes[None, :]                    # (n, P) counters
+        hi = jnp.zeros_like(flat)                       # flat < 2^32
+        o1, o2 = threefry2x32_p.bind(kd[0], kd[1], hi, flat)
+        bits = o1 ^ o2
+        fb = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+        u = jax.lax.bitcast_convert_type(fb, jnp.float32) - 1.0
+        u = 1.0 - u
+        return tuple(u[i] for i in range(n))
     u = jax.random.uniform(key, shape=(n, total), dtype=jnp.float32)
     u = 1.0 - u
     W = ((total + P - 1) // P) * P

@@ -116,7 +116,12 @@ def parse_scene_native(path: str):
         if hasattr(lib, "pt_get_legacy"):
             lib.pt_get_legacy(h, sleg.reshape(-1), tleg.reshape(-1))
         uv = tex = tex_paths = None
-        if is_obj and nt and hasattr(lib, "pt_get_tri_uv"):
+        if is_obj and nt:
+            if not hasattr(lib, "pt_get_tri_uv"):
+                # stale .so predating the texture exports: returning an
+                # untextured parse would silently drop map_Kd — let the
+                # caller fall back to the Python loader (review r5)
+                return None
             uv = np.zeros((nt, 6), np.float32)
             tex = np.zeros(nt, np.int32)
             lib.pt_get_tri_uv(h, uv.reshape(-1))
@@ -153,16 +158,27 @@ def parse_scene_native(path: str):
 
     if uv is not None:
         # decode the referenced images (first-use order, like
-        # obj_loader.tex_of) and remap ids: failed decodes become -1 and do
-        # not consume an output slot, so ids match the Python loader's
+        # obj_loader.tex_of) and remap ids: failed decodes become -1 and
+        # do not consume an output slot, so ids match the Python loader's.
+        # Dedup by NORMPATH here (the C++ side keys on the literal joined
+        # string; 'tex.png' vs './tex.png' must share one slot like the
+        # Python loader — review r5).
         from ..scene.obj_loader import _decode_texture
 
         id_map = np.full(max(len(tex_paths), 1) + 1, -1, np.int32)
+        by_path: dict = {}
         for i, p in enumerate(tex_paths):
-            img = _decode_texture(p) if p else None
+            if p is None:
+                continue
+            if p in by_path:
+                id_map[i] = by_path[p]
+                continue
+            img = _decode_texture(p)
+            slot = -1 if img is None else len(out.textures)
             if img is not None:
-                id_map[i] = len(out.textures)
                 out.textures.append(img)
+            by_path[p] = slot
+            id_map[i] = slot
         out.tri_uv = uv
         out.tri_tex = id_map[tex]  # tex == -1 hits the sentinel last row
     return out

@@ -5,53 +5,24 @@ These kernels exist to MEASURE design candidates on hardware (bench
 only mean something if the probes compute the right thing, so CI pins
 them in interpret mode at tiny shapes.
 """
-import functools
-import os
-
 import numpy as np
 import pytest
 
 
 def test_onehot_fetch_kernel_gathers_exactly():
     """The texprobe kernel's one-hot MXU fetch must be an exact gather:
-    out[r*12:(r+1)*12, lane] == tab[:, idx[r, lane]]."""
-    import jax
-
+    out[r*12:(r+1)*12, lane] == tab[:, idx[r, lane]].  Imports the SAME
+    kernel bench.py times (ops/probes.py) — a drift in the probe fails
+    this test, not just the recorded number."""
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+
+    from path_tracing_tpu.ops.probes import onehot_fetch
 
     rows, D, DC = 8, 1024, 256
-
-    def probe_kernel(tab_ref, idx_ref, out_ref, *, D, DC):
-        def row(r, _):
-            n = idx_ref[pl.ds(r, 1), :]
-            acc = jnp.zeros((12, 128), jnp.float32)
-
-            def dchunk(k, acc):
-                base = k * DC
-                sub = jax.lax.broadcasted_iota(
-                    jnp.int32, (DC, 128), 0) + base
-                oh = (sub == n).astype(jnp.float32)
-                return acc + jnp.dot(tab_ref[:, pl.ds(k * DC, DC)], oh,
-                                     preferred_element_type=jnp.float32)
-
-            acc = jax.lax.fori_loop(0, D // DC, dchunk, acc)
-            out_ref[pl.ds(r * 12, 12), :] = acc
-            return 0
-
-        jax.lax.fori_loop(0, rows, row, 0)
-
     tab = jnp.asarray(np.random.RandomState(0).rand(12, D), jnp.float32)
     idx = jnp.asarray(np.random.RandomState(1).randint(0, D, (rows, 128)),
                       jnp.int32)
-    f = pl.pallas_call(
-        functools.partial(probe_kernel, D=D, DC=DC),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows * 12, 128), jnp.float32),
-        interpret=True)
+    f = onehot_fetch(rows, D, DC, interpret=True)
     out = np.asarray(f(tab, idx))
     exp = np.asarray(tab)[:, np.asarray(idx)]            # (12, rows, 128)
     got = out.reshape(rows, 12, 128).transpose(1, 0, 2)
