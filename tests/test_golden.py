@@ -62,6 +62,13 @@ def test_mis_scene_estimator_pinned():
     from path_tracing_tpu.scene.camera import make_camera
     from path_tracing_tpu.scene.parser import load_scene
 
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("fixture pins the deterministic CPU/XLA tier; the TPU "
+                    "megakernel tier draws a different (on-core) PRNG "
+                    "stream — its quality is pinned by test_golden + the "
+                    "hardware golden sweep row instead")
     fixture = os.path.join(_FIX, "mis_pt_128.npy")
     assert os.path.exists(fixture), "run tests/gen_mis_fixture.py"
     p = load_scene("/root/reference/mis_test.txt")
